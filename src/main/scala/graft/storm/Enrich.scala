@@ -1,0 +1,264 @@
+package graft.storm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The enrichment core: every rule of the reference pipeline expressed as
+  * built-in Catalyst column expressions (plus the one custom expression,
+  * [[GoFmtG]], for Go-`%g` ID parity). Zero UDFs ⇒ the whole chain fuses
+  * into a single whole-stage-codegen projection.
+  *
+  * Semantics follow `internal/domain/transform.go` of the reference
+  * (storm-data-etl-service); rule order matches `EnrichStormEvent`
+  * (`transform.go:148-161`): event-type → unit → magnitude → severity →
+  * source office → location → time bucket → processed_at.
+  */
+object Enrich {
+
+  // ---------------------------------------------------------------- P2
+  /** Lenient float parse: trim; ""/unparseable → 0 (`transform.go:51-61`). */
+  def floatOrZero(c: Column): Column =
+    coalesce(trim(c).cast("double"), lit(0.0))
+
+  // ---------------------------------------------------------------- P3
+  /** Magnitude column dispatch + parse (`transform.go:65-90`):
+    * hail→Size, tornado→F_Scale, wind→Speed, other→0; trim; ""/"UNK"
+    * (case-insensitive) → 0; strip "EF" then "F" prefix; parse else 0. */
+  def magnitude(eventType: Column, size: Column, fScale: Column, speed: Column): Column = {
+    val raw = trim(
+      when(eventType === "hail", size)
+        .when(eventType === "tornado", fScale)
+        .when(eventType === "wind", speed)
+        .otherwise(lit("")))
+    val stripped =
+      regexp_replace(regexp_replace(raw, "^EF", ""), "^F", "")
+    when(raw === "" || upper(raw) === "UNK", lit(0.0))
+      .otherwise(coalesce(stripped.cast("double"), lit(0.0)))
+  }
+
+  // ---------------------------------------------------------------- P4
+  /** Combine a base date with an "HHMM"/"HMM" string (`transform.go:93-112`).
+    * <3 chars, non-numeric, hour>23 or min>59 → base timestamp unchanged. */
+  def hhmmTimestamp(base: Column, hhmm: Column): Column = {
+    val t = trim(hhmm)
+    val padded = when(length(t) === 3, concat(lit("0"), t)).otherwise(t)
+    val hour = substring(padded, 1, 2).cast("int")
+    // Go parses hhmm[2:] — everything after the first two chars — as the
+    // minutes integer, so "12345" → mins=345 → invalid → base. strconv.Atoi
+    // accepts only [+-]?digits (no decimals — Spark's string→int cast would
+    // truncate "2.5" to 2, so guard with a digits-only rlike).
+    val intRe = "^[+-]?[0-9]+$"
+    val minsStr = substring(padded, 3, Int.MaxValue)
+    val mins = minsStr.cast("int")
+    val valid = length(t) >= 3 &&
+      substring(padded, 1, 2).rlike(intRe) && minsStr.rlike(intRe) &&
+      hour.isNotNull && mins.isNotNull &&
+      hour.between(0, 23) && mins.between(0, 59)
+    when(valid,
+      make_timestamp(year(base), month(base), dayofmonth(base), hour, mins, lit(0)))
+      .otherwise(base)
+  }
+
+  // ---------------------------------------------------------------- P5
+  /** Event-time parse (`transform.go:118-129`): trimmed "" → Kafka ts;
+    * RFC 3339 if it parses; else HHMM fallback on the Kafka ts date. */
+  def eventTime(kafkaTs: Column, timeStr: Column): Column = {
+    val t = trim(timeStr)
+    val rfc3339 = coalesce(
+      try_to_timestamp(t, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(t, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX")),
+      try_to_timestamp(t, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+    when(t === "", kafkaTs)
+      .otherwise(coalesce(rfc3339, hhmmTimestamp(kafkaTs, timeStr)))
+  }
+
+  // ---------------------------------------------------------------- P6
+  /** Deterministic event ID (`transform.go:134-142`): first 8 bytes (16 hex
+    * chars) of SHA-256 over "type|state|%.4f|%.4f|timeStr|%g", prefixed
+    * "{type}-" unless type is empty. Uses the RAW event type / time string
+    * and the PRE-normalization magnitude (called from `ParseRawEvent`). */
+  def generateId(eventType: Column, state: Column, lat: Column, lon: Column,
+                 timeStr: Column, magnitude: Column): Column = {
+    val input = concat_ws("|",
+      coalesce(eventType, lit("")),
+      coalesce(state, lit("")),
+      format_string("%.4f", lat),
+      format_string("%.4f", lon),
+      coalesce(timeStr, lit("")),
+      GoFormat.go_fmt_g(magnitude))
+    val short = substring(sha2(input, 256), 1, 16)
+    when(coalesce(eventType, lit("")) === "", short)
+      .otherwise(concat(eventType, lit("-"), short))
+  }
+
+  // ---------------------------------------------------------------- P7
+  /** Event-type normalization (`transform.go:166-173`): exact match of
+    * {hail, wind, tornado} → itself; anything else → "". */
+  def normalizeEventType(c: Column): Column =
+    when(c.isin("hail", "wind", "tornado"), c).otherwise(lit(""))
+
+  // ---------------------------------------------------------------- P8
+  /** Unit normalization/defaulting (`transform.go:177-193`): lowercase+trim;
+    * non-empty kept; else default by (normalized) type. */
+  def normalizeUnit(eventType: Column, unit: Column): Column = {
+    val u = lower(trim(coalesce(unit, lit(""))))
+    when(u =!= "", u)
+      .otherwise(
+        when(eventType === "hail", "in")
+          .when(eventType === "wind", "mph")
+          .when(eventType === "tornado", "f_scale")
+          .otherwise(""))
+  }
+
+  // ---------------------------------------------------------------- P9
+  /** Magnitude normalization (`transform.go:200-208`): hail in inches with
+    * magnitude >= 10 is legacy hundredths-of-inch → ÷100; 0 stays 0. */
+  def normalizeMagnitude(eventType: Column, magnitude: Column, unit: Column): Column =
+    when(magnitude === 0.0, magnitude)
+      .when(eventType === "hail" && unit === "in" && magnitude >= 10.0, magnitude / 100.0)
+      .otherwise(magnitude)
+
+  // ---------------------------------------------------------------- P10
+  /** Severity classification (`transform.go:218-262`). Null when magnitude
+    * is 0 or the event type is unrecognized. */
+  def severity(eventType: Column, magnitude: Column): Column = {
+    val nullStr = lit(null).cast("string")
+    when(magnitude === 0.0, nullStr)
+      .when(eventType === "hail",
+        when(magnitude < 0.75, "minor")
+          .when(magnitude < 1.5, "moderate")
+          .when(magnitude < 2.5, "severe")
+          .otherwise("extreme"))
+      .when(eventType === "wind",
+        when(magnitude < 50.0, "minor")
+          .when(magnitude < 74.0, "moderate")
+          .when(magnitude < 96.0, "severe")
+          .otherwise("extreme"))
+      .when(eventType === "tornado",
+        when(magnitude <= 1.0, "minor")
+          .when(magnitude === 2.0, "moderate")
+          .when(magnitude <= 4.0, "severe")
+          .otherwise("extreme"))
+      .otherwise(nullStr)
+  }
+
+  // ---------------------------------------------------------------- P11
+  /** NWS source-office extraction (`transform.go:266-278`): 3–5 uppercase
+    * letters in parens at end of trimmed comments, else "". */
+  val officePattern = "\\(([A-Z]{3,5})\\)\\s*$"
+
+  def sourceOffice(comments: Column): Column =
+    regexp_extract(trim(coalesce(comments, lit(""))), officePattern, 1)
+
+  // ---------------------------------------------------------------- P12
+  /** NWS relative-location parse (`transform.go:283-301`):
+    * "<dist> <compass> <name>" → (name, distance, direction); no match →
+    * (trimmed raw, null, null). */
+  val locationPattern = "^(\\d+(?:\\.\\d+)?)\\s+([NSEW]{1,3})\\s+(.+)$"
+
+  def locationName(location: Column): Column = {
+    val t = trim(coalesce(location, lit("")))
+    when(t.rlike(locationPattern), trim(regexp_extract(t, locationPattern, 3)))
+      .otherwise(t)
+  }
+
+  def locationDistance(location: Column): Column = {
+    val t = trim(coalesce(location, lit("")))
+    when(t.rlike(locationPattern),
+      regexp_extract(t, locationPattern, 1).cast("double"))
+      .otherwise(lit(null).cast("double"))
+  }
+
+  def locationDirection(location: Column): Column = {
+    val t = trim(coalesce(location, lit("")))
+    when(t.rlike(locationPattern), regexp_extract(t, locationPattern, 2))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  // ---------------------------------------------------------------- P13
+  /** Hourly UTC time bucket (`transform.go:309-315`). */
+  def timeBucket(eventTime: Column): Column = date_trunc("hour", eventTime)
+
+  // ---------------------------------------------------------------- P15
+  /** Full parse + enrichment over a DataFrame of raw collector records.
+    *
+    * Input: the 11 raw string columns (`Model.rawFieldNames`) plus a
+    * timestamp column (default `kafka_timestamp`) providing the base date
+    * for HHMM expansion. Output: flat enriched columns (nest with
+    * [[nested]] for the wire format). `processedAt` is injectable for
+    * deterministic tests, mirroring the reference's swappable clock
+    * (`internal/domain/clock.go:7-16`).
+    */
+  def enrich(raw: DataFrame,
+             kafkaTsCol: String = "kafka_timestamp",
+             processedAt: Column = current_timestamp()): DataFrame = {
+    val kts = col(kafkaTsCol)
+    val rawType = coalesce(col("EventType"), lit(""))
+    val lat = floatOrZero(col("Lat"))
+    val lon = floatOrZero(col("Lon"))
+    val magParsed = magnitude(rawType, col("Size"), col("F_Scale"), col("Speed"))
+    val et = eventTime(kts, coalesce(col("Time"), lit("")))
+    val evType = normalizeEventType(rawType)
+    val unit = normalizeUnit(evType, lit(""))
+    val magNorm = normalizeMagnitude(evType, magParsed, unit)
+
+    raw.select(
+      generateId(rawType, coalesce(col("State"), lit("")), lat, lon,
+        coalesce(col("Time"), lit("")), magParsed).as("id"),
+      evType.as("event_type"),
+      lat.as("lat"),
+      lon.as("lon"),
+      magNorm.as("magnitude"),
+      unit.as("unit"),
+      severity(evType, magNorm).as("severity"),
+      et.as("event_time"),
+      coalesce(col("Location"), lit("")).as("location_raw"),
+      locationName(col("Location")).as("location_name"),
+      locationDistance(col("Location")).as("location_distance"),
+      locationDirection(col("Location")).as("location_direction"),
+      coalesce(col("State"), lit("")).as("state"),
+      coalesce(col("County"), lit("")).as("county"),
+      coalesce(col("Comments"), lit("")).as("comments"),
+      sourceOffice(col("Comments")).as("source_office"),
+      timeBucket(et).as("time_bucket"),
+      processedAt.as("processed_at"))
+  }
+
+  // ---------------------------------------------------------------- P1
+  /** Parse the Kafka envelope's JSON value into the 11 raw string columns.
+    * Malformed JSON is the only hard error in the reference
+    * (`transform.go:26-48`); here it yields a null struct, surfaced as
+    * `parse_error` so callers can split a dead-letter branch (F1) with a
+    * plain filter instead of exceptions.
+    */
+  def parseRawJson(df: DataFrame, valueCol: String = "value",
+                   kafkaTsCol: String = "timestamp"): DataFrame = {
+    val parsed = df.withColumn("_rec",
+      from_json(col(valueCol).cast("string"), Model.rawSchema))
+    val rawCols = Model.rawFieldNames.map(f => col(s"_rec.$f").as(f))
+    parsed.select(
+      rawCols ++ Seq(
+        col(kafkaTsCol).as("kafka_timestamp"),
+        col("_rec").isNull.as("parse_error")): _*)
+  }
+
+  /** Assemble the flat enriched columns into the nested wire schema
+    * (`event.go:76-89`). */
+  def nested(flat: DataFrame): DataFrame =
+    flat.select(
+      col("id"), col("event_type"),
+      struct(col("lat"), col("lon")).as("geo"),
+      struct(col("magnitude"), col("unit"), col("severity")).as("measurement"),
+      col("event_time"),
+      struct(
+        col("location_raw").as("raw"), col("location_name").as("name"),
+        col("location_distance").as("distance"),
+        col("location_direction").as("direction"),
+        col("state"), col("county")).as("location"),
+      col("comments"), col("source_office"), col("time_bucket"),
+      col("processed_at"))
+
+  /** Kafka sink value: nested StormEvent JSON (`writer.go:55-68`). */
+  def wireJson(nestedRow: Column): Column =
+    to_json(nestedRow, Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ssXXX"))
+}

@@ -1,0 +1,98 @@
+package graft.storm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shortest-round-trip float formatting compatible with Go's
+  * `strconv.FormatFloat(f, 'g', -1, 64)` — i.e. `fmt.Sprintf("%g", f)`.
+  *
+  * The reference embeds `%g`-formatted magnitudes inside its deterministic
+  * SHA-256 event IDs (`internal/domain/transform.go:134-142`), so byte-exact
+  * ID parity requires reproducing this exact rendering. Differences from
+  * Java's `Double.toString`: integers print without `.0` ("2", not "2.0"),
+  * and scientific notation kicks in only when the decimal exponent is
+  * < -4 or >= 21 (vs Java's >= 7), with Go's `e+XX` exponent style.
+  */
+object GoFormat {
+
+  def formatG(d: Double): String = {
+    if (java.lang.Double.isNaN(d)) return "NaN"
+    if (d == java.lang.Double.POSITIVE_INFINITY) return "+Inf"
+    if (d == java.lang.Double.NEGATIVE_INFINITY) return "-Inf"
+    if (d == 0.0d) {
+      // Go prints "-0" for negative zero.
+      return if ((java.lang.Double.doubleToRawLongBits(d) >>> 63) == 1L) "-0" else "0"
+    }
+    val neg = d < 0
+    val abs = math.abs(d)
+    // Java's Double.toString yields the shortest digit string that
+    // round-trips (same contract as Go's shortest 'g'); re-format it
+    // with Go's fixed/exponential decision rule and syntax.
+    val s = java.lang.Double.toString(abs) // "1.25", "125.0", "1.0E-5", "1.23E21"
+    val (mant, exp10) = {
+      val e = s.indexOf('E')
+      if (e < 0) (s, 0) else (s.substring(0, e), s.substring(e + 1).toInt)
+    }
+    val dot = mant.indexOf('.')
+    val allDigits = mant.replace(".", "")
+    // decimal point position counted from the left of the digit string
+    var dp = (if (dot < 0) mant.length else dot) + exp10
+    // strip leading zeros (e.g. "0.075" -> digits "075", dp 1 -> "75", dp 0)
+    var start = 0
+    while (start < allDigits.length - 1 && allDigits.charAt(start) == '0') {
+      start += 1; dp -= 1
+    }
+    var end = allDigits.length
+    while (end > start + 1 && allDigits.charAt(end - 1) == '0') end -= 1
+    val digits = allDigits.substring(start, end)
+    val exp = dp - 1
+    val body =
+      if (exp < -4 || exp >= 21) {
+        // Go exponential form: d[.ddd]e±XX with >=2 exponent digits
+        val m =
+          if (digits.length == 1) digits
+          else digits.substring(0, 1) + "." + digits.substring(1)
+        val sign = if (exp < 0) "-" else "+"
+        val ea = math.abs(exp)
+        val es = if (ea < 10) "0" + ea else ea.toString
+        m + "e" + sign + es
+      } else if (dp <= 0) {
+        "0." + ("0" * (-dp)) + digits
+      } else if (dp >= digits.length) {
+        digits + ("0" * (dp - digits.length))
+      } else {
+        digits.substring(0, dp) + "." + digits.substring(dp)
+      }
+    if (neg) "-" + body else body
+  }
+
+  /** Column wrapper for [[GoFmtG]]. Input is cast to double so the
+    * expression only ever sees doubles. */
+  def go_fmt_g(c: Column): Column =
+    ColumnBridge.column(GoFmtG(ColumnBridge.expression(c.cast("double"))))
+}
+
+/** Catalyst expression for Go-`%g` float formatting. Null-safe; interpreted
+  * eval plus codegen that calls the static formatter (keeps the surrounding
+  * projection inside whole-stage codegen — the call itself is a cheap static
+  * method on a tiny string). */
+case class GoFmtG(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "go_fmt_g"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(GoFormat.formatG(input.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.storm.GoFormat.formatG($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): GoFmtG =
+    copy(child = newChild)
+}
