@@ -1,0 +1,358 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the TPC-H-ish testdata tables:
+  * scan-aggregate, multi-way joins (broadcast dims), semi/anti joins, union,
+  * dedup-first-wins, rollup, window top-k, sessionization, percentiles and
+  * constraint audits — the Spark-first re-expression of the reference's
+  * aggregation/join/filter shapes (SURVEY.md §2.3–§2.6: A1–A5, F3–F5,
+  * O1–O2, J1–J6).
+  *
+  * Conventions shared with the DuckDB oracle SQL:
+  *  - every float aggregate is `round(...)`-ed so cross-engine summation
+  *    order cannot flip the hash compare;
+  *  - every top-k has a unique tiebreaker column;
+  *  - timestamps in outputs are formatted to strings (second precision).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // A1/A2-shape: TPC-H Q1 pricing summary — scan + filter pushdown + hash agg
+  // with map-side partial aggregation (genmock collectStats analog at scale,
+  // cmd/genmock/main.go:204-226).
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  // O1/O2-shape: join + group + top-k with deterministic tiebreak.
+  def q2TopCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(10)
+
+  // Multi-way join: fact × three broadcast-able dimensions.
+  def q3RevenueByNation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+
+  // Semi-join shape (EXISTS).
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+
+  // Join + two-dim grouping.
+  def q5SegmentNationRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_mktsegment", "n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  // F3/F4-shape: tight filter + single scalar aggregate (pushdown showcase).
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  // Distinct aggregation.
+  def q7DistinctCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"))
+
+  // J2-shape: anti join (customers with no recent orders), aggregated for
+  // stability (validator cross-reference, cmd/validate/main.go:298-313).
+  def q8CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+
+  // Semi join against a filtered fact, dim-side aggregate.
+  def q9SuppliersHeavyItems(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        .select("l_suppkey").distinct(),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"))
+
+  // J1-shape: unionByName of two typed sources with a role tag.
+  def q10PartyUnion(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nationkey"), lit("customer").as("role"))
+    val su = t(s, dir, "supplier")
+      .select(col("s_nationkey").cast("int").as("nationkey"), lit("supplier").as("role"))
+    c.unionByName(su)
+      .join(broadcast(t(s, dir, "nation")), col("nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "role")
+      .agg(count(lit(1)).as("n_parties"))
+  }
+
+  // J4-shape: dedup-first-wins with an explicit order (validator apiByID,
+  // cmd/validate/main.go:357-391) — first order per customer.
+  def q11FirstOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_orderdate"))
+  }
+
+  // Hierarchical aggregate: ROLLUP (subtotals + grand total).
+  def q12StatusPriorityRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+
+  // O2-shape: top-k per group via ranking window.
+  def q13TopEventsPerType(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("event_type", "rn", "event_id", "value")
+  }
+
+  // P13-at-scale: hourly tumbling bucket aggregation over the event stream
+  // table (deriveTimeBucket, reference transform.go:309-315).
+  def q14HourlyEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+
+  // Exact interpolated percentiles per group.
+  def q15ValuePercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+
+  // Sessionization: 30-minute inactivity gap, counted per user (lag window +
+  // running flag sum — the classic gap-and-island shape).
+  def q16Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  // F5-shape: constraint audit — single row of violation counts (validator
+  // phases 2–4, cmd/validate/main.go:257-538, re-expressed as one pass).
+  def q17Constraints(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val badStatus = orders.filter(!col("o_orderstatus").isin("O", "F", "P")).count()
+    val orphanItems = lineitem
+      .join(orders.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .count()
+    val badPrice = lineitem.filter(col("l_extendedprice") <= 0).count()
+    val badDiscount = lineitem.filter(!col("l_discount").between(0, 1)).count()
+    import s.implicits._
+    Seq((badStatus, orphanItems, badPrice, badDiscount))
+      .toDF("bad_status", "orphan_lineitems", "bad_price", "bad_discount")
+  }
+
+  // Statistical aggregates: correlation + sample stddev per group.
+  def q18Stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+        round(avg(col("l_tax")), 4).as("avg_tax"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_top_customers" -> q2TopCustomers,
+    "q3_revenue_by_nation" -> q3RevenueByNation,
+    "q4_order_priority" -> q4OrderPriority,
+    "q5_segment_nation_revenue" -> q5SegmentNationRevenue,
+    "q6_forecast" -> q6Forecast,
+    "q7_distinct_customers" -> q7DistinctCustomers,
+    "q8_customers_without_orders" -> q8CustomersWithoutOrders,
+    "q9_suppliers_heavy_items" -> q9SuppliersHeavyItems,
+    "q10_party_union" -> q10PartyUnion,
+    "q11_first_order_per_customer" -> q11FirstOrderPerCustomer,
+    "q12_status_priority_rollup" -> q12StatusPriorityRollup,
+    "q13_top_events_per_type" -> q13TopEventsPerType,
+    "q14_hourly_events" -> q14HourlyEvents,
+    "q15_value_percentiles" -> q15ValuePercentiles,
+    "q16_sessionize" -> q16Sessionize,
+    "q17_constraints" -> q17Constraints,
+    "q18_stats" -> q18Stats)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_top_customers" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q3_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q5_segment_nation_revenue" ->
+      """SELECT c_mktsegment, n_name, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY c_mktsegment, n_name""".stripMargin,
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_distinct_customers" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q8_customers_without_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q9_suppliers_heavy_items" ->
+      """SELECT n_name, count(*) AS n_suppliers
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+        |GROUP BY n_name""".stripMargin,
+    "q10_party_union" ->
+      """WITH parties AS (
+        |  SELECT c_nationkey::INT AS nationkey, 'customer' AS role FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey::INT AS nationkey, 'supplier' AS role FROM supplier)
+        |SELECT n_name, role, count(*) AS n_parties
+        |FROM parties JOIN nation ON nationkey = n_nationkey
+        |GROUP BY n_name, role""".stripMargin,
+    "q11_first_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey AS first_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1""".stripMargin,
+    "q12_status_priority_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q13_top_events_per_type" ->
+      """SELECT event_type, rn, event_id, value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY event_type
+        |        ORDER BY value DESC, event_id ASC) AS rn
+        |      FROM events)
+        |WHERE rn <= 3""".stripMargin,
+    "q14_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q15_value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q16_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                            ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |           THEN 1 ELSE 0 END) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+    "q17_constraints" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderstatus NOT IN ('O','F','P')) AS bad_status,
+        |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |   AS orphan_lineitems,
+        |  (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0) AS bad_price,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_discount NOT BETWEEN 0 AND 1) AS bad_discount""".stripMargin,
+    "q18_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        |  round(avg(l_tax), 4) AS avg_tax
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+}
