@@ -1,13 +1,15 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators.RelationalQueries
+import graft.storm.StormQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (RelationalQueries.queries, RelationalQueries.oracles))
+      (RelationalQueries.queries, RelationalQueries.oracles),
+      (StormQueries.queries, StormQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

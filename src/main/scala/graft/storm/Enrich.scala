@@ -18,7 +18,7 @@ object Enrich {
   // ---------------------------------------------------------------- P2
   /** Lenient float parse: trim; ""/unparseable → 0 (`transform.go:51-61`). */
   def floatOrZero(c: Column): Column =
-    coalesce(trim(c).cast("double"), lit(0.0))
+    coalesce(trim(c).try_cast("double"), lit(0.0))
 
   // ---------------------------------------------------------------- P3
   /** Magnitude column dispatch + parse (`transform.go:65-90`):
@@ -33,7 +33,7 @@ object Enrich {
     val stripped =
       regexp_replace(regexp_replace(raw, "^EF", ""), "^F", "")
     when(raw === "" || upper(raw) === "UNK", lit(0.0))
-      .otherwise(coalesce(stripped.cast("double"), lit(0.0)))
+      .otherwise(coalesce(stripped.try_cast("double"), lit(0.0)))
   }
 
   // ---------------------------------------------------------------- P4
@@ -42,14 +42,14 @@ object Enrich {
   def hhmmTimestamp(base: Column, hhmm: Column): Column = {
     val t = trim(hhmm)
     val padded = when(length(t) === 3, concat(lit("0"), t)).otherwise(t)
-    val hour = substring(padded, 1, 2).cast("int")
+    val hour = substring(padded, 1, 2).try_cast("int")
     // Go parses hhmm[2:] — everything after the first two chars — as the
     // minutes integer, so "12345" → mins=345 → invalid → base. strconv.Atoi
     // accepts only [+-]?digits (no decimals — Spark's string→int cast would
     // truncate "2.5" to 2, so guard with a digits-only rlike).
     val intRe = "^[+-]?[0-9]+$"
     val minsStr = substring(padded, 3, Int.MaxValue)
-    val mins = minsStr.cast("int")
+    val mins = minsStr.try_cast("int")
     val valid = length(t) >= 3 &&
       substring(padded, 1, 2).rlike(intRe) && minsStr.rlike(intRe) &&
       hour.isNotNull && mins.isNotNull &&
@@ -165,7 +165,7 @@ object Enrich {
   def locationDistance(location: Column): Column = {
     val t = trim(coalesce(location, lit("")))
     when(t.rlike(locationPattern),
-      regexp_extract(t, locationPattern, 1).cast("double"))
+      regexp_extract(t, locationPattern, 1).try_cast("double"))
       .otherwise(lit(null).cast("double"))
   }
 
@@ -191,7 +191,8 @@ object Enrich {
     */
   def enrich(raw: DataFrame,
              kafkaTsCol: String = "kafka_timestamp",
-             processedAt: Column = current_timestamp()): DataFrame = {
+             processedAt: Column = current_timestamp(),
+             keep: Seq[String] = Nil): DataFrame = {
     val kts = col(kafkaTsCol)
     val rawType = coalesce(col("EventType"), lit(""))
     val lat = floatOrZero(col("Lat"))
@@ -203,6 +204,7 @@ object Enrich {
     val magNorm = normalizeMagnitude(evType, magParsed, unit)
 
     raw.select(
+      keep.map(col) ++ Seq(
       generateId(rawType, coalesce(col("State"), lit("")), lat, lon,
         coalesce(col("Time"), lit("")), magParsed).as("id"),
       evType.as("event_type"),
@@ -221,7 +223,7 @@ object Enrich {
       coalesce(col("Comments"), lit("")).as("comments"),
       sourceOffice(col("Comments")).as("source_office"),
       timeBucket(et).as("time_bucket"),
-      processedAt.as("processed_at"))
+      processedAt.as("processed_at")): _*)
   }
 
   // ---------------------------------------------------------------- P1
