@@ -1,7 +1,10 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.dedup.DedupQueries
 import graft.operators.RelationalQueries
+import graft.sim.SimilarityQueries
 import graft.storm.StormQueries
+import graft.text.TextQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -9,7 +12,10 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
-      (StormQueries.queries, StormQueries.oracles))
+      (StormQueries.queries, StormQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles),
+      (DedupQueries.queries, DedupQueries.oracles),
+      (SimilarityQueries.queries, SimilarityQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

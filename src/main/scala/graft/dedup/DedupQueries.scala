@@ -1,0 +1,255 @@
+package graft.dedup
+
+import graft.Tables
+import graft.text.TextQueries.{hex32, words}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  *
+  *  - exact dedup (content-hash group-by),
+  *  - shingle-based near-dup detection (3-gram Jaccard via a relational
+  *    shingle self-join — the exact-verification stage one runs at scale),
+  *  - MinHash + LSH banding (16 permutations, 4 bands × 4 rows): the
+  *    sub-quadratic candidate generation path for 100 TB corpora; shingle
+  *    explode → per-perm min → band hash → bucket self-join → verify,
+  *  - SimHash (32-bit, majority-vote over word hashes) bucket grouping.
+  *
+  * All hash functions are sha256-derived so the DuckDB oracle reproduces
+  * values bit-exactly. Everything is expressed as shuffles over exploded
+  * relations (no driver-side loops), so each stage scales horizontally:
+  * the only quadratic term is within-bucket pair expansion, which LSH
+  * bounds by construction (and stop-shingle pruning would bound further).
+  */
+object DedupQueries {
+
+  val NumPerms = 16
+  val NumBands = 4
+  val RowsPerBand = 4 // NumPerms / NumBands
+  val JaccardThreshold = 0.5
+
+  /** 3-word shingles, distinct per doc, exploded to (doc_id, s). */
+  def shingles(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 3)
+    d.select(col("doc_id"), explode(array_distinct(
+      transform(sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1), element_at(col("w"), i + 2)))))
+      .as("s"))
+  }
+
+  private val shinglesCte: String =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+      |                x -> x <> '') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  // ------------------------------------------------------------ exact dedup
+  /** Content-hash dedup summary: total docs, distinct contents, dup docs. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(count(lit(1)).as("c"), min("doc_id").as("keeper"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum("c").cast("long").as("n_docs"),
+        (sum("c") - count(lit(1))).cast("long").as("n_dup_docs"))
+
+  // ------------------------------------------------- shingle jaccard dedup
+  /** Near-duplicate pairs by exact 3-gram Jaccard >= 0.5 (shingle
+    * self-join + group count — the verification join of any LSH pipeline). */
+  def dedupShingleJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jaccard",
+        col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"), col("common"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ------------------------------------------------------- minhash + LSH
+  /** Per-doc minhash signature: one min() per permutation over exploded
+    * shingles (single shuffle, partial aggregation map-side). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val mins = (0 until NumPerms).map(j =>
+      min(hex32(concat(lit(j.toString), lit("|"), col("s")))).as(s"h$j"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs → exact-Jaccard verification (>= 0.5), with the
+    * minhash-estimated Jaccard alongside. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val mh = minhashSignatures(s, dir).cache()
+    val bandCols = (0 until NumBands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        substring(sha2(concat_ws(",", rows: _*), 256), 1, 16).as("bh"))
+    }
+    val bands = mh.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val cands = bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+
+    val est = (0 until NumPerms)
+      .map(j => when(col(s"ma.h$j") === col(s"mb.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val withEst = cands
+      .join(mh.as("ma"), col("a_id") === col("ma.doc_id"))
+      .join(mh.as("mb"), col("b_id") === col("mb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (est.cast("double") / NumPerms).as("est_jaccard"))
+
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    withEst.join(common, Seq("a_id", "b_id"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jaccard",
+        col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------- simhash
+  /** 32-bit SimHash per doc: per-bit majority vote over sha256-derived word
+    * hashes (word hashes computed once into an array column). */
+  def simhashCol(w: Column): Column = {
+    val hv = transform(w, x => hex32(x))
+    (0 until 32).map { b =>
+      val cnt = size(filter(hv, v => shiftright(v, b) % 2 === 1))
+      when(cnt * 2 > size(hv), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash bucket grouping: buckets holding >1 doc are near-dup clusters
+    * (identical 32-bit signature). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), simhashCol(col("w")).as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .filter(col("n_docs") > 1)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_shingle_jaccard" -> dedupShingleJaccard,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash)
+
+  // ------------------------------------------------------------- oracles
+  private val minhashSelect: String = {
+    val mins = (0 until NumPerms).map(j =>
+      s"min(('0x' || substr(sha256('$j|' || s), 1, 8))::BIGINT) AS h$j")
+      .mkString(",\n    ")
+    s"mh AS (\n  SELECT doc_id,\n    $mins\n  FROM sh GROUP BY doc_id)"
+  }
+
+  private val bandsSql: String = {
+    val bandRows = (0 until NumBands).map { b =>
+      val rows = (0 until RowsPerBand)
+        .map(r => s"h${b * RowsPerBand + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, substr(sha256($rows), 1, 16) AS bh FROM mh"
+    }
+    "bands AS (\n  " + bandRows.mkString("\n  UNION ALL\n  ") + ")"
+  }
+
+  private val simhashExpr: String = {
+    val terms = (0 until 32).map(b =>
+      s"CASE WHEN 2 * len(list_filter(hv, v -> (v >> $b) & 1 = 1)) > len(hv)" +
+        s" THEN ${1L << b}::BIGINT ELSE 0::BIGINT END").mkString(" +\n      ")
+    s"($terms)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH g AS (SELECT sha256(text) AS h, count(*) AS c,
+        |             min(doc_id) AS keeper
+        |           FROM documents GROUP BY sha256(text))
+        |SELECT count(*)::BIGINT AS n_distinct, sum(c)::BIGINT AS n_docs,
+        |  (sum(c) - count(*))::BIGINT AS n_dup_docs
+        |FROM g""".stripMargin,
+    "dedup_shingle_jaccard" ->
+      (s"WITH $shinglesCte,\n" +
+        """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |            count(*) AS common
+          |          FROM sh a JOIN sh b
+          |            ON a.s = b.s AND a.doc_id < b.doc_id
+          |          GROUP BY 1, 2)
+          |SELECT a_id, b_id, common,
+          |  round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+          |FROM pairs
+          |JOIN sizes sa ON sa.doc_id = a_id
+          |JOIN sizes sb ON sb.doc_id = b_id
+          |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5""".stripMargin),
+    "dedup_minhash_lsh" ->
+      (s"WITH $shinglesCte,\n$minhashSelect,\n$bandsSql,\n" +
+        s"""cands AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+          |           FROM bands x JOIN bands y
+          |             ON x.band = y.band AND x.bh = y.bh
+          |             AND x.doc_id < y.doc_id),
+          |est AS (SELECT a_id, b_id,
+          |          (${(0 until NumPerms).map(j =>
+                        s"CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END")
+                        .mkString(" + ")}) * 1.0 / $NumPerms AS est_jaccard
+          |        FROM cands
+          |        JOIN mh ma ON ma.doc_id = a_id
+          |        JOIN mh mb ON mb.doc_id = b_id),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |             count(*) AS common
+          |           FROM sh a JOIN sh b
+          |             ON a.s = b.s AND a.doc_id < b.doc_id
+          |           GROUP BY 1, 2)
+          |SELECT e.a_id, e.b_id, round(est_jaccard, 4) AS est_jaccard,
+          |  round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+          |FROM est e
+          |JOIN common c ON c.a_id = e.a_id AND c.b_id = e.b_id
+          |JOIN sizes sa ON sa.doc_id = e.a_id
+          |JOIN sizes sb ON sb.doc_id = e.b_id
+          |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5""".stripMargin),
+    "dedup_simhash" ->
+      (s"""WITH hv AS (
+        |  SELECT doc_id, list_transform(
+        |    list_filter(string_split(text, ' '), x -> x <> ''),
+        |    x -> ('0x' || substr(sha256(x), 1, 8))::BIGINT) AS hv
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+        |sim AS (SELECT doc_id,
+        |    $simhashExpr AS simhash
+        |  FROM hv)
+        |SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc,
+        |  max(doc_id) AS max_doc
+        |FROM sim GROUP BY simhash HAVING count(*) > 1""".stripMargin))
+}

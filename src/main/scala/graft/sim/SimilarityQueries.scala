@@ -1,0 +1,139 @@
+package graft.sim
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  *
+  *  - exact brute-force cosine top-k against a query vector (the correctness
+  *    baseline; a broadcast of the query + one scan, no shuffle),
+  *  - random-hyperplane LSH bucketing (8 sha256-derived hyperplanes → 8-bit
+  *    sign bucket): the sub-linear candidate path at scale — bucket
+  *    histogram + within-bucket re-rank queries.
+  *
+  * All dot products are summed left-to-right in double precision with
+  * float→double promotion per element, exactly as the DuckDB oracle's
+  * `list_sum(list_transform(...))` computes them, so scores match
+  * bit-for-bit before rounding.
+  */
+object SimilarityQueries {
+
+  val NumPlanes = 8
+
+  /** Left-to-right double dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(sequence(lit(1), size(a)),
+      lit(0.0), (acc, i) =>
+        acc + element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic pseudo-random hyperplane coefficient — same value as
+    * DuckDB `(('0x'||substr(sha256(j||'_'||i),1,8))::BIGINT % 2001 - 1000)
+    * / 1000.0`. */
+  def planeCoef(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"${j}_$i".getBytes("UTF-8"))
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (h % 2001 - 1000) / 1000.0
+  }
+
+  /** 8-bit LSH sign bucket of an embedding column (dimension `dim`). */
+  def lshBucket(emb: Column, dim: Int): Column = {
+    val chars = (0 until NumPlanes).map { j =>
+      val plane = array((1 to dim).map(i => lit(planeCoef(j, i))): _*)
+      when(dot(emb, plane) >= 0, "1").otherwise("0")
+    }
+    concat(chars: _*)
+  }
+
+  private val Dim = 64
+
+  /** Exact cosine top-10 neighbors of vec_id 0 (broadcast query, one scan). */
+  def annCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("embedding"), col("qe")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"), round(col("cos"), 4).as("cosine"))
+  }
+
+  /** LSH bucket histogram — the data layout a bucketed ANN index would
+    * partition by at scale. */
+  def annLshBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), lshBucket(col("embedding"), Dim).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec"))
+
+  /** Within-bucket re-rank: top-5 cosine neighbors of vec_id 0 among the
+    * vectors sharing its LSH bucket (the sub-linear ANN query path). */
+  def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("bucket", lshBucket(col("embedding"), Dim))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("qbucket"))
+      .withColumn("cos", cosine(col("embedding"), col("qe")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(5)
+      .select(col("vec_id"), col("label"), col("bucket"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_cosine_topk" -> annCosineTopk,
+    "ann_lsh_buckets" -> annLshBuckets,
+    "ann_lsh_topk" -> annLshTopk)
+
+  // ------------------------------------------------------------- oracles
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, $Dim + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  private def sqlPlaneDot(emb: String, j: Int): String =
+    s"list_sum(list_transform(range(1, $Dim + 1), i -> $emb[i]::DOUBLE * " +
+      s"((('0x' || substr(sha256('${j}_' || i), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)))"
+
+  private def sqlBucket(emb: String): String =
+    (0 until NumPlanes).map(j =>
+      s"(CASE WHEN ${sqlPlaneDot(emb, j)} >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT vec_id, label,
+        |  ${sqlDot("embedding", "qe")} AS dp,
+        |  ${sqlDot("embedding", "embedding")} AS na,
+        |  ${sqlDot("qe", "qe")} AS nq
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, label,
+        |  round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine
+        |FROM d ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "ann_lsh_buckets" ->
+      s"""SELECT ${sqlBucket("embedding")} AS bucket,
+        |  count(*) AS n_vectors, min(vec_id) AS min_vec
+        |FROM embeddings GROUP BY 1""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH b AS (SELECT vec_id, label, embedding,
+        |    ${sqlBucket("embedding")} AS bucket FROM embeddings),
+        |q AS (SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0),
+        |d AS (SELECT vec_id, label, bucket,
+        |    ${sqlDot("embedding", "qe")} AS dp,
+        |    ${sqlDot("embedding", "embedding")} AS na,
+        |    ${sqlDot("qe", "qe")} AS nq
+        |  FROM b, q WHERE vec_id <> 0 AND bucket = qbucket)
+        |SELECT vec_id, label, bucket,
+        |  round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine
+        |FROM d ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
+        |LIMIT 5""".stripMargin)
+}

@@ -1,0 +1,157 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: tokenization, quality scoring, language-ID heuristics and document
+  * fingerprinting — all as codegen-able built-in expressions (higher-order
+  * array functions, no UDFs), with DuckDB oracle parity.
+  *
+  * Every helper here has a lockstep SQL twin in [[oracles]]; cross-engine
+  * portability notes: word hashes go through sha256 (identical bytes in both
+  * engines), sums stay in 64-bit integer ranges, ratios are rounded at the
+  * output boundary only.
+  */
+object TextQueries {
+
+  /** Whitespace tokenization, empty tokens dropped. */
+  def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
+
+  /** First 32 bits of sha256 as an unsigned long — the engine's portable
+    * deterministic string hash (same value as DuckDB
+    * `('0x'||substr(sha256(s),1,8))::BIGINT`). */
+  def hex32(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 8), 16, 10).cast("long")
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private val stopArr = array(stopwords.map(lit): _*)
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric chars. */
+  def reTokens(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Positional rolling fingerprint: sum_i hash32(w_i)*i mod 1e9+7 —
+    * order-sensitive, overflow-free (terms < 2^39), portable. */
+  def fingerprint(w: Column): Column =
+    (aggregate(
+      transform(sequence(lit(1), size(w)), i => hex32(element_at(w, i)) * i),
+      lit(0L), (acc, x) => acc + x) % 1000000007L).cast("long")
+
+  /** Marker-stopword language heuristic (fixed priority order — shared with
+    * the oracle CASE chain). */
+  def langPredict(w: Column): Column =
+    when(array_contains(w, "el"), "es")
+      .when(array_contains(w, "le"), "fr")
+      .when(array_contains(w, "der"), "de")
+      .when(array_contains(w, "de"), "zh")
+      .when(array_contains(w, "the") || array_contains(w, "a"), "en")
+      .otherwise("und")
+
+  private def withWordCols(df: DataFrame): DataFrame =
+    df.withColumn("w", words(col("text")))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_uniq", size(array_distinct(col("w"))))
+      .withColumn("n_stop", size(filter(col("w"), x => array_contains(stopArr, x))))
+
+  /** Per-source corpus statistics. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    withWordCols(Tables(s, dir, "documents"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_words"), 4).as("avg_words"),
+        round(avg(col("n_uniq") / col("n_words")), 4).as("avg_uniq_ratio"),
+        round(avg(col("n_stop") / col("n_words")), 4).as("avg_stop_ratio"),
+        sum(reTokens(col("text"))).as("total_re_tokens"),
+        sum(expr("(length(text) + 3) div 4")).as("total_bpe_est"))
+
+  /** Per-document quality scoring with a bucketed grade. */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    withWordCols(Tables(s, dir, "documents"))
+      .select(
+        col("doc_id"), col("n_words"),
+        round(col("n_uniq") / col("n_words"), 4).as("uniq_ratio"),
+        round(col("n_stop") / col("n_words"), 4).as("stop_ratio"),
+        when(col("n_words") >= 12 && col("n_uniq") / col("n_words") >= 0.8, "high")
+          .when(col("n_words") >= 8 && col("n_uniq") / col("n_words") >= 0.6, "medium")
+          .otherwise("low").as("quality"))
+
+  /** Language-ID confusion matrix: labeled lang × heuristic prediction. */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("lang"), langPredict(words(col("text"))).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-document rolling-hash fingerprint. */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").withColumn("w", words(col("text")))
+    d.select(col("doc_id"), size(col("w")).as("n_words"),
+      fingerprint(col("w")).as("fp"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats,
+    "text_quality" -> textQuality,
+    "lang_id_confusion" -> langIdConfusion,
+    "doc_fingerprint" -> docFingerprint)
+
+  /** Shared oracle word-split CTE. */
+  val wordsCte: String =
+    """w AS (SELECT *, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |      FROM documents)""".stripMargin
+
+  private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      (s"WITH $wordsCte,\n" +
+        s"""c AS (SELECT source, len(w) AS n_words,
+          |  len(list_distinct(w)) AS n_uniq,
+          |  len(list_filter(w, x -> x IN ($stopList))) AS n_stop,
+          |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+          |  (length(text) + 3) // 4 AS bpe_est
+          |  FROM w)
+          |SELECT source, count(*) AS n_docs,
+          |  round(avg(n_words), 4) AS avg_words,
+          |  round(avg(n_uniq * 1.0 / n_words), 4) AS avg_uniq_ratio,
+          |  round(avg(n_stop * 1.0 / n_words), 4) AS avg_stop_ratio,
+          |  sum(re_tokens)::BIGINT AS total_re_tokens,
+          |  sum(bpe_est)::BIGINT AS total_bpe_est
+          |FROM c GROUP BY source""".stripMargin),
+    "text_quality" ->
+      (s"WITH $wordsCte\n" +
+        s"""SELECT doc_id, len(w) AS n_words,
+          |  round(len(list_distinct(w)) * 1.0 / len(w), 4) AS uniq_ratio,
+          |  round(len(list_filter(w, x -> x IN ($stopList))) * 1.0 / len(w), 4)
+          |    AS stop_ratio,
+          |  CASE WHEN len(w) >= 12
+          |         AND len(list_distinct(w)) * 1.0 / len(w) >= 0.8 THEN 'high'
+          |       WHEN len(w) >= 8
+          |         AND len(list_distinct(w)) * 1.0 / len(w) >= 0.6 THEN 'medium'
+          |       ELSE 'low' END AS quality
+          |FROM w""".stripMargin),
+    "lang_id_confusion" ->
+      (s"WITH $wordsCte\n" +
+        """SELECT lang,
+          |  CASE WHEN list_contains(w, 'el') THEN 'es'
+          |       WHEN list_contains(w, 'le') THEN 'fr'
+          |       WHEN list_contains(w, 'der') THEN 'de'
+          |       WHEN list_contains(w, 'de') THEN 'zh'
+          |       WHEN list_contains(w, 'the') OR list_contains(w, 'a') THEN 'en'
+          |       ELSE 'und' END AS predicted,
+          |  count(*) AS n
+          |FROM w GROUP BY 1, 2""".stripMargin),
+    "doc_fingerprint" ->
+      (s"WITH $wordsCte\n" +
+        """SELECT doc_id, len(w) AS n_words,
+          |  (list_sum(list_transform(range(1, len(w) + 1),
+          |     i -> ('0x' || substr(sha256(w[i]), 1, 8))::BIGINT * i))
+          |   % 1000000007)::BIGINT AS fp
+          |FROM w""".stripMargin))
+}
