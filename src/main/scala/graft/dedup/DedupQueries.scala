@@ -119,11 +119,16 @@ object DedupQueries {
       .select(col("a_id"), col("b_id"),
         (est.cast("double") / NumPerms).as("est_jaccard"))
 
+    // Verification is bounded to LSH candidates (the whole point of banding:
+    // at scale the full shingle self-join is quadratic, the candidate set
+    // is not): explode each candidate pair's shingles only.
     val sh = shingles(s, dir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
-      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val common = cands
+      .join(sh.as("a"), col("a_id") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("b_id") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("common"))
     withEst.join(common, Seq("a_id", "b_id"))
       .join(sizes.withColumnRenamed("doc_id", "a_id")
@@ -139,15 +144,19 @@ object DedupQueries {
   }
 
   // ------------------------------------------------------------- simhash
-  /** 32-bit SimHash per doc: per-bit majority vote over sha256-derived word
-    * hashes (word hashes computed once into an array column). */
-  def simhashCol(w: Column): Column = {
-    val hv = transform(w, x => hex32(x))
-    (0 until 32).map { b =>
-      val cnt = size(filter(hv, v => shiftright(v, b) % 2 === 1))
-      when(cnt * 2 > size(hv), lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** 32-bit SimHash as a single-pass aggregate over a word array column
+    * named `w`: one sha256 per word, a 32-wide bit-count vector folded with
+    * zip_with, then a majority-vote reassembly. (The per-bit `filter` form
+    * re-evaluates the hash array once per bit — 32× the sha256 work.) */
+  def simhashExpr(wCol: String): String =
+    s"""aggregate(
+       |  transform($wCol, x -> cast(conv(substring(sha2(x, 256), 1, 8), 16, 10) as bigint)),
+       |  array_repeat(0L, 32),
+       |  (acc, v) -> zip_with(acc, transform(sequence(0, 31), b -> (v >> b) & 1),
+       |                       (x, y) -> x + y),
+       |  acc -> aggregate(zip_with(acc, sequence(0, 31),
+       |                     (c, b) -> IF(2 * c > size($wCol), shiftleft(1L, b), 0L)),
+       |                   0L, (s, t) -> s + t))""".stripMargin
 
   /** SimHash bucket grouping: buckets holding >1 doc are near-dup clusters
     * (identical 32-bit signature). */
@@ -155,7 +164,7 @@ object DedupQueries {
     Tables(s, dir, "documents")
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= 1)
-      .select(col("doc_id"), simhashCol(col("w")).as("simhash"))
+      .selectExpr("doc_id", s"${simhashExpr("w")} AS simhash")
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
         max("doc_id").as("max_doc"))
