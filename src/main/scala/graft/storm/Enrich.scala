@@ -235,13 +235,24 @@ object Enrich {
     */
   def parseRawJson(df: DataFrame, valueCol: String = "value",
                    kafkaTsCol: String = "timestamp"): DataFrame = {
+    // from_json in PERMISSIVE mode yields a null-FILLED struct for malformed
+    // input (not a null struct), so malformed detection needs the corrupt-
+    // record column. A legit "{}" parses clean with all-null fields — the
+    // reference treats that as a valid zero-value event
+    // (transform_test.go:96-103), and so does this path.
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schemaWithCorrupt =
+      StructType(Model.rawSchema.fields :+ StructField("_corrupt", StringType))
     val parsed = df.withColumn("_rec",
-      from_json(col(valueCol).cast("string"), Model.rawSchema))
+      from_json(col(valueCol).cast("string"), schemaWithCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt")))
     val rawCols = Model.rawFieldNames.map(f => col(s"_rec.$f").as(f))
     parsed.select(
       rawCols ++ Seq(
         col(kafkaTsCol).as("kafka_timestamp"),
-        col("_rec").isNull.as("parse_error")): _*)
+        (col("_rec").isNull || col("_rec._corrupt").isNotNull)
+          .as("parse_error")): _*)
   }
 
   /** Assemble the flat enriched columns into the nested wire schema

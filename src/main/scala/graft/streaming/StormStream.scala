@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.storm.Enrich
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** The streaming ETL pipeline (reference `cmd/etl` + `internal/pipeline`,
+  * SURVEY.md §3.1): Kafka/raw envelope in → JSON parse → enrichment →
+  * nested wire JSON out, with the poison-pill split (F1) and the batch
+  * cadence knobs (T1) mapped to Structured Streaming primitives.
+  *
+  * The transform core is shared verbatim with the batch path
+  * ([[graft.storm.Enrich]]) — the same architectural invariant the
+  * reference keeps between its ETL loop and `cmd/genmock`
+  * (`cmd/genmock/main.go:2-4`).
+  *
+  * Kafka specifics are config only (`format("kafka")` + options), so this
+  * compiles and tests without the connector jar; at deploy time the
+  * standard `spark-sql-kafka-0-10` package provides the source/sink.
+  * Delivery is at-least-once via checkpointing (T2); deterministic IDs
+  * (P6) keep downstream consumers idempotent, exactly like the reference
+  * (`docs/Architecture.md:100-102`).
+  */
+object StormStream {
+
+  /** Batch knobs of the reference (`BATCH_SIZE`, `BATCH_FLUSH_INTERVAL`,
+    * README.md:55-56) mapped to micro-batch knobs. */
+  final case class Config(
+      brokers: String = "localhost:9092",
+      sourceTopic: String = "raw-weather-reports",
+      sinkTopic: String = "transformed-weather-data",
+      checkpointDir: String = "/tmp/graft-checkpoints/storm",
+      batchSize: Long = 50L,
+      flushInterval: String = "500 milliseconds",
+      deadLetterTopic: Option[String] = None)
+
+  /** S1: the Kafka streaming source (offsets tracked by checkpoint, not
+    * per-record commit closures). */
+  def kafkaSource(spark: SparkSession, c: Config): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", c.brokers)
+      .option("subscribe", c.sourceTopic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", c.batchSize)
+      .option("includeHeaders", "true")
+      .load()
+
+  /** P1 + P2–P15 over the raw envelope (columns `value` binary/string,
+    * `timestamp`): parse, flag parse errors, enrich the good rows. Output
+    * columns: the enriched flat set + `parse_error`. */
+  def transform(envelope: DataFrame): DataFrame = {
+    val parsed = Enrich.parseRawJson(envelope)
+    Enrich.enrich(parsed, keep = Seq("parse_error"))
+  }
+
+  /** S4: nested wire-format output — key = id bytes, value = nested JSON,
+    * headers event_type + processed_at (writer.go:55-68). */
+  def toWire(enriched: DataFrame): DataFrame = {
+    val nested = Enrich.nested(enriched)
+    nested.select(
+      col("id").cast("binary").as("key"),
+      Enrich.wireJson(struct(nested.columns.map(col): _*)).as("value"),
+      array(
+        struct(lit("event_type").as("key"),
+          encode(col("event_type"), "UTF-8").as("value")),
+        struct(lit("processed_at").as("key"),
+          encode(date_format(col("processed_at"), "yyyy-MM-dd'T'HH:mm:ssXXX"),
+            "UTF-8").as("value"))).as("headers"))
+  }
+
+  /** F1: split one parsed micro-batch into (good, poison) and write each
+    * side — the dead-letter filter expressed as two filters over one
+    * cached batch, offsets advancing regardless (at-least-once + skip). */
+  def runWithForeachBatch(
+      envelope: DataFrame,
+      c: Config,
+      writeGood: DataFrame => Unit,
+      writePoison: DataFrame => Unit): StreamingQuery =
+    envelope.writeStream
+      .trigger(Trigger.ProcessingTime(c.flushInterval))
+      .option("checkpointLocation", c.checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val t = transform(batch).cache()
+        try {
+          writeGood(toWire(t.filter(!col("parse_error"))))
+          writePoison(t.filter(col("parse_error")))
+        } finally t.unpersist()
+      }
+      .start()
+
+  /** Full Kafka→Kafka wiring (deploy-time path; needs the connector jar). */
+  def start(spark: SparkSession, c: Config): StreamingQuery = {
+    val good = toWire(
+      transform(kafkaSource(spark, c)).filter(!col("parse_error")))
+    val w: DataStreamWriter[Row] = good.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", c.brokers)
+      .option("topic", c.sinkTopic)
+      .option("kafka.acks", "all")
+      .option("checkpointLocation", c.checkpointDir)
+      .trigger(Trigger.ProcessingTime(c.flushInterval))
+    w.start()
+  }
+
+  /** Extension beyond the reference (T4 note): watermarked 1-hour tumbling
+    * severity counts — the stateful-aggregation shape the stamped
+    * `time_bucket` column anticipates. */
+  def hourlySeverityCounts(enriched: DataFrame, watermark: String = "2 hours"): DataFrame =
+    enriched
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"),
+        col("severity"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("severity"), col("n"))
+}

@@ -1,0 +1,168 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming-semantics tests with MemoryStream (SURVEY.md §5 tier 3): the
+  * observable outcomes of the reference's pipeline loop — happy path,
+  * poison-pill skip, readiness flip — plus the watermarked-window and
+  * mapGroupsWithState extensions. */
+class StormStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val goodJson =
+    """{"Time":"1510","Size":"125","Location":"8 ESE Chappel","County":"San Saba",
+      |"State":"TX","Lat":"31.02","Lon":"-98.44",
+      |"Comments":"1.25 inch hail reported. (SJT)","EventType":"hail"}"""
+      .stripMargin.replace("\n", "")
+
+  private def envelope(values: (String, String)*): DataFrame =
+    values.toSeq.toDF("value", "tsStr")
+      .select(col("value"), to_timestamp(col("tsStr")).as("timestamp"))
+
+  test("streaming transform matches the batch enrichment (golden record)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val env = mem.toDF()
+      .withColumn("timestamp", to_timestamp(lit("2024-04-26 00:00:00")))
+    val out = StormStream.transform(env)
+    val q = out.writeStream.format("memory").queryName("stream_enrich")
+      .outputMode("append").start()
+    try {
+      mem.addData(goodJson)
+      q.processAllAvailable()
+      val rows = spark.table("stream_enrich").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[String]("id") == "hail-5d91dda0f56ba124")
+      assert(r.getAs[Double]("magnitude") == 1.25)
+      assert(r.getAs[String]("severity") == "moderate")
+      assert(r.getAs[String]("source_office") == "SJT")
+      assert(!r.getAs[Boolean]("parse_error"))
+    } finally q.stop()
+  }
+
+  test("poison pill routes to dead letter, good records continue (F1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val env = mem.toDF()
+      .withColumn("timestamp", to_timestamp(lit("2024-04-26 00:00:00")))
+    var good = Seq.empty[Row]
+    var poison = 0L
+    val q = StormStream.runWithForeachBatch(
+      env,
+      StormStream.Config(checkpointDir =
+        java.nio.file.Files.createTempDirectory("ckpt").toString),
+      g => good = good ++ g.collect(),
+      p => poison += p.count())
+    try {
+      mem.addData("{not json at all", goodJson, "also-bad")
+      q.processAllAvailable()
+      assert(poison == 2)
+      assert(good.length == 1)
+      val wire = good.head.getAs[String]("value")
+      assert(wire.contains("\"id\":\"hail-5d91dda0f56ba124\""))
+      assert(wire.contains("\"geo\":{\"lat\":31.02,\"lon\":-98.44}"))
+      // headers: event_type + processed_at (S4 contract)
+      val headers = good.head.getSeq[Row](2).map(_.getString(0))
+      assert(headers == Seq("event_type", "processed_at"))
+    } finally q.stop()
+  }
+
+  test("watermarked hourly severity counts (windowed stateful agg)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val env = mem.toDF()
+      .withColumn("timestamp", to_timestamp(lit("2024-04-26 00:00:00")))
+    val counts = StormStream.hourlySeverityCounts(
+      StormStream.transform(env).filter(!col("parse_error")))
+    val q = counts.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      mem.addData(goodJson, goodJson.replace("1510", "1533"),
+        goodJson.replace("1510", "1651"))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the 15:00 and 16:00 windows
+      mem.addData(goodJson.replace("\"1510\"", "\"2024-04-27T12:00:00Z\""))
+      q.processAllAvailable()
+      mem.addData(goodJson.replace("\"1510\"", "\"2024-04-27T15:00:00Z\""))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select(date_format(col("bucket"), "HH:mm").as("b"), col("n"))
+        .as[(String, Long)].collect().toMap
+      assert(rows.get("15:00").contains(2L))
+      assert(rows.get("16:00").contains(1L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState sessionization matches the batch gap-and-island") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventSessions.Event]
+    val updates = EventSessions.sessionize(mem.toDS())
+    val q = updates.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    def ev(u: Long, t: String) =
+      EventSessions.Event(u, Timestamp.valueOf(t), "click")
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:10:00"),
+        ev(1, "2024-01-01 11:00:00"), // 50-min gap → new session
+        ev(2, "2024-01-01 09:00:00"))
+      q.processAllAvailable()
+      // second batch: user 1 continues session 2; user 2 idle 40 min → new
+      mem.addData(ev(1, "2024-01-01 11:20:00"), ev(2, "2024-01-01 09:40:00"))
+      q.processAllAvailable()
+      val last = spark.table("sessions")
+        .groupBy("user_id").agg(max("n_sessions").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(last == Map(1L -> 2L, 2L -> 2L))
+    } finally q.stop()
+  }
+
+  test("ops server: readiness flips after first processed rows; metrics text") {
+    implicit val sqlCtx = spark.sqlContext
+    val metrics = new Metrics
+    val listener = new MetricsListener(metrics)
+    spark.streams.addListener(listener)
+    val ops = new OpsServer(metrics)
+    val port = ops.start()
+    def get(path: String): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), "UTF-8")
+      (code, body)
+    }
+    try {
+      assert(get("/healthz")._1 == 200)
+      assert(get("/readyz")._1 == 503)
+      val mem = MemoryStream[String]
+      val q = mem.toDF().writeStream.format("memory").queryName("opsq")
+        .outputMode("append").start()
+      try {
+        mem.addData("x")
+        q.processAllAvailable()
+        // listener events are async; wait for readiness
+        val deadline = System.currentTimeMillis() + 10000
+        while (!metrics.ready.get && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(get("/readyz")._1 == 200)
+        val (mc, body) = get("/metrics")
+        assert(mc == 200)
+        assert(body.contains("storm_etl_messages_consumed_total"))
+        assert(body.contains("storm_etl_pipeline_running 1"))
+      } finally q.stop()
+    } finally {
+      ops.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+}
