@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.dedup.DedupQueries
+import graft.multimodal.Multimodal
 import graft.operators.RelationalQueries
 import graft.sim.SimilarityQueries
 import graft.storm.StormQueries
@@ -15,7 +16,8 @@ object SparkEntry {
       (StormQueries.queries, StormQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
-      (SimilarityQueries.queries, SimilarityQueries.oracles))
+      (SimilarityQueries.queries, SimilarityQueries.oracles),
+      (Multimodal.queries, Multimodal.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,130 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: media payloads
+  * as opaque `binary` columns with typed metadata, decoded/feature-extracted
+  * per partition (the batch shape a real codec wants: initialize the decoder
+  * once per partition, stream records through it — the Scala analog of a
+  * Pandas-UDF `mapInPandas` stage).
+  *
+  * ── DECODER IS A STUB ──
+  * This container ships no image/audio codecs, so [[StubDecoder]] computes a
+  * deterministic fake "decode" from the raw bytes (dimensions from byte
+  * length, a 16-bin byte histogram standing in for pixel statistics). The
+  * Spark-side plumbing — binary column, typed Dataset, partition-batched
+  * extraction, nested metadata schema — is the real, tested part; swap
+  * [[StubDecoder.decode]] for a codec call to productionize.
+  */
+object Multimodal {
+
+  final case class MediaRecord(id: Long, kind: String, bytes: Array[Byte])
+
+  final case class MediaMeta(
+      byte_len: Int, width: Int, height: Int, duration_ms: Int, n_frames: Int)
+
+  final case class MediaFeatures(
+      id: Long, kind: String, meta: MediaMeta, histogram: Array[Long])
+
+  /** Deterministic fake decoder (see class doc). One instance per partition
+    * mirrors real decoder lifecycle (expensive init, cheap per-record). */
+  final class StubDecoder {
+    def decode(kind: String, bytes: Array[Byte]): MediaMeta = {
+      val n = bytes.length
+      val width = if (kind == "audio") 0 else 64 + n % 640
+      val height = if (kind == "audio") 0 else 64 + (n * 7) % 480
+      val duration = if (kind == "image") 0 else 1000 + n % 60000
+      val frames = kind match {
+        case "image" => 1
+        case "audio" => 0
+        case _ => 1 + n % 300
+      }
+      MediaMeta(n, width, height, duration, frames)
+    }
+
+    /** 16-bin histogram over the high nibble of each byte — the stand-in
+      * for per-channel pixel statistics. */
+    def histogram(bytes: Array[Byte]): Array[Long] = {
+      val h = new Array[Long](16)
+      var i = 0
+      while (i < bytes.length) {
+        h((bytes(i) & 0xff) >> 4) += 1
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** Synthesize a media table from `documents`: payload = UTF-8 bytes of the
+    * text (opaque to everything downstream), kind cycling image/audio/video. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"))
+      .as[MediaRecord]
+  }
+
+  /** The partition-batched decode/feature-extract stage. */
+  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val decoder = new StubDecoder // once per partition
+      it.map(r => MediaFeatures(r.id, r.kind,
+        decoder.decode(r.kind, r.bytes), decoder.histogram(r.bytes)))
+    }
+  }
+
+  /** Gate query: typed metadata per media record. */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaFromDocuments(s, dir))
+      .select(col("id"), col("kind"), col("meta.byte_len"), col("meta.width"),
+        col("meta.height"), col("meta.duration_ms"), col("meta.n_frames"))
+
+  /** Gate query: per-kind byte-histogram totals (bin, count). */
+  def mediaHistogram(s: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(mediaFromDocuments(s, dir))
+    feats
+      .select(col("kind"), posexplode(col("histogram")).as(Seq("bin", "cnt")))
+      .groupBy("kind", "bin")
+      .agg(sum("cnt").as("total"))
+      .filter(col("total") > 0)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_meta" -> mediaMeta,
+    "media_histogram" -> mediaHistogram)
+
+  // Oracle twins: documents text is ASCII, so byte length == char length and
+  // byte values == character codes — the SQL can reproduce the stub decode
+  // arithmetic exactly.
+  val oracles: Map[String, String] = Map(
+    "media_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT id, kind, n AS byte_len,
+        |  CASE WHEN kind = 'audio' THEN 0 ELSE 64 + n % 640 END AS width,
+        |  CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (n * 7) % 480 END AS height,
+        |  CASE WHEN kind = 'image' THEN 0 ELSE 1000 + n % 60000 END AS duration_ms,
+        |  CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0
+        |    ELSE 1 + n % 300 END AS n_frames
+        |FROM m""".stripMargin,
+    "media_histogram" ->
+      """WITH chars AS (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |           ELSE 'video' END AS kind,
+        |    unnest(list_transform(range(1, length(text) + 1),
+        |      i -> ord(substr(text, i, 1)) // 16)) AS bin
+        |  FROM documents)
+        |SELECT kind, bin, count(*)::BIGINT AS total
+        |FROM chars GROUP BY kind, bin""".stripMargin)
+}
