@@ -1,10 +1,10 @@
 package graft.storm
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shortest-round-trip float formatting compatible with Go's
@@ -80,9 +80,11 @@ object GoFormat {
   * eval plus codegen that calls the static formatter (keeps the surrounding
   * projection inside whole-stage codegen — the call itself is a cheap static
   * method on a tiny string). */
-case class GoFmtG(child: Expression) extends UnaryExpression {
+case class GoFmtG(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def prettyName: String = "go_fmt_g"
 
   override protected def nullSafeEval(input: Any): Any =

@@ -1,0 +1,85 @@
+package graft.plans
+
+import graft.SparkTestSession
+import graft.operators.RelationalQueries
+import graft.storm.{Enrich, StormQueries}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.CaseWhen
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests — the scale guarantees the engine relies
+  * on must be visible in the plan, not assumed: filter/column pushdown to
+  * the parquet scan, broadcast joins for dimension tables, whole-stage
+  * codegen over the enrichment chain (no UDF barriers), and the custom
+  * extension surface. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q6: filters and column pruning reach the parquet scan") {
+    val plan = RelationalQueries.q6Forecast(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(plan.contains("l_shipdate"), "shipdate filter not pushed")
+    assert(plan.contains("GreaterThanOrEqual(l_discount"), "discount filter not pushed")
+    // projection pruning: the scan must not read unused columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), "scan reads unneeded columns")
+    assert(readSchema.contains("l_extendedprice"))
+  }
+
+  test("q3: dimension joins broadcast, no sort-merge join") {
+    val plan = RelationalQueries.q3RevenueByNation(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "dimension join fell back to sort-merge")
+  }
+
+  test("storm enrichment stays inside whole-stage codegen with no UDFs") {
+    val plan = StormQueries.stormEnrich(spark, sf)
+      .queryExecution.executedPlan.toString
+    // whole-stage codegen renders as "*(n)" stage markers in the simple plan
+    assert(plan.contains("*(1)"), "no whole-stage codegen stage")
+    assert(!plan.contains("ScalaUDF"), "UDF barrier in the enrichment chain")
+    assert(!plan.contains("BatchEvalPython"))
+  }
+
+  test("extensions: go_fmt_g callable from SQL; enum-normalize collapses") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      // SQL-reachable custom expression (same value as the DataFrame path)
+      val out = s2.sql("SELECT go_fmt_g(125.0) AS g, go_fmt_g(1.25) AS f")
+        .head()
+      assert(out.getString(0) == "125")
+      assert(out.getString(1) == "1.25")
+
+      // idempotent enum normalization collapses to one CaseWhen (use a
+      // parquet-backed column so ConvertToLocalRelation can't pre-evaluate)
+      import s2.implicits._
+      val df = s2.read.parquet(s"$sf/region.parquet")
+        .select(Enrich.normalizeEventType(
+          Enrich.normalizeEventType(col("r_name"))).as("n"))
+      val caseWhens = df.queryExecution.optimizedPlan.expressions
+        .flatMap(_.collect { case c: CaseWhen => c })
+      assert(caseWhens.size == 1,
+        s"expected collapsed CaseWhen, got ${caseWhens.size}")
+      assert(df.as[String].collect().forall(_ == "")) // region names not enums
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
