@@ -85,17 +85,18 @@ object DedupQueries {
   // ------------------------------------------------------- minhash + LSH
   /** Per-doc minhash signature: one min() per permutation over exploded
     * shingles (single shuffle, partial aggregation map-side). */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  def minhashSignatures(sh: DataFrame): DataFrame = {
     val mins = (0 until NumPerms).map(j =>
       min(hex32(concat(lit(j.toString), lit("|"), col("s")))).as(s"h$j"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs → exact-Jaccard verification (>= 0.5), with the
-    * minhash-estimated Jaccard alongside. */
+    * minhash-estimated Jaccard alongside. One shingle scan feeds both the
+    * signature and the verification joins. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val mh = minhashSignatures(s, dir).cache()
+    val sh = shingles(s, dir).cache()
+    val mh = minhashSignatures(sh).cache()
     val bandCols = (0 until NumBands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       struct(lit(b).as("band"),
@@ -121,8 +122,7 @@ object DedupQueries {
 
     // Verification is bounded to LSH candidates (the whole point of banding:
     // at scale the full shingle self-join is quadratic, the candidate set
-    // is not): explode each candidate pair's shingles only.
-    val sh = shingles(s, dir).cache()
+    // is not): join each candidate pair's shingles only.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cands
       .join(sh.as("a"), col("a_id") === col("a.doc_id"))

@@ -208,7 +208,32 @@ object RelationalQueries {
         round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
         round(avg(col("l_tax")), 4).as("avg_tax"))
 
+  // Multi-dim CUBE over a fact×dimension join (grouping-set machinery),
+  // expressed through the spark.sql surface (same semantics reachable from
+  // SQL text and the DataFrame API).
+  def q19BrandCube(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_q19_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("graft_q19_part")
+    s.sql(
+      """SELECT p_brand, l_returnflag, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS total_price,
+        |  round(avg(p_retailprice), 4) AS avg_retail
+        |FROM graft_q19_lineitem
+        |JOIN graft_q19_part ON l_partkey = p_partkey
+        |GROUP BY CUBE (p_brand, l_returnflag)""".stripMargin)
+  }
+
+  // Semi-structured extraction: the events props column is a JSON string;
+  // pull the "k" field, bucket it, aggregate (from_json-on-string shape).
+  def q20EventProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy((col("k") % 10).as("k_mod"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_brand_cube" -> q19BrandCube,
+    "q20_event_props" -> q20EventProps,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_top_customers" -> q2TopCustomers,
     "q3_revenue_by_nation" -> q3RevenueByNation,
@@ -229,6 +254,16 @@ object RelationalQueries {
     "q18_stats" -> q18Stats)
 
   val oracles: Map[String, String] = Map(
+    "q19_brand_cube" ->
+      """SELECT p_brand, l_returnflag, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS total_price,
+        |  round(avg(p_retailprice), 4) AS avg_retail
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY CUBE (p_brand, l_returnflag)""".stripMargin,
+    "q20_event_props" ->
+      """SELECT (json_extract(props, '$.k')::BIGINT) % 10 AS k_mod,
+        |  event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
