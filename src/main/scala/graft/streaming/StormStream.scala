@@ -105,6 +105,25 @@ object StormStream {
     w.start()
   }
 
+  /** J4 streaming variant: drop duplicate event IDs within the watermark
+    * horizon — the in-stream form of the downstream `ON CONFLICT (id) DO
+    * NOTHING` the deterministic IDs exist for. State is bounded by the
+    * watermark, so it holds at any volume. */
+  def dedupByIdWithinWatermark(enriched: DataFrame,
+                               watermark: String = "2 hours"): DataFrame =
+    enriched
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("id")
+
+  /** T8: graceful shutdown — stop the query (draining the current batch)
+    * on SIGTERM/SIGINT, mirroring the reference's context-cancel + deadline
+    * drain (`cmd/etl/main.go:37-70`). */
+  def installShutdownHook(query: StreamingQuery,
+                          ops: Option[OpsServer] = None): Unit =
+    sys.addShutdownHook {
+      try query.stop() finally ops.foreach(_.stop())
+    }
+
   /** Extension beyond the reference (T4 note): watermarked 1-hour tumbling
     * severity counts — the stateful-aggregation shape the stamped
     * `time_bucket` column anticipates. */

@@ -126,6 +126,28 @@ class StormStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup by id within watermark drops replayed records (J4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val env = mem.toDF()
+      .withColumn("timestamp", to_timestamp(lit("2024-04-26 00:00:00")))
+    val deduped = StormStream.dedupByIdWithinWatermark(
+      StormStream.transform(env).filter(!col("parse_error")))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // same record delivered three times (at-least-once replay), plus one
+      // distinct record — exactly two distinct ids must survive
+      mem.addData(goodJson, goodJson, goodJson,
+        goodJson.replace("1510", "1511"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("id").collect()
+        .map(_.getString(0)).toSeq
+      assert(ids.length == 2)
+      assert(ids.distinct.length == 2)
+    } finally q.stop()
+  }
+
   test("ops server: readiness flips after first processed rows; metrics text") {
     implicit val sqlCtx = spark.sqlContext
     val metrics = new Metrics
