@@ -22,4 +22,17 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
   }
+
+  /** Like [[apply]], but guarantees the table is spread across the cluster
+    * before a compute-heavy projection (sha256 chains, regex parses, HOF
+    * dot products). The testdata parquet ships as a single row group, so a
+    * bare scan is one task no matter what `maxPartitionBytes` says — a
+    * round-robin exchange of the (small) source rows buys full parallelism
+    * for the expensive downstream work. On a real multi-file 100 TB input
+    * the scan already has ≥ cores partitions and this is skipped. */
+  def parallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = apply(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -30,7 +30,7 @@ object DedupQueries {
 
   /** 3-word shingles, distinct per doc, exploded to (doc_id, s). */
   def shingles(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+    val d = Tables.parallel(s, dir, "documents")
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= 3)
     d.select(col("doc_id"), explode(array_distinct(
@@ -161,7 +161,7 @@ object DedupQueries {
   /** SimHash bucket grouping: buckets holding >1 doc are near-dup clusters
     * (identical 32-bit signature). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    Tables.parallel(s, dir, "documents")
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= 1)
       .selectExpr("doc_id", s"${simhashExpr("w")} AS simhash")

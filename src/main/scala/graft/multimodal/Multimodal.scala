@@ -61,7 +61,7 @@ object Multimodal {
     * text (opaque to everything downstream), kind cycling image/audio/video. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    Tables.parallel(spark, dir, "documents")
       .select(col("doc_id").as("id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")

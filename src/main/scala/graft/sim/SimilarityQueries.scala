@@ -54,7 +54,7 @@ object SimilarityQueries {
 
   /** Exact cosine top-10 neighbors of vec_id 0 (broadcast query, one scan). */
   def annCosineTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
+    val e = Tables.parallel(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
@@ -67,7 +67,7 @@ object SimilarityQueries {
   /** LSH bucket histogram — the data layout a bucketed ANN index would
     * partition by at scale. */
   def annLshBuckets(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
+    Tables.parallel(s, dir, "embeddings")
       .select(col("vec_id"), lshBucket(col("embedding"), Dim).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec"))
@@ -75,7 +75,7 @@ object SimilarityQueries {
   /** Within-bucket re-rank: top-5 cosine neighbors of vec_id 0 among the
     * vectors sharing its LSH bucket (the sub-linear ANN query path). */
   def annLshTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
+    val e = Tables.parallel(s, dir, "embeddings")
       .withColumn("bucket", lshBucket(col("embedding"), Dim))
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"), col("bucket").as("qbucket"))

@@ -193,37 +193,48 @@ object Enrich {
              kafkaTsCol: String = "kafka_timestamp",
              processedAt: Column = current_timestamp(),
              keep: Seq[String] = Nil): DataFrame = {
+    // Staged projections, not one flat select: the expensive parses
+    // (eventTime: 3 timestamp patterns + HHMM; magnitude: trim/regex/cast)
+    // feed multiple downstream columns, and Catalyst's CollapseProject keeps
+    // a projection boundary when a non-cheap expression is referenced more
+    // than once — so each parse runs once per row instead of once per use.
     val kts = col(kafkaTsCol)
-    val rawType = coalesce(col("EventType"), lit(""))
-    val lat = floatOrZero(col("Lat"))
-    val lon = floatOrZero(col("Lon"))
-    val magParsed = magnitude(rawType, col("Size"), col("F_Scale"), col("Speed"))
-    val et = eventTime(kts, coalesce(col("Time"), lit("")))
-    val evType = normalizeEventType(rawType)
-    val unit = normalizeUnit(evType, lit(""))
-    val magNorm = normalizeMagnitude(evType, magParsed, unit)
+    val staged = raw.select(
+      (keep ++ raw.columns.filter(c => c != "_enrich_tmp")).distinct.map(col) ++ Seq(
+        coalesce(col("EventType"), lit("")).as("_raw_type"),
+        coalesce(col("Time"), lit("")).as("_time_str"),
+        magnitude(coalesce(col("EventType"), lit("")), col("Size"),
+          col("F_Scale"), col("Speed")).as("_mag_parsed"),
+        eventTime(kts, coalesce(col("Time"), lit(""))).as("_et"),
+        floatOrZero(col("Lat")).as("_lat"),
+        floatOrZero(col("Lon")).as("_lon")): _*)
+      .withColumn("_ev_type", normalizeEventType(col("_raw_type")))
+      .withColumn("_unit", normalizeUnit(col("_ev_type"), lit("")))
+      .withColumn("_mag_norm",
+        normalizeMagnitude(col("_ev_type"), col("_mag_parsed"), col("_unit")))
 
-    raw.select(
+    staged.select(
       keep.map(col) ++ Seq(
-      generateId(rawType, coalesce(col("State"), lit("")), lat, lon,
-        coalesce(col("Time"), lit("")), magParsed).as("id"),
-      evType.as("event_type"),
-      lat.as("lat"),
-      lon.as("lon"),
-      magNorm.as("magnitude"),
-      unit.as("unit"),
-      severity(evType, magNorm).as("severity"),
-      et.as("event_time"),
-      coalesce(col("Location"), lit("")).as("location_raw"),
-      locationName(col("Location")).as("location_name"),
-      locationDistance(col("Location")).as("location_distance"),
-      locationDirection(col("Location")).as("location_direction"),
-      coalesce(col("State"), lit("")).as("state"),
-      coalesce(col("County"), lit("")).as("county"),
-      coalesce(col("Comments"), lit("")).as("comments"),
-      sourceOffice(col("Comments")).as("source_office"),
-      timeBucket(et).as("time_bucket"),
-      processedAt.as("processed_at")): _*)
+        generateId(col("_raw_type"), coalesce(col("State"), lit("")),
+          col("_lat"), col("_lon"), col("_time_str"), col("_mag_parsed"))
+          .as("id"),
+        col("_ev_type").as("event_type"),
+        col("_lat").as("lat"),
+        col("_lon").as("lon"),
+        col("_mag_norm").as("magnitude"),
+        col("_unit").as("unit"),
+        severity(col("_ev_type"), col("_mag_norm")).as("severity"),
+        col("_et").as("event_time"),
+        coalesce(col("Location"), lit("")).as("location_raw"),
+        locationName(col("Location")).as("location_name"),
+        locationDistance(col("Location")).as("location_distance"),
+        locationDirection(col("Location")).as("location_direction"),
+        coalesce(col("State"), lit("")).as("state"),
+        coalesce(col("County"), lit("")).as("county"),
+        coalesce(col("Comments"), lit("")).as("comments"),
+        sourceOffice(col("Comments")).as("source_office"),
+        timeBucket(col("_et")).as("time_bucket"),
+        processedAt.as("processed_at")): _*)
   }
 
   // ---------------------------------------------------------------- P1

@@ -18,7 +18,7 @@ object StormQueries {
   /** Deterministic raw-record projection of `events` (shared contract with
     * [[rawSql]] below — keep in lockstep). */
   def syntheticRaw(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "events")
+    val e = Tables.parallel(s, dir, "events")
     val m5 = col("event_id") % 5
     val kts = date_trunc("second", col("ts"))
     e.select(

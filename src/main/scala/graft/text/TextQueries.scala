@@ -90,7 +90,7 @@ object TextQueries {
 
   /** Per-document rolling-hash fingerprint. */
   def docFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents").withColumn("w", words(col("text")))
+    val d = Tables.parallel(s, dir, "documents").withColumn("w", words(col("text")))
     d.select(col("doc_id"), size(col("w")).as("n_words"),
       fingerprint(col("w")).as("fp"))
   }
