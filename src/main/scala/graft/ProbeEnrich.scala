@@ -67,3 +67,17 @@ object ProbePlan {
     spark.stop()
   }
 }
+object ProbeQ13 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(graft.operators.RelationalQueries
+      .q13TopEventsPerType(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+      .linesIterator.filter(l => l.contains("WindowGroupLimit") || l.contains("Window"))
+      .mkString("\n"))
+    spark.stop()
+  }
+}

@@ -47,6 +47,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython"))
   }
 
+  test("q13: rank filter pushes down to partial+final WindowGroupLimit") {
+    // top-k-per-group must not fully sort/window every row: Spark's
+    // InferWindowGroupLimit turns the rn <= 3 filter into a bounded
+    // per-partition top-k before the shuffle — the plan shape that holds
+    // at any group cardinality.
+    val plan = RelationalQueries.q13TopEventsPerType(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "rank filter not pushed down")
+    assert(plan.contains("Partial"), "no partial (map-side) group limit")
+  }
+
   test("extensions: go_fmt_g callable from SQL; enum-normalize collapses") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
