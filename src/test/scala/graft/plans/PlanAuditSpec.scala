@@ -39,8 +39,12 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("storm enrichment stays inside whole-stage codegen with no UDFs") {
-    val plan = StormQueries.stormEnrich(spark, sf)
-      .queryExecution.executedPlan.toString
+    // AQE defers stage compilation, hiding codegen markers pre-execution —
+    // disable it for this plan-shape check only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try StormQueries.stormEnrich(spark, sf).queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     // whole-stage codegen renders as "*(n)" stage markers in the simple plan
     assert(plan.contains("*(1)"), "no whole-stage codegen stage")
     assert(!plan.contains("ScalaUDF"), "UDF barrier in the enrichment chain")
