@@ -89,10 +89,26 @@ object SimilarityQueries {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH bucket self-join bounds the
+    * candidate set (same 8-bit sign bucket), exact cosine >= 0.4 verifies —
+    * the embedding-space analog of MinHash+verify for text. */
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), Dim).as("bucket"))
+    e.as("a").join(e.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> annCosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
-    "ann_lsh_topk" -> annLshTopk)
+    "ann_lsh_topk" -> annLshTopk,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine)
 
   // ------------------------------------------------------------- oracles
   private def sqlDot(a: String, b: String): String =
@@ -108,6 +124,16 @@ object SimilarityQueries {
       .mkString(" || ")
 
   val oracles: Map[String, String] = Map(
+    "dedup_embedding_cosine" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |    ${sqlBucket("embedding")} AS bucket FROM embeddings),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    ${sqlDot("a.embedding", "b.embedding")} AS dp,
+        |    ${sqlDot("a.embedding", "a.embedding")} AS na,
+        |    ${sqlDot("b.embedding", "b.embedding")} AS nb
+        |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+        |FROM p WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.4""".stripMargin,
     "ann_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT vec_id, label,
