@@ -82,8 +82,8 @@ object Enrich {
     val input = concat_ws("|",
       coalesce(eventType, lit("")),
       coalesce(state, lit("")),
-      format_string("%.4f", lat),
-      format_string("%.4f", lon),
+      GoFormat.go_fmt_f(lat, 4), // Go-exact %.4f (binary-value rounding)
+      GoFormat.go_fmt_f(lon, 4),
       coalesce(timeStr, lit("")),
       GoFormat.go_fmt_g(magnitude))
     val short = substring(sha2(input, 256), 1, 16)

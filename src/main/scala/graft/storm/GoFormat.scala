@@ -70,10 +70,35 @@ object GoFormat {
     if (neg) "-" + body else body
   }
 
+  /** Go-`fmt.Sprintf("%.<prec>f", d)` — fixed precision, correctly rounded
+    * from the BINARY value (ties to even), like Go's strconv and C printf.
+    * Java's `String.format("%.4f")` instead rounds the SHORTEST decimal
+    * repr HALF_UP, which diverges whenever the shortest repr carries more
+    * than `prec` decimals near a half (e.g. 19.64995 → Java "19.6500",
+    * Go/C "19.6499"). BigDecimal(d) is the exact binary expansion, so
+    * HALF_EVEN on it reproduces Go (and DuckDB's printf) for every double.
+    */
+  def formatF(d: Double, prec: Int): String = {
+    if (java.lang.Double.isNaN(d)) return "NaN"
+    if (d == java.lang.Double.POSITIVE_INFINITY) return "+Inf"
+    if (d == java.lang.Double.NEGATIVE_INFINITY) return "-Inf"
+    val bd = new java.math.BigDecimal(d)
+      .setScale(prec, java.math.RoundingMode.HALF_EVEN)
+    val body = bd.toPlainString
+    // Go prints the sign of negative zero: %.4f of -0.0 → "-0.0000"
+    if ((java.lang.Double.doubleToRawLongBits(d) >>> 63) == 1L && d == 0.0)
+      "-" + body
+    else body
+  }
+
   /** Column wrapper for [[GoFmtG]]. Input is cast to double so the
     * expression only ever sees doubles. */
   def go_fmt_g(c: Column): Column =
     ColumnBridge.column(GoFmtG(ColumnBridge.expression(c.cast("double"))))
+
+  /** Column wrapper for [[GoFmtF]]. */
+  def go_fmt_f(c: Column, prec: Int): Column =
+    ColumnBridge.column(GoFmtF(ColumnBridge.expression(c.cast("double")), prec))
 }
 
 /** Catalyst expression for Go-`%g` float formatting. Null-safe; interpreted
@@ -96,5 +121,26 @@ case class GoFmtG(child: Expression)
         s"graft.storm.GoFormat.formatG($c))")
 
   override protected def withNewChildInternal(newChild: Expression): GoFmtG =
+    copy(child = newChild)
+}
+
+/** Catalyst expression for Go-`%.<prec>f` fixed formatting (see
+  * [[GoFormat.formatF]]); codegen-friendly like [[GoFmtG]]. */
+case class GoFmtF(child: Expression, prec: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def prettyName: String = "go_fmt_f"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(GoFormat.formatF(input.asInstanceOf[Double], prec))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.storm.GoFormat.formatF($c, $prec))")
+
+  override protected def withNewChildInternal(newChild: Expression): GoFmtF =
     copy(child = newChild)
 }

@@ -55,3 +55,26 @@ class GoFormatSpec extends AnyFunSuite {
     }
   }
 }
+
+class GoFormatFSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("formatF rounds the binary value, not the shortest repr") {
+    // true binary of 19.64995 is ...95000000000047 → rounds UP
+    assert(GoFormat.formatF(19.64995, 4) == "19.6500")
+    // true binary of 81.35 is 81.34999... → rounds DOWN (Java %.2f→%.1f
+    // style shortest-repr rounding would give 81.4)
+    assert(GoFormat.formatF(81.35, 1) == "81.3")
+    assert(GoFormat.formatF(0.35, 1) == "0.3")
+    // exact ties (binary-representable midpoints) go to even, like Go/C
+    assert(GoFormat.formatF(0.25, 1) == "0.2")
+    assert(GoFormat.formatF(0.75, 1) == "0.8")
+  }
+
+  test("formatF basics: padding, sign, specials") {
+    assert(GoFormat.formatF(31.02, 4) == "31.0200")
+    assert(GoFormat.formatF(-98.44, 4) == "-98.4400")
+    assert(GoFormat.formatF(0.0, 4) == "0.0000")
+    assert(GoFormat.formatF(-0.0, 4) == "-0.0000") // Go keeps the sign
+    assert(GoFormat.formatF(Double.NaN, 4) == "NaN")
+    assert(GoFormat.formatF(Double.PositiveInfinity, 4) == "+Inf")
+  }
+}
