@@ -28,13 +28,52 @@ object StormStream {
   /** Batch knobs of the reference (`BATCH_SIZE`, `BATCH_FLUSH_INTERVAL`,
     * README.md:55-56) mapped to micro-batch knobs. */
   final case class Config(
-      brokers: String = "localhost:9092",
+      brokers: String = "kafka:9092",
       sourceTopic: String = "raw-weather-reports",
       sinkTopic: String = "transformed-weather-data",
+      groupId: String = "storm-data-etl",
+      httpAddr: Int = 8080,
       checkpointDir: String = "/tmp/graft-checkpoints/storm",
       batchSize: Long = 50L,
       flushInterval: String = "500 milliseconds",
+      shutdownTimeout: String = "10s",
       deadLetterTopic: Option[String] = None)
+
+  object Config {
+    /** Environment-variable loader with the reference's names, defaults and
+      * validation (`internal/config/config.go:27-67`; bounds README.md:55).
+      * Throws IllegalArgumentException on invalid values, like the
+      * reference's fail-fast Load(). */
+    def fromEnv(env: Map[String, String] = sys.env): Config = {
+      def get(k: String, d: String): String = env.getOrElse(k, d).trim
+      val batch = get("BATCH_SIZE", "50").toLong
+      require(batch >= 1 && batch <= 1000, s"BATCH_SIZE out of range: $batch")
+      val flushMs = {
+        val raw = get("BATCH_FLUSH_INTERVAL", "500ms")
+        // accept Go duration forms the reference documents: "500ms", "2s"
+        if (raw.endsWith("ms")) raw.dropRight(2).toLong
+        else if (raw.endsWith("s")) raw.dropRight(1).toLong * 1000
+        else raw.toLong
+      }
+      require(flushMs > 0, "BATCH_FLUSH_INTERVAL must be positive")
+      val brokers = get("KAFKA_BROKERS", "kafka:9092")
+      require(brokers.nonEmpty, "KAFKA_BROKERS is required")
+      val source = get("KAFKA_SOURCE_TOPIC", "raw-weather-reports")
+      require(source.nonEmpty, "KAFKA_SOURCE_TOPIC is required")
+      val sink = get("KAFKA_SINK_TOPIC", "transformed-weather-data")
+      require(sink.nonEmpty, "KAFKA_SINK_TOPIC is required")
+      Config(
+        brokers = brokers,
+        sourceTopic = source,
+        sinkTopic = sink,
+        groupId = get("KAFKA_GROUP_ID", "storm-data-etl"),
+        httpAddr = get("HTTP_ADDR", ":8080").stripPrefix(":").toInt,
+        checkpointDir = get("CHECKPOINT_DIR", "/tmp/graft-checkpoints/storm"),
+        batchSize = batch,
+        flushInterval = s"$flushMs milliseconds",
+        shutdownTimeout = get("SHUTDOWN_TIMEOUT", "10s"))
+    }
+  }
 
   /** S1: the Kafka streaming source (offsets tracked by checkpoint, not
     * per-record commit closures). */

@@ -148,6 +148,26 @@ class StormStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("config loads from env with reference names, defaults and bounds") {
+    val d = StormStream.Config.fromEnv(Map.empty)
+    assert(d.brokers == "kafka:9092")
+    assert(d.sourceTopic == "raw-weather-reports")
+    assert(d.sinkTopic == "transformed-weather-data")
+    assert(d.batchSize == 50L && d.flushInterval == "500 milliseconds")
+    val c = StormStream.Config.fromEnv(Map(
+      "KAFKA_BROKERS" -> "b1:9092,b2:9092", "BATCH_SIZE" -> "200",
+      "BATCH_FLUSH_INTERVAL" -> "2s", "HTTP_ADDR" -> ":9999"))
+    assert(c.brokers == "b1:9092,b2:9092")
+    assert(c.batchSize == 200L && c.flushInterval == "2000 milliseconds")
+    assert(c.httpAddr == 9999)
+    intercept[IllegalArgumentException] {
+      StormStream.Config.fromEnv(Map("BATCH_SIZE" -> "5000"))
+    }
+    intercept[IllegalArgumentException] {
+      StormStream.Config.fromEnv(Map("KAFKA_SOURCE_TOPIC" -> ""))
+    }
+  }
+
   test("ops server: readiness flips after first processed rows; metrics text") {
     implicit val sqlCtx = spark.sqlContext
     val metrics = new Metrics
