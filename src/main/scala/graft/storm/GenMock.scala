@@ -59,9 +59,14 @@ object GenMock {
   }
 
   /** S7: pretty-printed JSON array fixture (fixtures are small — the
-    * reference writes them with MarshalIndent; order follows `_row`). */
+    * reference writes them with MarshalIndent; order follows `orderCol`).
+    * Timestamps render RFC 3339 without fractional seconds, matching the
+    * reference's Go time.Time marshalling. */
   def writeJsonArray(df: DataFrame, orderCol: String, path: String): Unit = {
-    val rows = df.orderBy(orderCol).toJSON.collect()
+    val json = df.orderBy(orderCol)
+      .select(to_json(struct(df.columns.map(col): _*),
+        Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ssXXX")).as("j"))
+    val rows = json.collect().map(_.getString(0))
     val body = rows.mkString("[\n  ", ",\n  ", "\n]\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
   }

@@ -62,6 +62,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Partial"), "no partial (map-side) group limit")
   }
 
+  test("no query plans an unintended cartesian product") {
+    // broadcast single-row crossJoins compile to BroadcastNestedLoopJoin,
+    // which is fine; a CartesianProduct would shuffle |A|x|B| rows.
+    for ((name, fn) <- graft.SparkEntry.queries) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+  }
+
   test("extensions: go_fmt_g callable from SQL; enum-normalize collapses") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
