@@ -81,3 +81,35 @@ object ProbeQ13 {
     spark.stop()
   }
 }
+object ProbeQ3 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    import graft.operators.RelationalQueries
+    time("q3 warm") { RelationalQueries.q3RevenueByNation(spark, dir)
+      .write.format("noop").mode("overwrite").save() }
+    time("q3 asis") { RelationalQueries.q3RevenueByNation(spark, dir)
+      .write.format("noop").mode("overwrite").save() }
+    time("q3 parallel-fact") {
+      val li = graft.Tables.parallel(spark, dir, "lineitem")
+      li.join(org.apache.spark.sql.functions.broadcast(graft.Tables(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(org.apache.spark.sql.functions.broadcast(graft.Tables(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(org.apache.spark.sql.functions.broadcast(graft.Tables(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("q1 asis") { RelationalQueries.q1PricingSummary(spark, dir)
+      .write.format("noop").mode("overwrite").save() }
+    spark.stop()
+  }
+}

@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.dedup.DedupQueries
 import graft.multimodal.Multimodal
-import graft.operators.RelationalQueries
+import graft.operators.{AsOfJoin, RelationalQueries}
 import graft.sim.SimilarityQueries
 import graft.storm.StormQueries
 import graft.text.TextQueries
@@ -13,6 +13,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
+      (AsOfJoin.queries, AsOfJoin.oracles),
       (StormQueries.queries, StormQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
