@@ -5,7 +5,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RelationalQueries}
 import graft.sim.SimilarityQueries
 import graft.storm.StormQueries
-import graft.text.TextQueries
+import graft.text.{Sampling, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,6 +16,7 @@ object SparkEntry {
       (AsOfJoin.queries, AsOfJoin.oracles),
       (StormQueries.queries, StormQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
+      (Sampling.queries, Sampling.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (Multimodal.queries, Multimodal.oracles))

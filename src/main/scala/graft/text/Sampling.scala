@@ -1,0 +1,87 @@
+package graft.text
+
+import graft.Tables
+import graft.text.TextQueries.{hex32, words}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for training-data mixing:
+  *
+  *  - deterministic cap-per-group sampling ("at most k documents per
+  *    source"): rank by a sha256-derived hash instead of rand() — the
+  *    shuffle-safe, replayable form of reservoir sampling (same sample on
+  *    every rerun, any partitioning, any cluster size);
+  *  - token-budget selection ("best documents per source until N tokens"):
+  *    quality-ordered running token sum per group, cut at the budget —
+  *    the mixing step that builds a fixed-size training blend.
+  *
+  * Both are one window over one key shuffle; no collect, no per-group
+  * memory beyond the running aggregates.
+  */
+object Sampling {
+
+  val CapPerSource = 5
+  val TokenBudgetPerSource = 400L
+
+  /** At most [[CapPerSource]] docs per source, chosen by hash order. */
+  def samplePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(hex32(concat(col("source"), lit("|"), col("doc_id"))),
+        col("doc_id"))
+    Tables(s, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CapPerSource)
+      .select(col("source"), col("rk"), col("doc_id"))
+  }
+
+  /** Highest-uniqueness docs per source until the running whitespace-token
+    * count exceeds the budget (the first doc crossing the line is kept, as
+    * budget mixes usually overshoot one doc rather than undershoot). */
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .withColumn("n_tokens", size(words(col("text"))).cast("long"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(words(col("text")))) / size(words(col("text"))))
+    val order = Window.partitionBy("source")
+      .orderBy(desc("uniq_ratio"), asc("doc_id"))
+    d.withColumn("running_tokens",
+      sum("n_tokens").over(order.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+      .filter(col("running_tokens") - col("n_tokens") < TokenBudgetPerSource)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("running_tokens"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_per_group" -> samplePerGroup,
+    "token_budget_mix" -> tokenBudgetMix)
+
+  val oracles: Map[String, String] = Map(
+    "sample_per_group" ->
+      s"""SELECT source, rk, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ('0x' || substr(sha256(source || '|' || doc_id), 1, 8))::BIGINT,
+        |             doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= $CapPerSource""".stripMargin,
+    "token_budget_mix" ->
+      s"""WITH d AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+        |      AS n_tokens,
+        |    len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
+        |      * 1.0 /
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS uniq_ratio
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, sum(n_tokens) OVER (
+        |    PARTITION BY source ORDER BY uniq_ratio DESC, doc_id ASC
+        |    ROWS UNBOUNDED PRECEDING) AS running_tokens
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens, running_tokens
+        |FROM r WHERE running_tokens - n_tokens < $TokenBudgetPerSource"""
+        .stripMargin)
+}
