@@ -52,13 +52,17 @@ object SimilarityQueries {
 
   private val Dim = 64
 
-  /** Exact cosine top-10 neighbors of vec_id 0 (broadcast query, one scan). */
+  /** Exact cosine top-10 neighbors of vec_id 0 (broadcast query, one scan).
+    * The query norm is computed once on the broadcast side, not per row. */
   def annCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.parallel(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("cos", cosine(col("embedding"), col("qe")))
+      .withColumn("cos",
+        dot(col("embedding"), col("qe")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) * col("qn")))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(10)
       .select(col("vec_id"), col("label"), round(col("cos"), 4).as("cosine"))
@@ -78,11 +82,14 @@ object SimilarityQueries {
     val e = Tables.parallel(s, dir, "embeddings")
       .withColumn("bucket", lshBucket(col("embedding"), Dim))
     val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
+      .select(col("embedding").as("qe"), col("bucket").as("qbucket"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .filter(col("bucket") === col("qbucket"))
-      .withColumn("cos", cosine(col("embedding"), col("qe")))
+      .withColumn("cos",
+        dot(col("embedding"), col("qe")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) * col("qn")))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(5)
       .select(col("vec_id"), col("label"), col("bucket"),
