@@ -111,18 +111,11 @@ object DedupQueries {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
 
-    val est = (0 until NumPerms)
-      .map(j => when(col(s"ma.h$j") === col(s"mb.h$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    val withEst = cands
-      .join(mh.as("ma"), col("a_id") === col("ma.doc_id"))
-      .join(mh.as("mb"), col("b_id") === col("mb.doc_id"))
-      .select(col("a_id"), col("b_id"),
-        (est.cast("double") / NumPerms).as("est_jaccard"))
-
     // Verification is bounded to LSH candidates (the whole point of banding:
     // at scale the full shingle self-join is quadratic, the candidate set
-    // is not): join each candidate pair's shingles only.
+    // is not): join each candidate pair's shingles only, filter on true
+    // Jaccard, and only then attach the signature estimate — the survivors
+    // are few, so the est joins touch almost nothing.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cands
       .join(sh.as("a"), col("a_id") === col("a.doc_id"))
@@ -130,7 +123,7 @@ object DedupQueries {
         col("b_id") === col("b.doc_id") && col("a.s") === col("b.s"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("common"))
-    withEst.join(common, Seq("a_id", "b_id"))
+    val verified = common
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id")
@@ -138,8 +131,15 @@ object DedupQueries {
       .withColumn("jaccard",
         col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
+
+    val est = (0 until NumPerms)
+      .map(j => when(col(s"ma.h$j") === col(s"mb.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    verified
+      .join(mh.as("ma"), col("a_id") === col("ma.doc_id"))
+      .join(mh.as("mb"), col("b_id") === col("mb.doc_id"))
       .select(col("a_id"), col("b_id"),
-        round(col("est_jaccard"), 4).as("est_jaccard"),
+        round(est.cast("double") / NumPerms, 4).as("est_jaccard"),
         round(col("jaccard"), 4).as("jaccard"))
   }
 
