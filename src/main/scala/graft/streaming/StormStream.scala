@@ -144,6 +144,30 @@ object StormStream {
     w.start()
   }
 
+  /** T3: the reference's exponential backoff on load failure — 200 ms, ×2,
+    * capped at 5 s, reset after success (`internal/pipeline/pipeline.go:
+    * 68-71,164-173`). Wrapping the sink write keeps a transient sink outage
+    * inside the micro-batch (offsets only commit after success →
+    * at-least-once preserved); a persistent failure still fails the query
+    * for Spark-level restart. */
+  def withBackoff[A](maxAttempts: Int = 6,
+                     initialDelayMs: Long = 200L,
+                     maxDelayMs: Long = 5000L,
+                     sleep: Long => Unit = Thread.sleep)(f: => A): A = {
+    var delay = initialDelayMs
+    var attempt = 1
+    while (true) {
+      try return f
+      catch {
+        case _: Throwable if attempt < maxAttempts =>
+          sleep(delay)
+          delay = math.min(delay * 2, maxDelayMs)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** J4 streaming variant: drop duplicate event IDs within the watermark
     * horizon — the in-stream form of the downstream `ON CONFLICT (id) DO
     * NOTHING` the deterministic IDs exist for. State is bounded by the

@@ -148,6 +148,26 @@ class StormStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("backoff retries transient sink failures with the reference curve (T3)") {
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val out = StormStream.withBackoff(sleep = delays.append(_)) {
+      calls += 1
+      if (calls < 4) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(out == "ok" && calls == 4)
+    assert(delays.toSeq == Seq(200L, 400L, 800L)) // 200ms, x2 each retry
+    // cap at 5s after enough doublings
+    delays.clear(); calls = 0
+    intercept[RuntimeException] {
+      StormStream.withBackoff(maxAttempts = 8, sleep = delays.append(_)) {
+        calls += 1; throw new RuntimeException("persistent")
+      }
+    }
+    assert(delays.toSeq == Seq(200L, 400L, 800L, 1600L, 3200L, 5000L, 5000L))
+  }
+
   test("config loads from env with reference names, defaults and bounds") {
     val d = StormStream.Config.fromEnv(Map.empty)
     assert(d.brokers == "kafka:9092")
