@@ -231,9 +231,19 @@ object RelationalQueries {
       .groupBy((col("k") % 10).as("k_mod"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
 
+  // Sliding (hopping) windows: 1-hour windows every 15 minutes — each event
+  // lands in 4 overlapping buckets (the streaming window() shape, batch).
+  def q21SlidingWindows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("w_start"), col("event_type"), col("n"), col("total_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_brand_cube" -> q19BrandCube,
     "q20_event_props" -> q20EventProps,
+    "q21_sliding_windows" -> q21SlidingWindows,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_top_customers" -> q2TopCustomers,
     "q3_revenue_by_nation" -> q3RevenueByNation,
@@ -264,6 +274,17 @@ object RelationalQueries {
       """SELECT (json_extract(props, '$.k')::BIGINT) % 10 AS k_mod,
         |  event_type, count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q21_sliding_windows" ->
+      """WITH e AS (SELECT epoch_us(ts) AS p, event_type, value FROM events),
+        |w AS (SELECT strftime(make_timestamp(
+        |         (p - p % 900000000) - k * 900000000::BIGINT),
+        |         '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, value
+        |  FROM e, unnest([0, 1, 2, 3]) AS u(k)
+        |  WHERE p < ((p - p % 900000000) - k * 900000000::BIGINT) + 3600000000)
+        |SELECT w_start, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
