@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join — the manual skew escape hatch (SCALE.md) for when AQE
+  * skew splitting isn't available (e.g. a skewed build side that must
+  * shuffle, or pre-3.x clusters): the skewed side gets a deterministic salt
+  * in [0, k), the other side is replicated k times with every salt value,
+  * and the join key becomes (key, salt) — hot keys spread across k tasks.
+  *
+  * Result is row-identical to the plain join (verified in SkewJoinSpec);
+  * cost is k× replication of the smaller side, so pick k ≈ the skew factor.
+  */
+object SkewJoin {
+
+  /** Join `skewed` with `other` on `skewed(key) === other(otherKey)`,
+    * spreading each key of the skewed side over `k` salts. The per-row salt
+    * value only decides which task handles the row — any spread yields the
+    * identical join result. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame,
+                 key: String, otherKey: String, k: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(k > 0)
+    val salted = skewed.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(k)))
+    val replicated = other.withColumn("_salt",
+      explode(array((0 until k).map(lit): _*)))
+    salted.join(replicated,
+      salted(key) === replicated(otherKey) &&
+        salted("_salt") === replicated("_salt"),
+      joinType)
+      .drop("_salt")
+  }
+}
