@@ -285,4 +285,14 @@ object Enrich {
   /** Kafka sink value: nested StormEvent JSON (`writer.go:55-68`). */
   def wireJson(nestedRow: Column): Column =
     to_json(nestedRow, Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ssXXX"))
+
+  /** SQL exposure (SURVEY §2.8): register the enriched form of a raw-record
+    * temp view as another temp view, so the same semantics are reachable
+    * from `spark.sql` text as from the DataFrame API. The raw view must
+    * carry `Model.rawFieldNames` plus a `kafka_timestamp` column. */
+  def createEnrichedView(spark: org.apache.spark.sql.SparkSession,
+                         rawView: String, viewName: String,
+                         processedAt: Column = current_timestamp()): Unit =
+    enrich(spark.table(rawView), processedAt = processedAt)
+      .createOrReplaceTempView(viewName)
 }

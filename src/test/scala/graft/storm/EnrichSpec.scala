@@ -128,6 +128,23 @@ class EnrichSpec extends AnyFunSuite {
     assert(parts("8 NNNN Chappel") == ("8 NNNN Chappel", null, null))
   }
 
+  test("enrichment is reachable from SQL text via the registered view") {
+    spark.read.option("multiLine", true).schema(Model.rawSchema)
+      .json("/root/reference/data/mock/storm_reports_240426_combined.json")
+      .withColumn("kafka_timestamp", to_timestamp(lit("2024-04-26 00:00:00")))
+      .createOrReplaceTempView("raw_storm_v")
+    Enrich.createEnrichedView(spark, "raw_storm_v", "enriched_storm_v",
+      processedAt = to_timestamp(lit("2024-04-27 06:00:00")))
+    val r = spark.sql(
+      """SELECT id, magnitude, severity, source_office
+        |FROM enriched_storm_v WHERE location_raw = '8 ESE Chappel'""".stripMargin)
+      .head()
+    assert(r.getString(0) == "hail-5d91dda0f56ba124")
+    assert(r.getDouble(1) == 1.25)
+    assert(r.getString(2) == "moderate")
+    assert(r.getString(3) == "SJT")
+  }
+
   // -------------------------------------------------- golden fixture (tier 4)
   test("271-record golden fixture enriches to reference expectations") {
     val df = StormQueries.stormFixture(spark, "/root/testdata/sf0.001").cache()
