@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.dedup.DedupQueries
+import graft.functions.BottomK
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RelationalQueries}
 import graft.sim.SimilarityQueries
@@ -17,6 +18,7 @@ object SparkEntry {
       (StormQueries.queries, StormQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (Sampling.queries, Sampling.oracles),
+      (BottomK.queries, BottomK.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (Multimodal.queries, Multimodal.oracles))
