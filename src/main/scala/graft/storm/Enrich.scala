@@ -200,7 +200,7 @@ object Enrich {
     // than once — so each parse runs once per row instead of once per use.
     val kts = col(kafkaTsCol)
     val staged = raw.select(
-      (keep ++ raw.columns.filter(c => c != "_enrich_tmp")).distinct.map(col) ++ Seq(
+      raw.columns.map(col) ++ Seq(
         coalesce(col("EventType"), lit("")).as("_raw_type"),
         coalesce(col("Time"), lit("")).as("_time_str"),
         magnitude(coalesce(col("EventType"), lit("")), col("Size"),
