@@ -22,6 +22,13 @@ object SkewJoin {
                  key: String, otherKey: String, k: Int,
                  joinType: String = "inner"): DataFrame = {
     require(k > 0)
+    // only joins that never emit unmatched RIGHT rows preserve semantics —
+    // an unmatched right row would surface once per salt replica
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(normalized),
+      s"saltedJoin does not preserve '$joinType' semantics " +
+        "(unmatched right rows would duplicate per salt)")
     val salted = skewed.withColumn("_salt",
       pmod(hash(col(key), monotonically_increasing_id()), lit(k)))
     val replicated = other.withColumn("_salt",

@@ -64,10 +64,13 @@ object Enrich {
     * RFC 3339 if it parses; else HHMM fallback on the Kafka ts date. */
   def eventTime(kafkaTs: Column, timeStr: Column): Column = {
     val t = trim(timeStr)
-    val rfc3339 = coalesce(
-      try_to_timestamp(t, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-      try_to_timestamp(t, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX")),
-      try_to_timestamp(t, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+    // Go's time.Parse(time.RFC3339) accepts any fractional-second precision;
+    // Spark's 'S' patterns demand an exact digit count, so try each length
+    // 1–9 (coalesce short-circuits: non-fraction inputs only evaluate the
+    // first pattern).
+    val patterns = "yyyy-MM-dd'T'HH:mm:ssXXX" +:
+      (1 to 9).map(n => s"yyyy-MM-dd'T'HH:mm:ss.${"S" * n}XXX")
+    val rfc3339 = coalesce(patterns.map(p => try_to_timestamp(t, lit(p))): _*)
     when(t === "", kafkaTs)
       .otherwise(coalesce(rfc3339, hhmmTimestamp(kafkaTs, timeStr)))
   }

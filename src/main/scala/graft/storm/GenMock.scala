@@ -62,9 +62,12 @@ object GenMock {
     * reference writes them with MarshalIndent; order follows `orderCol`).
     * Timestamps render RFC 3339 without fractional seconds, matching the
     * reference's Go time.Time marshalling. */
-  def writeJsonArray(df: DataFrame, orderCol: String, path: String): Unit = {
+  def writeJsonArray(df: DataFrame, orderCol: String, path: String,
+                     dropOrderCol: Boolean = false): Unit = {
+    val outCols = if (dropOrderCol) df.columns.filter(_ != orderCol)
+      else df.columns
     val json = df.orderBy(orderCol)
-      .select(to_json(struct(df.columns.map(col): _*),
+      .select(to_json(struct(outCols.map(col).toSeq: _*),
         Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ssXXX")).as("j"))
     val rows = json.collect().map(_.getString(0))
     val body = rows.mkString("[\n  ", ",\n  ", "\n]\n")

@@ -29,27 +29,13 @@ object GoFormat {
     }
     val neg = d < 0
     val abs = math.abs(d)
-    // Java's Double.toString yields the shortest digit string that
-    // round-trips (same contract as Go's shortest 'g'); re-format it
-    // with Go's fixed/exponential decision rule and syntax.
-    val s = java.lang.Double.toString(abs) // "1.25", "125.0", "1.0E-5", "1.23E21"
-    val (mant, exp10) = {
-      val e = s.indexOf('E')
-      if (e < 0) (s, 0) else (s.substring(0, e), s.substring(e + 1).toInt)
-    }
-    val dot = mant.indexOf('.')
-    val allDigits = mant.replace(".", "")
-    // decimal point position counted from the left of the digit string
-    var dp = (if (dot < 0) mant.length else dot) + exp10
-    // strip leading zeros (e.g. "0.075" -> digits "075", dp 1 -> "75", dp 0)
-    var start = 0
-    while (start < allDigits.length - 1 && allDigits.charAt(start) == '0') {
-      start += 1; dp -= 1
-    }
-    var end = allDigits.length
-    while (end > start + 1 && allDigits.charAt(end - 1) == '0') end -= 1
-    val digits = allDigits.substring(start, end)
-    val exp = dp - 1
+    // Shortest round-tripping digit string, computed directly: the smallest
+    // significant-digit count whose correctly-rounded decimal parses back to
+    // the same double — Go's 'g -1' contract. (JDK 17's Double.toString is
+    // NOT always shortest — ~0.3% of doubles get extra digits pre-Ryu — so
+    // it cannot be used here.)
+    val (digits, exp) = shortestDigits(abs)
+    val dp = exp + 1 // decimal point position from the left of the digits
     val body =
       if (exp < -4 || exp >= 21) {
         // Go exponential form: d[.ddd]e±XX with >=2 exponent digits
@@ -68,6 +54,25 @@ object GoFormat {
         digits.substring(0, dp) + "." + digits.substring(dp)
       }
     if (neg) "-" + body else body
+  }
+
+  /** (digit string without leading/trailing zeros, decimal exponent) of the
+    * shortest correctly-rounded decimal that round-trips to `abs`. */
+  private def shortestDigits(abs: Double): (String, Int) = {
+    val exact = new java.math.BigDecimal(abs)
+    var p = 1
+    var candidate: java.math.BigDecimal = null
+    var found = false
+    while (!found && p <= 17) {
+      candidate = exact.round(new java.math.MathContext(p,
+        java.math.RoundingMode.HALF_EVEN))
+      if (candidate.doubleValue() == abs) found = true else p += 1
+    }
+    val stripped = candidate.stripTrailingZeros
+    val digits = stripped.unscaledValue.abs.toString
+    // value = digits * 10^(-scale); exponent of the leading digit:
+    val exp = digits.length - 1 - stripped.scale
+    (digits, exp)
   }
 
   /** Go-`fmt.Sprintf("%.<prec>f", d)` — fixed precision, correctly rounded

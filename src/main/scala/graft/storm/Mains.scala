@@ -15,7 +15,7 @@ object StormEtlMain {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     val metrics = new Metrics
-    spark.streams.addListener(new MetricsListener(metrics))
+    spark.streams.addListener(new MetricsListener(metrics, Some("storm-etl")))
     val ops = new OpsServer(metrics, cfg.httpAddr)
     ops.start()
     val query = StormStream.start(spark, cfg)
@@ -36,8 +36,9 @@ object GenMockMain {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val (raw, enriched) = GenMock.build(spark, csvDir)
-    GenMock.writeJsonArray(raw.drop("_row"), "EventType",
-      s"$outDir/etl_fixture.json")
+    // order by the preserved file order, not a non-unique sort key
+    GenMock.writeJsonArray(raw, "_row", s"$outDir/etl_fixture.json",
+      dropOrderCol = true)
     GenMock.writeJsonArray(Enrich.nested(enriched.drop("_row")), "id",
       s"$outDir/api_fixture.json")
     val s = GenMock.stats(enriched)

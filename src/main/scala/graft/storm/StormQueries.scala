@@ -36,13 +36,13 @@ object StormQueries {
         .when(m5 === 3, "973") // 3-digit HHMM, zero-padded
         .otherwise("2567") // invalid hour → fallback to kafka ts
         .as("Time"),
-      when(col("event_type") === "click", format_string("%.2f", col("value")))
+      when(col("event_type") === "click", GoFormat.go_fmt_f(col("value"), 2))
         .otherwise("").as("Size"),
       when(col("event_type") === "error",
         when(col("event_id") % 7 === 0, lit("UNK"))
           .otherwise(concat(lit("EF"), (col("event_id") % 6).cast("string"))))
         .otherwise(lit("")).as("F_Scale"),
-      when(col("event_type") === "view", format_string("%.2f", col("value")))
+      when(col("event_type") === "view", GoFormat.go_fmt_f(col("value"), 2))
         .otherwise("").as("Speed"),
       when(col("event_id") % 4 === 0,
         concat((col("event_id") % 20).cast("string"), lit(" NNE Site")))
@@ -53,9 +53,9 @@ object StormQueries {
       concat(lit("County"), (col("event_id") % 50).cast("string")).as("County"),
       concat(lit("S"), (col("user_id") % 30).cast("string")).as("State"),
       when(m5 === 2, lit("")).otherwise(
-        format_string("%.2f", (col("event_id") % 5000) / lit(100.0) + lit(25.0)))
+        GoFormat.go_fmt_f((col("event_id") % 5000) / lit(100.0) + lit(25.0), 2))
         .as("Lat"),
-      format_string("%.2f", -(col("event_id") % 9000) / lit(100.0) - lit(70.0))
+      GoFormat.go_fmt_f(-(col("event_id") % 9000) / lit(100.0) - lit(70.0), 2)
         .as("Lon"),
       when(col("event_id") % 3 === 0, lit("Report filed. (OUN)"))
         .when(col("event_id") % 3 === 1, lit("no office here"))

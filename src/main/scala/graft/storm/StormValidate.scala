@@ -90,8 +90,11 @@ object StormValidate {
       "time_bucket" -> same("time_bucket"))
 
     val joined = expected.as("e").join(deduped.as("a"), Seq("id"))
+    // three-valued logic: a NULL comparison (one side null) must count as a
+    // violation, not silently drop — coalesce to false like schemaAlignment
     val fails = checks.map { case (name, ok) =>
-      joined.filter(!ok).select(col("id"), lit(name).as("field"))
+      joined.filter(!coalesce(ok, lit(false)))
+        .select(col("id"), lit(name).as("field"))
     }
     val fieldViolations = fails.reduce(_ unionByName _)
     val unmatched = expected.as("e")

@@ -20,7 +20,8 @@ object EventSessions {
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
 
   final case class SessionState(
-      sessionStartMs: Long, lastSeenMs: Long, nEvents: Long, nSessions: Long)
+      sessionStartMs: Long, lastSeenMs: Long, nEvents: Long, nSessions: Long,
+      sessionEvents: Long)
 
   final case class SessionUpdate(
       user_id: Long, n_sessions: Long, n_events: Long,
@@ -35,19 +36,21 @@ object EventSessions {
       userId: Long,
       events: Iterator[Event],
       state: GroupState[SessionState]): SessionUpdate = {
-    var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
-    var currentEvents = 0L
+    var st = state.getOption.getOrElse(
+      SessionState(0L, Long.MinValue, 0L, 0L, 0L))
     for (e <- events.toSeq.sortBy(_.ts.getTime)) {
       val t = e.ts.getTime
       if (st.lastSeenMs == Long.MinValue || t - st.lastSeenMs > GapMs) {
-        st = st.copy(sessionStartMs = t, nSessions = st.nSessions + 1)
-        currentEvents = 0L
+        st = st.copy(sessionStartMs = t, nSessions = st.nSessions + 1,
+          sessionEvents = 0L)
       }
-      currentEvents += 1
-      st = st.copy(lastSeenMs = t, nEvents = st.nEvents + 1)
+      // sessionEvents persists in state so a session spanning micro-batches
+      // keeps its running count
+      st = st.copy(lastSeenMs = t, nEvents = st.nEvents + 1,
+        sessionEvents = st.sessionEvents + 1)
     }
     state.update(st)
-    SessionUpdate(userId, st.nSessions, st.nEvents, currentEvents)
+    SessionUpdate(userId, st.nSessions, st.nEvents, st.sessionEvents)
   }
 
   /** Streaming query: per-user session counts, update mode. */

@@ -40,17 +40,21 @@ final class Metrics {
 }
 
 /** Listener bridging query progress into [[Metrics]] — numInputRows feeds
-  * the consumed counter; readiness flips on the first non-empty batch. */
-final class MetricsListener(m: Metrics) extends StreamingQueryListener {
+  * the consumed counter; readiness flips on the first non-empty batch.
+  * `queryName` (when set) scopes the counters to one named query, so other
+  * streams on the same session can't inflate them or flip readiness. */
+final class MetricsListener(m: Metrics, queryName: Option[String] = None)
+    extends StreamingQueryListener {
   override def onQueryStarted(event: QueryStartedEvent): Unit =
-    m.pipelineRunning.set(true)
+    if (queryName.forall(_ == event.name)) m.pipelineRunning.set(true)
 
-  override def onQueryProgress(event: QueryProgressEvent): Unit = {
-    val rows = event.progress.numInputRows
-    m.messagesConsumed.addAndGet(rows)
-    m.batches.incrementAndGet()
-    if (rows > 0) m.ready.set(true)
-  }
+  override def onQueryProgress(event: QueryProgressEvent): Unit =
+    if (queryName.forall(_ == event.progress.name)) {
+      val rows = event.progress.numInputRows
+      m.messagesConsumed.addAndGet(rows)
+      m.batches.incrementAndGet()
+      if (rows > 0) m.ready.set(true)
+    }
 
   override def onQueryIdle(event: QueryIdleEvent): Unit = ()
 

@@ -67,7 +67,14 @@ object StormStream {
         sourceTopic = source,
         sinkTopic = sink,
         groupId = get("KAFKA_GROUP_ID", "storm-data-etl"),
-        httpAddr = get("HTTP_ADDR", ":8080").stripPrefix(":").toInt,
+        // accept Go listen forms ":8080", "0.0.0.0:8080", "localhost:8080"
+        httpAddr = {
+          val addr = get("HTTP_ADDR", ":8080")
+          val port = addr.substring(addr.lastIndexOf(':') + 1)
+          require(port.nonEmpty && port.forall(_.isDigit),
+            s"HTTP_ADDR has no port: $addr")
+          port.toInt
+        },
         checkpointDir = get("CHECKPOINT_DIR", "/tmp/graft-checkpoints/storm"),
         batchSize = batch,
         flushInterval = s"$flushMs milliseconds",
@@ -117,14 +124,22 @@ object StormStream {
       envelope: DataFrame,
       c: Config,
       writeGood: DataFrame => Unit,
-      writePoison: DataFrame => Unit): StreamingQuery =
+      writePoison: DataFrame => Unit,
+      metrics: Option[Metrics] = None): StreamingQuery =
     envelope.writeStream
       .trigger(Trigger.ProcessingTime(c.flushInterval))
       .option("checkpointLocation", c.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val t = transform(batch).cache()
         try {
-          writeGood(toWire(t.filter(!col("parse_error"))))
+          val good = toWire(t.filter(!col("parse_error")))
+          writeGood(good)
+          // produced/error counters mirror the reference's
+          // messages_produced_total / transform_errors_total
+          metrics.foreach { m =>
+            m.messagesProduced.addAndGet(good.count())
+            m.transformErrors.addAndGet(t.filter(col("parse_error")).count())
+          }
           writePoison(t.filter(col("parse_error")))
         } finally t.unpersist()
       }
@@ -135,6 +150,7 @@ object StormStream {
     val good = toWire(
       transform(kafkaSource(spark, c)).filter(!col("parse_error")))
     val w: DataStreamWriter[Row] = good.writeStream
+      .queryName("storm-etl")
       .format("kafka")
       .option("kafka.bootstrap.servers", c.brokers)
       .option("topic", c.sinkTopic)
@@ -159,7 +175,9 @@ object StormStream {
     while (true) {
       try return f
       catch {
-        case _: Throwable if attempt < maxAttempts =>
+        // NonFatal only: interrupts (task cancellation/shutdown) and fatal
+        // JVM errors must propagate immediately, not burn retry sleeps
+        case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
           sleep(delay)
           delay = math.min(delay * 2, maxDelayMs)
           attempt += 1

