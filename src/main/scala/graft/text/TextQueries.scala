@@ -95,7 +95,25 @@ object TextQueries {
       fingerprint(col("w")).as("fp"))
   }
 
+  /** Contamination/PII pattern scan — per-source counts of email-shaped
+    * tokens, URLs, and long digit runs (the pre-training hygiene pass; the
+    * synthetic corpus is clean, so zero counts are the expected result,
+    * but the operator is exercised end-to-end). */
+  def piiScan(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy("source")
+      .agg(
+        sum(size(regexp_extract_all(col("text"),
+          lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"), lit(0))))
+          .cast("long").as("n_emails"),
+        sum(size(regexp_extract_all(col("text"),
+          lit("https?://[^ ]+"), lit(0)))).cast("long").as("n_urls"),
+        sum(size(regexp_extract_all(col("text"),
+          lit("[0-9]{6,}"), lit(0)))).cast("long").as("n_long_digit_runs"),
+        count(lit(1)).as("n_docs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scan" -> piiScan,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "lang_id_confusion" -> langIdConfusion,
@@ -109,6 +127,15 @@ object TextQueries {
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "pii_scan" ->
+      """SELECT source,
+        |  sum(len(regexp_extract_all(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')))::BIGINT AS n_emails,
+        |  sum(len(regexp_extract_all(text, 'https?://[^ ]+')))::BIGINT AS n_urls,
+        |  sum(len(regexp_extract_all(text, '[0-9]{6,}')))::BIGINT
+        |    AS n_long_digit_runs,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY source""".stripMargin,
     "text_stats" ->
       (s"WITH $wordsCte,\n" +
         s"""c AS (SELECT source, len(w) AS n_words,
