@@ -196,6 +196,13 @@ object Enrich {
              kafkaTsCol: String = "kafka_timestamp",
              processedAt: Column = current_timestamp(),
              keep: Seq[String] = Nil): DataFrame = {
+    // All time semantics (hourly UTC buckets, HHMM base dates) follow the
+    // session time zone; anything but UTC silently diverges from the
+    // reference, so fail fast instead (`transform.go:108-111,314`).
+    val tz = raw.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+      s"enrich() requires spark.sql.session.timeZone=UTC (got $tz): " +
+        "hour buckets and HHMM base dates are defined in UTC")
     // Staged projections, not one flat select: the expensive parses
     // (eventTime: 3 timestamp patterns + HHMM; magnitude: trim/regex/cast)
     // feed multiple downstream columns, and Catalyst's CollapseProject keeps

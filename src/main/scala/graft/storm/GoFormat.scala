@@ -90,10 +90,11 @@ object GoFormat {
     val bd = new java.math.BigDecimal(d)
       .setScale(prec, java.math.RoundingMode.HALF_EVEN)
     val body = bd.toPlainString
-    // Go prints the sign of negative zero: %.4f of -0.0 → "-0.0000"
-    if ((java.lang.Double.doubleToRawLongBits(d) >>> 63) == 1L && d == 0.0)
-      "-" + body
-    else body
+    // Go/C print the sign whenever the VALUE is negative (or negative
+    // zero), even when it rounds to zero at this precision: %.4f of
+    // -0.00001 → "-0.0000". BigDecimal normalizes that sign away.
+    val signBit = (java.lang.Double.doubleToRawLongBits(d) >>> 63) == 1L
+    if (signBit && bd.signum() == 0) "-" + body else body
   }
 
   /** Column wrapper for [[GoFmtG]]. Input is cast to double so the

@@ -49,11 +49,19 @@ object StormStream {
       val batch = get("BATCH_SIZE", "50").toLong
       require(batch >= 1 && batch <= 1000, s"BATCH_SIZE out of range: $batch")
       val flushMs = {
+        // Go time.ParseDuration forms: "500ms", "2s", "1.5s", "1m", "1h"
         val raw = get("BATCH_FLUSH_INTERVAL", "500ms")
-        // accept Go duration forms the reference documents: "500ms", "2s"
-        if (raw.endsWith("ms")) raw.dropRight(2).toLong
-        else if (raw.endsWith("s")) raw.dropRight(1).toLong * 1000
-        else raw.toLong
+        val m = "^([0-9]+(?:\\.[0-9]+)?)(ms|s|m|h)$".r
+        raw match {
+          case m(n, unit) =>
+            val mult = unit match {
+              case "ms" => 1.0; case "s" => 1000.0
+              case "m" => 60000.0; case "h" => 3600000.0
+            }
+            (n.toDouble * mult).toLong
+          case _ => throw new IllegalArgumentException(
+            s"BATCH_FLUSH_INTERVAL not a duration: $raw")
+        }
       }
       require(flushMs > 0, "BATCH_FLUSH_INTERVAL must be positive")
       val brokers = get("KAFKA_BROKERS", "kafka:9092")
@@ -78,7 +86,9 @@ object StormStream {
         checkpointDir = get("CHECKPOINT_DIR", "/tmp/graft-checkpoints/storm"),
         batchSize = batch,
         flushInterval = s"$flushMs milliseconds",
-        shutdownTimeout = get("SHUTDOWN_TIMEOUT", "10s"))
+        shutdownTimeout = get("SHUTDOWN_TIMEOUT", "10s"),
+        deadLetterTopic = env.get("DEAD_LETTER_TOPIC").map(_.trim)
+          .filter(_.nonEmpty))
     }
   }
 
@@ -89,6 +99,7 @@ object StormStream {
       .format("kafka")
       .option("kafka.bootstrap.servers", c.brokers)
       .option("subscribe", c.sourceTopic)
+      .option("kafka.group.id", c.groupId)
       .option("startingOffsets", "earliest")
       .option("maxOffsetsPerTrigger", c.batchSize)
       .option("includeHeaders", "true")
@@ -145,19 +156,43 @@ object StormStream {
       }
       .start()
 
-  /** Full Kafka→Kafka wiring (deploy-time path; needs the connector jar). */
-  def start(spark: SparkSession, c: Config): StreamingQuery = {
-    val good = toWire(
-      transform(kafkaSource(spark, c)).filter(!col("parse_error")))
-    val w: DataStreamWriter[Row] = good.writeStream
+  /** Full Kafka→Kafka wiring (deploy-time path; needs the connector jar).
+    * Runs through foreachBatch so the dead-letter split, backoff and the
+    * produced/error counters are live in production, not only in tests. */
+  def start(spark: SparkSession, c: Config,
+            metrics: Option[Metrics] = None): StreamingQuery = {
+    def kafkaBatchWrite(df: DataFrame, topic: String): Unit =
+      withBackoff() {
+        df.write.format("kafka")
+          .option("kafka.bootstrap.servers", c.brokers)
+          .option("topic", topic)
+          .option("kafka.acks", "all")
+          .save()
+      }
+    kafkaSource(spark, c).writeStream
       .queryName("storm-etl")
-      .format("kafka")
-      .option("kafka.bootstrap.servers", c.brokers)
-      .option("topic", c.sinkTopic)
-      .option("kafka.acks", "all")
-      .option("checkpointLocation", c.checkpointDir)
       .trigger(Trigger.ProcessingTime(c.flushInterval))
-    w.start()
+      .option("checkpointLocation", c.checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val t = transform(batch).cache()
+        try {
+          val good = toWire(t.filter(!col("parse_error")))
+          kafkaBatchWrite(good, c.sinkTopic)
+          val nGood = good.count()
+          val nPoison = t.filter(col("parse_error")).count()
+          metrics.foreach { m =>
+            m.messagesProduced.addAndGet(nGood)
+            m.transformErrors.addAndGet(nPoison)
+          }
+          c.deadLetterTopic.foreach { dlt =>
+            if (nPoison > 0)
+              kafkaBatchWrite(t.filter(col("parse_error"))
+                .select(col("id").cast("binary").as("key"),
+                  to_json(struct(col("*"))).cast("binary").as("value")), dlt)
+          }
+        } finally t.unpersist()
+      }
+      .start()
   }
 
   /** T3: the reference's exponential backoff on load failure — 200 ms, ×2,

@@ -95,6 +95,8 @@ class GoFormatFSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(GoFormat.formatF(-98.44, 4) == "-98.4400")
     assert(GoFormat.formatF(0.0, 4) == "0.0000")
     assert(GoFormat.formatF(-0.0, 4) == "-0.0000") // Go keeps the sign
+    assert(GoFormat.formatF(-0.00001, 4) == "-0.0000") // negative → signed zero
+    assert(GoFormat.formatF(0.00001, 4) == "0.0000")
     assert(GoFormat.formatF(Double.NaN, 4) == "NaN")
     assert(GoFormat.formatF(Double.PositiveInfinity, 4) == "+Inf")
   }
