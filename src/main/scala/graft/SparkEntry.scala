@@ -4,7 +4,7 @@ import graft.dedup.DedupQueries
 import graft.functions.BottomK
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RelationalQueries}
-import graft.sim.SimilarityQueries
+import graft.sim.{Ivf, SimilarityQueries}
 import graft.storm.StormQueries
 import graft.text.{Sampling, TextQueries}
 
@@ -21,6 +21,7 @@ object SparkEntry {
       (BottomK.queries, BottomK.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
+      (Ivf.queries, Ivf.oracles),
       (Multimodal.queries, Multimodal.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

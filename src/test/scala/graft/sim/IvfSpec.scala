@@ -1,0 +1,38 @@
+package graft.sim
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF recall check: probing 4 of 16 cells must recover most of the exact
+  * top-5 (random 64-dim embeddings cluster weakly, so demand overlap >= 2
+  * rather than perfection; structure is asserted tightly). */
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ivf top-k probes few cells and overlaps the exact top-k") {
+    val ivf = Ivf.ivfTopk(spark, sf).collect()
+    assert(ivf.length == Ivf.TopK)
+    // descending cosine, unique ids, bounded probe set
+    val cosines = ivf.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sortBy(-_)))
+    assert(ivf.map(_.getAs[Long]("vec_id")).distinct.length == Ivf.TopK)
+    assert(ivf.map(_.getAs[Int]("cell")).distinct.length <= Ivf.NProbe)
+
+    val exact = SimilarityQueries.annCosineTopk(spark, sf)
+      .limit(Ivf.TopK).collect().map(_.getAs[Long]("vec_id")).toSet
+    // uniform random vectors are IVF's worst case: recall is bounded near
+    // nprobe/NLists; demand presence, not perfection
+    val overlap = ivf.map(_.getAs[Long]("vec_id")).count(exact.contains)
+    assert(overlap >= 1, s"recall too low: $overlap/5 of exact top-5")
+  }
+
+  test("probing every cell reproduces the exact top-k (correctness bound)") {
+    val all = Ivf.ivfTopkProbing(spark, sf, Ivf.NLists).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq
+    val exact = SimilarityQueries.annCosineTopk(spark, sf)
+      .limit(Ivf.TopK).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(all == exact,
+      s"nprobe=NLists must equal brute force: $all vs $exact")
+  }
+}
