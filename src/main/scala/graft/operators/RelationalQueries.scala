@@ -240,7 +240,20 @@ object RelationalQueries {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
         .as("w_start"), col("event_type"), col("n"), col("total_value"))
 
+  // Rolling event-time range window: per user, count and mean value over
+  // the trailing hour (inclusive bounds both engines).
+  def q22RollingUserStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    t(s, dir, "events")
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("avg_1h", round(avg("value").over(w), 4))
+      .select("event_id", "user_id", "n_1h", "avg_1h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_rolling_user_stats" -> q22RollingUserStats,
     "q19_brand_cube" -> q19BrandCube,
     "q20_event_props" -> q20EventProps,
     "q21_sliding_windows" -> q21SlidingWindows,
@@ -264,6 +277,14 @@ object RelationalQueries {
     "q18_stats" -> q18Stats)
 
   val oracles: Map[String, String] = Map(
+    "q22_rolling_user_stats" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(avg(value) OVER w, 4) AS avg_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
     "q19_brand_cube" ->
       """SELECT p_brand, l_returnflag, count(*) AS n_items,
         |  round(sum(l_extendedprice), 2) AS total_price,
