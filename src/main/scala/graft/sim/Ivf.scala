@@ -26,8 +26,19 @@ object Ivf {
   val NProbe = 4
   val TopK = 5
 
-  /** Train the coarse quantizer and assign every vector to a cell. */
+  // memoize per (session, dir): the quantizer is a one-off batch artifact,
+  // not something to retrain per query
+  private val trained =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), (DataFrame, Array[Array[Double]])]
+
+  /** Train the coarse quantizer and assign every vector to a cell
+    * (memoized; the assignment DataFrame is cached once). */
   def assignments(s: SparkSession, dir: String):
+      (DataFrame, Array[Array[Double]]) =
+    trained.getOrElseUpdate((s, dir), trainAssignments(s, dir))
+
+  private def trainAssignments(s: SparkSession, dir: String):
       (DataFrame, Array[Array[Double]]) = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings")
@@ -38,14 +49,15 @@ object Ivf {
         // cells then align with the cosine geometry the probe uses
         val d = emb.map(_.toDouble)
         val n = math.sqrt(d.map(x => x * x).sum)
-        (id, Vectors.dense(d.map(_ / n)))
+        (id, Vectors.dense(if (n == 0.0) d else d.map(_ / n)))
       }
       .toDF("vec_id", "features")
     val model = new KMeans()
       .setK(NLists).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(features)
-    (e.join(model.transform(features).select("vec_id", "cell"), "vec_id"),
+    (e.join(model.transform(features).select("vec_id", "cell"), "vec_id")
+      .cache(),
       model.clusterCenters.map(_.toArray))
   }
 
@@ -65,7 +77,7 @@ object Ivf {
 
   def ivfTopkProbing(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val (assigned, centers) = assignments(s, dir)
-    val cached = assigned.cache()
+    val cached = assigned
     import s.implicits._
     val qEmb = cached.filter(col("vec_id") === 0)
       .select("embedding").as[Array[Float]].head().map(_.toDouble)

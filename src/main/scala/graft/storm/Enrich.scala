@@ -254,6 +254,18 @@ object Enrich {
     * `parse_error` so callers can split a dead-letter branch (F1) with a
     * plain filter instead of exceptions.
     */
+  /** True when the envelope value is NOT parseable as a raw record (the
+    * reference's only hard error). Shared by the parse path and dead-letter
+    * routing so both agree on what "poison" means. */
+  def parseErrorFlag(value: Column): Column = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schemaWithCorrupt =
+      StructType(Model.rawSchema.fields :+ StructField("_corrupt", StringType))
+    val rec = from_json(value.cast("string"), schemaWithCorrupt,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
+    rec.isNull || rec.getField("_corrupt").isNotNull
+  }
+
   def parseRawJson(df: DataFrame, valueCol: String = "value",
                    kafkaTsCol: String = "timestamp"): DataFrame = {
     // from_json in PERMISSIVE mode yields a null-FILLED struct for malformed

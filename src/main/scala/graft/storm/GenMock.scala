@@ -66,7 +66,11 @@ object GenMock {
                      dropOrderCol: Boolean = false): Unit = {
     val outCols = if (dropOrderCol) df.columns.filter(_ != orderCol)
       else df.columns
-    val json = df.orderBy(orderCol)
+    // secondary sort on every column makes tie order deterministic across
+    // generations (first-wins dedup downstream depends on fixture order)
+    val orderCols = (orderCol +: df.columns.filterNot(_ == orderCol).toSeq)
+      .map(col)
+    val json = df.orderBy(orderCols: _*)
       .select(to_json(struct(outCols.map(col).toSeq: _*),
         Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ssXXX")).as("j"))
     val rows = json.collect().map(_.getString(0))

@@ -74,7 +74,7 @@ object ValidateMain {
     // ETL fixture vs the published API (enriched) fixture
     val (raw, _) = GenMock.build(spark, csvDir)
     val etl = GenMock.readJsonArray(spark, etlJson, Model.rawSchema)
-    val api = spark.read.option("multiLine", "true").json(apiJson)
+    val api = GenMock.readJsonArray(spark, apiJson, Model.stormSchema)
     // flatten the published nested API records back to the flat compare shape
     val apiFlat = api.select(
       col("id"), col("event_type"),
@@ -92,9 +92,11 @@ object ValidateMain {
       monotonically_increasing_id().as("_row"))
     val rawNoRow = raw.drop("_row")
     val phases: Seq[(String, Long)] = Seq(
+      // order by EVERY raw column: full-row duplicates then pair
+      // harmlessly regardless of tie order (a partial key would let tied
+      // rows cross-pair and flag spurious mismatches)
       "phase1 row parity" ->
-        StormValidate.rowParity(rawNoRow, etl,
-          Seq("EventType", "State", "Lat", "Lon", "Time", "Location")).count(),
+        StormValidate.rowParity(rawNoRow, etl, Model.rawFieldNames).count(),
       "phase2 count mismatches" ->
         StormValidate.countMismatches(raw, etl).count(),
       "phase2 anti-join misses" ->

@@ -39,6 +39,26 @@ object StormStream {
       shutdownTimeout: String = "10s",
       deadLetterTopic: Option[String] = None)
 
+  /** Go `time.ParseDuration` compatible: sequences of number+unit segments
+    * ("1m30s", "1.5s", "100us"), units ns..h, "0" allowed bare. Returns
+    * whole milliseconds (sub-ms truncates toward zero like a ms trigger
+    * would). Throws IllegalArgumentException on anything else. */
+  def parseGoDurationMs(raw: String): Long = {
+    if (raw == "0") return 0L
+    val seg = "([0-9]+(?:\\.[0-9]+)?)(ns|us|µs|ms|s|m|h)".r
+    val matched = seg.findAllMatchIn(raw).toSeq
+    require(matched.nonEmpty && matched.map(_.matched).mkString == raw,
+      s"not a Go duration: $raw")
+    val ms = matched.map { m =>
+      val mult = m.group(2) match {
+        case "ns" => 1e-6; case "us" | "µs" => 1e-3; case "ms" => 1.0
+        case "s" => 1000.0; case "m" => 60000.0; case "h" => 3600000.0
+      }
+      m.group(1).toDouble * mult
+    }.sum
+    ms.toLong
+  }
+
   object Config {
     /** Environment-variable loader with the reference's names, defaults and
       * validation (`internal/config/config.go:27-67`; bounds README.md:55).
@@ -48,21 +68,7 @@ object StormStream {
       def get(k: String, d: String): String = env.getOrElse(k, d).trim
       val batch = get("BATCH_SIZE", "50").toLong
       require(batch >= 1 && batch <= 1000, s"BATCH_SIZE out of range: $batch")
-      val flushMs = {
-        // Go time.ParseDuration forms: "500ms", "2s", "1.5s", "1m", "1h"
-        val raw = get("BATCH_FLUSH_INTERVAL", "500ms")
-        val m = "^([0-9]+(?:\\.[0-9]+)?)(ms|s|m|h)$".r
-        raw match {
-          case m(n, unit) =>
-            val mult = unit match {
-              case "ms" => 1.0; case "s" => 1000.0
-              case "m" => 60000.0; case "h" => 3600000.0
-            }
-            (n.toDouble * mult).toLong
-          case _ => throw new IllegalArgumentException(
-            s"BATCH_FLUSH_INTERVAL not a duration: $raw")
-        }
-      }
+      val flushMs = parseGoDurationMs(get("BATCH_FLUSH_INTERVAL", "500ms"))
       require(flushMs > 0, "BATCH_FLUSH_INTERVAL must be positive")
       val brokers = get("KAFKA_BROKERS", "kafka:9092")
       require(brokers.nonEmpty, "KAFKA_BROKERS is required")
@@ -128,37 +134,46 @@ object StormStream {
             "UTF-8").as("value"))).as("headers"))
   }
 
-  /** F1: split one parsed micro-batch into (good, poison) and write each
-    * side — the dead-letter filter expressed as two filters over one
-    * cached batch, offsets advancing regardless (at-least-once + skip). */
+  /** F1: split one micro-batch into (good wire records, poison ORIGINAL
+    * envelope rows) and write each side — offsets advance regardless
+    * (at-least-once + skip). Poison rows keep the raw `value` payload so a
+    * dead-letter consumer can inspect and replay them. This is the single
+    * batch protocol: tests and the deployed Kafka path both run through it. */
   def runWithForeachBatch(
       envelope: DataFrame,
       c: Config,
       writeGood: DataFrame => Unit,
       writePoison: DataFrame => Unit,
-      metrics: Option[Metrics] = None): StreamingQuery =
-    envelope.writeStream
+      metrics: Option[Metrics] = None,
+      queryName: Option[String] = None): StreamingQuery = {
+    val writer = envelope.writeStream
       .trigger(Trigger.ProcessingTime(c.flushInterval))
       .option("checkpointLocation", c.checkpointDir)
+    queryName.foreach(writer.queryName)
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val t = transform(batch).cache()
+        val cached = batch.cache()
         try {
-          val good = toWire(t.filter(!col("parse_error")))
+          val good = toWire(transform(cached).filter(!col("parse_error")))
           writeGood(good)
+          val poison = cached.filter(Enrich.parseErrorFlag(col("value")))
+          val nPoison = poison.count()
           // produced/error counters mirror the reference's
           // messages_produced_total / transform_errors_total
           metrics.foreach { m =>
             m.messagesProduced.addAndGet(good.count())
-            m.transformErrors.addAndGet(t.filter(col("parse_error")).count())
+            m.transformErrors.addAndGet(nPoison)
           }
-          writePoison(t.filter(col("parse_error")))
-        } finally t.unpersist()
+          if (nPoison > 0) writePoison(poison)
+        } finally cached.unpersist()
       }
       .start()
+  }
 
-  /** Full Kafka→Kafka wiring (deploy-time path; needs the connector jar).
-    * Runs through foreachBatch so the dead-letter split, backoff and the
-    * produced/error counters are live in production, not only in tests. */
+  /** Full Kafka→Kafka wiring (deploy-time path; needs the connector jar):
+    * delegates to [[runWithForeachBatch]] so tests and production share one
+    * batch protocol; poison envelopes go to the dead-letter topic with
+    * their ORIGINAL key/value, replayable as-is. */
   def start(spark: SparkSession, c: Config,
             metrics: Option[Metrics] = None): StreamingQuery = {
     def kafkaBatchWrite(df: DataFrame, topic: String): Unit =
@@ -169,30 +184,13 @@ object StormStream {
           .option("kafka.acks", "all")
           .save()
       }
-    kafkaSource(spark, c).writeStream
-      .queryName("storm-etl")
-      .trigger(Trigger.ProcessingTime(c.flushInterval))
-      .option("checkpointLocation", c.checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val t = transform(batch).cache()
-        try {
-          val good = toWire(t.filter(!col("parse_error")))
-          kafkaBatchWrite(good, c.sinkTopic)
-          val nGood = good.count()
-          val nPoison = t.filter(col("parse_error")).count()
-          metrics.foreach { m =>
-            m.messagesProduced.addAndGet(nGood)
-            m.transformErrors.addAndGet(nPoison)
-          }
-          c.deadLetterTopic.foreach { dlt =>
-            if (nPoison > 0)
-              kafkaBatchWrite(t.filter(col("parse_error"))
-                .select(col("id").cast("binary").as("key"),
-                  to_json(struct(col("*"))).cast("binary").as("value")), dlt)
-          }
-        } finally t.unpersist()
-      }
-      .start()
+    runWithForeachBatch(
+      kafkaSource(spark, c), c,
+      good => kafkaBatchWrite(good, c.sinkTopic),
+      poison => c.deadLetterTopic.foreach(dlt =>
+        kafkaBatchWrite(poison.select(col("key"), col("value")), dlt)),
+      metrics,
+      Some("storm-etl"))
   }
 
   /** T3: the reference's exponential backoff on load failure — 200 ms, ×2,

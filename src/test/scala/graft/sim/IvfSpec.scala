@@ -4,7 +4,7 @@ import graft.SparkTestSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** IVF recall check: probing 4 of 16 cells must recover most of the exact
-  * top-5 (random 64-dim embeddings cluster weakly, so demand overlap >= 2
+  * top-5 (random 64-dim embeddings cluster weakly, so demand presence (>= 1)
   * rather than perfection; structure is asserted tightly). */
 class IvfSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
