@@ -26,17 +26,26 @@ object Ivf {
   val NProbe = 4
   val TopK = 5
 
-  // memoize per (session, dir): the quantizer is a one-off batch artifact,
-  // not something to retrain per query
-  private val trained =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), (DataFrame, Array[Array[Double]])]
+  // memoize the most recent quantizer only (the usual working set is one
+  // corpus; a bounded slot avoids pinning stopped sessions/stale dirs and
+  // the synchronization avoids concurrent duplicate training)
+  private var lastTrained:
+    Option[((SparkSession, String), (DataFrame, Array[Array[Double]]))] = None
 
   /** Train the coarse quantizer and assign every vector to a cell
-    * (memoized; the assignment DataFrame is cached once). */
+    * (memoized per most-recent (session, dir); the assignment DataFrame is
+    * cached once and unpersisted on eviction). */
   def assignments(s: SparkSession, dir: String):
-      (DataFrame, Array[Array[Double]]) =
-    trained.getOrElseUpdate((s, dir), trainAssignments(s, dir))
+      (DataFrame, Array[Array[Double]]) = synchronized {
+    lastTrained match {
+      case Some((k, v)) if k == (s, dir) => v
+      case prev =>
+        prev.foreach(_._2._1.unpersist())
+        val v = trainAssignments(s, dir)
+        lastTrained = Some(((s, dir), v))
+        v
+    }
+  }
 
   private def trainAssignments(s: SparkSession, dir: String):
       (DataFrame, Array[Array[Double]]) = {
@@ -77,18 +86,17 @@ object Ivf {
 
   def ivfTopkProbing(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val (assigned, centers) = assignments(s, dir)
-    val cached = assigned
     import s.implicits._
-    val qEmb = cached.filter(col("vec_id") === 0)
+    val qEmb = assigned.filter(col("vec_id") === 0)
       .select("embedding").as[Array[Float]].head().map(_.toDouble)
     // O(NLists) centroid comparison picks the probe set
     val probeCells = centers.zipWithIndex
       .map { case (ctr, i) => (cosine(qEmb, ctr), i) }
       .sortBy(-_._1).take(nprobe).map(_._2)
-    val q = cached.filter(col("vec_id") === 0)
+    val q = assigned.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"),
         sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
-    cached
+    assigned
       .filter(col("vec_id") =!= 0 && col("cell").isin(probeCells.toSeq: _*))
       .crossJoin(broadcast(q))
       .withColumn("cos",

@@ -254,32 +254,32 @@ object Enrich {
     * `parse_error` so callers can split a dead-letter branch (F1) with a
     * plain filter instead of exceptions.
     */
-  /** True when the envelope value is NOT parseable as a raw record (the
-    * reference's only hard error). Shared by the parse path and dead-letter
-    * routing so both agree on what "poison" means. */
-  def parseErrorFlag(value: Column): Column = {
+  private def parsedWithCorrupt(value: Column): Column = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val schemaWithCorrupt =
       StructType(Model.rawSchema.fields :+ StructField("_corrupt", StringType))
-    val rec = from_json(value.cast("string"), schemaWithCorrupt,
+    from_json(value.cast("string"), schemaWithCorrupt,
       Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
+  }
+
+  /** True when the envelope value is NOT parseable as a raw record (the
+    * reference's only hard error). Shared by the parse path and dead-letter
+    * routing so both always agree on what "poison" means. */
+  def parseErrorFlag(value: Column): Column = {
+    val rec = parsedWithCorrupt(value)
     rec.isNull || rec.getField("_corrupt").isNotNull
   }
 
+  /** Parse the Kafka envelope's JSON value into the 11 raw string columns
+    * (P1). from_json in PERMISSIVE mode yields a null-FILLED struct for
+    * malformed input (not a null struct), so malformed detection needs the
+    * corrupt-record column. A legit "{}" parses clean with all-null fields —
+    * the reference treats that as a valid zero-value event
+    * (transform_test.go:96-103), and so does this path.
+    */
   def parseRawJson(df: DataFrame, valueCol: String = "value",
                    kafkaTsCol: String = "timestamp"): DataFrame = {
-    // from_json in PERMISSIVE mode yields a null-FILLED struct for malformed
-    // input (not a null struct), so malformed detection needs the corrupt-
-    // record column. A legit "{}" parses clean with all-null fields — the
-    // reference treats that as a valid zero-value event
-    // (transform_test.go:96-103), and so does this path.
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val schemaWithCorrupt =
-      StructType(Model.rawSchema.fields :+ StructField("_corrupt", StringType))
-    val parsed = df.withColumn("_rec",
-      from_json(col(valueCol).cast("string"), schemaWithCorrupt,
-        Map("mode" -> "PERMISSIVE",
-          "columnNameOfCorruptRecord" -> "_corrupt")))
+    val parsed = df.withColumn("_rec", parsedWithCorrupt(col(valueCol)))
     val rawCols = Model.rawFieldNames.map(f => col(s"_rec.$f").as(f))
     parsed.select(
       rawCols ++ Seq(

@@ -44,10 +44,12 @@ object StormStream {
     * whole milliseconds (sub-ms truncates toward zero like a ms trigger
     * would). Throws IllegalArgumentException on anything else. */
   def parseGoDurationMs(raw: String): Long = {
-    if (raw == "0") return 0L
-    val seg = "([0-9]+(?:\\.[0-9]+)?)(ns|us|µs|ms|s|m|h)".r
-    val matched = seg.findAllMatchIn(raw).toSeq
-    require(matched.nonEmpty && matched.map(_.matched).mkString == raw,
+    val body = raw.stripPrefix("+")
+    if (body == "0") return 0L
+    // Go number forms: "1", "1.5", ".5", "1." — all valid before a unit
+    val seg = "([0-9]+(?:\\.[0-9]*)?|\\.[0-9]+)(ns|us|µs|ms|s|m|h)".r
+    val matched = seg.findAllMatchIn(body).toSeq
+    require(matched.nonEmpty && matched.map(_.matched).mkString == body,
       s"not a Go duration: $raw")
     val ms = matched.map { m =>
       val mult = m.group(2) match {
@@ -56,7 +58,8 @@ object StormStream {
       }
       m.group(1).toDouble * mult
     }.sum
-    ms.toLong
+    val rounded = ms.round // 2.3s = 2299.999... in double → 2300, not 2299
+    if (rounded == 0L && ms > 0) 1L else rounded // sub-ms → smallest trigger
   }
 
   object Config {
@@ -152,11 +155,15 @@ object StormStream {
     queryName.foreach(writer.queryName)
     writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cached = batch.cache()
+        // cache both layers: raw (poison routing reads original payloads)
+        // and transformed (write + count each act on it) — without the
+        // second cache the whole enrichment would recompute per action
+        val raw = batch.cache()
+        val t = transform(raw).cache()
         try {
-          val good = toWire(transform(cached).filter(!col("parse_error")))
+          val good = toWire(t.filter(!col("parse_error")))
           writeGood(good)
-          val poison = cached.filter(Enrich.parseErrorFlag(col("value")))
+          val poison = raw.filter(Enrich.parseErrorFlag(col("value")))
           val nPoison = poison.count()
           // produced/error counters mirror the reference's
           // messages_produced_total / transform_errors_total
@@ -165,7 +172,7 @@ object StormStream {
             m.transformErrors.addAndGet(nPoison)
           }
           if (nPoison > 0) writePoison(poison)
-        } finally cached.unpersist()
+        } finally { t.unpersist(); raw.unpersist() }
       }
       .start()
   }
