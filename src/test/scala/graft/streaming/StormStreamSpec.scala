@@ -168,6 +168,23 @@ class StormStreamSpec extends AnyFunSuite {
     assert(delays.toSeq == Seq(200L, 400L, 800L, 1600L, 3200L, 5000L, 5000L))
   }
 
+  test("Go duration parser: units, compounds, fractions, rounding") {
+    import StormStream.parseGoDurationMs
+    assert(parseGoDurationMs("500ms") == 500L)
+    assert(parseGoDurationMs("2s") == 2000L)
+    assert(parseGoDurationMs("1m30s") == 90000L)
+    assert(parseGoDurationMs("1.5s") == 1500L)
+    assert(parseGoDurationMs("2.3s") == 2300L) // double truncation would give 2299
+    assert(parseGoDurationMs(".5s") == 500L)
+    assert(parseGoDurationMs("+500ms") == 500L)
+    assert(parseGoDurationMs("1h") == 3600000L)
+    assert(parseGoDurationMs("0") == 0L)
+    assert(parseGoDurationMs("500us") == 1L) // sub-ms clamps to 1ms trigger
+    intercept[IllegalArgumentException](parseGoDurationMs("abc"))
+    intercept[IllegalArgumentException](parseGoDurationMs("500"))
+    intercept[IllegalArgumentException](parseGoDurationMs("5d"))
+  }
+
   test("config loads from env with reference names, defaults and bounds") {
     val d = StormStream.Config.fromEnv(Map.empty)
     assert(d.brokers == "kafka:9092")
