@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   *    explode → per-perm min → band hash → bucket self-join → verify,
   *  - SimHash (32-bit, majority-vote over word hashes) bucket grouping.
   *
-  * All hash functions are sha256-derived so the DuckDB oracle reproduces
-  * values bit-exactly. Everything is expressed as shuffles over exploded
-  * relations (no driver-side loops), so each stage scales horizontally:
-  * the only quadratic term is within-bucket pair expansion, which LSH
-  * bounds by construction (and stop-shingle pruning would bound further).
+  * Base hashes are sha256-derived so the DuckDB oracle reproduces values
+  * bit-exactly, but each shingle is hashed ONCE: the 16 MinHash
+  * permutations are universal-hash transforms `(a_j*h + b_j) mod p` of
+  * that single hash — pure 64-bit arithmetic both engines compute
+  * identically, 16× less crypto work than hashing per permutation (at
+  * 100 TB that is the difference between a day and an hour of CPU).
+  * Everything is expressed as shuffles over exploded relations (no
+  * driver-side loops), so each stage scales horizontally: the only
+  * quadratic term is within-bucket pair expansion, which LSH bounds by
+  * construction (and stop-shingle pruning would bound further).
   */
 object DedupQueries {
 
@@ -27,6 +32,27 @@ object DedupQueries {
   val NumBands = 4
   val RowsPerBand = 4 // NumPerms / NumBands
   val JaccardThreshold = 0.5
+
+  /** Universal-hash modulus: Mersenne prime 2^31-1. Both operands of
+    * `a*h` stay below 2^31, so the product stays below 2^62 — safely
+    * inside BIGINT in Spark (wrapping) and DuckDB (overflow-checked)
+    * alike. */
+  val MinhashPrime = 2147483647L
+
+  /** Deterministic permutation coefficients, derived from sha256 of the
+    * permutation index (seed-free, reproducible anywhere): a_j ∈ [1, p-1],
+    * b_j ∈ [0, p-1]. Inlined as literals into both the Spark plan and the
+    * oracle SQL, so the two engines share them by construction. */
+  private def coefSource(tag: String, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"minhash-$tag-$j".getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+  val PermA: IndexedSeq[Long] =
+    (0 until NumPerms).map(j => coefSource("a", j) % (MinhashPrime - 1) + 1)
+  val PermB: IndexedSeq[Long] =
+    (0 until NumPerms).map(j => coefSource("b", j) % MinhashPrime)
 
   /** 3-word shingles, distinct per doc, exploded to (doc_id, s). */
   def shingles(s: SparkSession, dir: String): DataFrame = {
@@ -83,12 +109,16 @@ object DedupQueries {
   }
 
   // ------------------------------------------------------- minhash + LSH
-  /** Per-doc minhash signature: one min() per permutation over exploded
-    * shingles (single shuffle, partial aggregation map-side). */
+  /** Per-doc minhash signature: ONE sha256 per shingle (materialized as its
+    * own projection so the 16 permutations reuse it), then one min() per
+    * universal-hash permutation (single shuffle, partial aggregation
+    * map-side). */
   def minhashSignatures(sh: DataFrame): DataFrame = {
+    val hashed = sh.select(col("doc_id"),
+      pmod(hex32(col("s")), lit(MinhashPrime)).as("h"))
     val mins = (0 until NumPerms).map(j =>
-      min(hex32(concat(lit(j.toString), lit("|"), col("s")))).as(s"h$j"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      min((col("h") * PermA(j) + PermB(j)) % MinhashPrime).as(s"h$j"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs → exact-Jaccard verification (>= 0.5), with the
@@ -179,9 +209,15 @@ object DedupQueries {
   // ------------------------------------------------------------- oracles
   private val minhashSelect: String = {
     val mins = (0 until NumPerms).map(j =>
-      s"min(('0x' || substr(sha256('$j|' || s), 1, 8))::BIGINT) AS h$j")
+      s"min((h * ${PermA(j)} + ${PermB(j)}) % $MinhashPrime) AS h$j")
       .mkString(",\n    ")
-    s"mh AS (\n  SELECT doc_id,\n    $mins\n  FROM sh GROUP BY doc_id)"
+    s"""mh AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM (SELECT doc_id,
+       |          (('0x' || substr(sha256(s), 1, 8))::BIGINT) % $MinhashPrime AS h
+       |        FROM sh) hs
+       |  GROUP BY doc_id)""".stripMargin
   }
 
   private val bandsSql: String = {

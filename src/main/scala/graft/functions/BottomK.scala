@@ -39,7 +39,9 @@ object BottomK {
 
   /** Gate query: a deterministic 5-doc sample per source via the custom
     * aggregate (same rows as ordering by the hash and taking 5 — which is
-    * exactly what the oracle does). */
+    * exactly what the oracle does). The sketch's array output is exploded
+    * to one (source, rk, doc_id) row per sample so the gate compares
+    * scalars — the aggregation itself still runs through the UDAF. */
   def samplePerGroupAgg(s: SparkSession, dir: String): DataFrame = {
     val bottomK = udaf(new BottomKAgg(5),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
@@ -48,6 +50,9 @@ object BottomK {
       .agg(bottomK(
         hex32(concat(col("source"), lit("|"), col("doc_id"))),
         col("doc_id")).as("sample_ids"))
+      .select(col("source"), posexplode(col("sample_ids")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+        col("col").as("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -62,6 +67,6 @@ object BottomK {
         |r AS (SELECT *, row_number() OVER (
         |        PARTITION BY source ORDER BY hk, doc_id) AS rk
         |      FROM h)
-        |SELECT source, list(doc_id ORDER BY hk, doc_id) AS sample_ids
-        |FROM r WHERE rk <= 5 GROUP BY source""".stripMargin)
+        |SELECT source, rk::INT AS rk, doc_id
+        |FROM r WHERE rk <= 5""".stripMargin)
 }

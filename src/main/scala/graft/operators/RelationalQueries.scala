@@ -184,19 +184,24 @@ object RelationalQueries {
   }
 
   // F5-shape: constraint audit — single row of violation counts (validator
-  // phases 2–4, cmd/validate/main.go:257-538, re-expressed as one pass).
+  // phases 2–4, cmd/validate/main.go:257-538). One conditional-aggregation
+  // pass per table plus the anti-join count, cross-joined into the result
+  // row: no driver-side actions, so the whole audit is a single Spark job
+  // (three scans) instead of four.
   def q17Constraints(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val lineitem = t(s, dir, "lineitem")
-    val badStatus = orders.filter(!col("o_orderstatus").isin("O", "F", "P")).count()
-    val orphanItems = lineitem
+    val orderAudit = orders.agg(
+      coalesce(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)), lit(0L))
+        .as("bad_status"))
+    val orphanAudit = lineitem
       .join(orders.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .count()
-    val badPrice = lineitem.filter(col("l_extendedprice") <= 0).count()
-    val badDiscount = lineitem.filter(!col("l_discount").between(0, 1)).count()
-    import s.implicits._
-    Seq((badStatus, orphanItems, badPrice, badDiscount))
-      .toDF("bad_status", "orphan_lineitems", "bad_price", "bad_discount")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    val itemAudit = lineitem.agg(
+      coalesce(sum(when(col("l_extendedprice") <= 0, 1L)), lit(0L)).as("bad_price"),
+      coalesce(sum(when(!col("l_discount").between(0, 1), 1L)), lit(0L)).as("bad_discount"))
+    orderAudit.crossJoin(orphanAudit).crossJoin(itemAudit)
+      .select("bad_status", "orphan_lineitems", "bad_price", "bad_discount")
   }
 
   // Statistical aggregates: correlation + sample stddev per group.
@@ -413,7 +418,7 @@ object RelationalQueries {
         |  FROM events)
         |SELECT user_id,
         |  sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
-        |           THEN 1 ELSE 0 END) AS n_sessions,
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
     "q17_constraints" ->

@@ -17,7 +17,11 @@ object SkewJoin {
   /** Join `skewed` with `other` on `skewed(key) === other(otherKey)`,
     * spreading each key of the skewed side over `k` salts. The per-row salt
     * value only decides which task handles the row — any spread yields the
-    * identical join result. */
+    * identical join result. The salt hashes the row CONTENT (all columns),
+    * never `monotonically_increasing_id()`/`rand()`: a nondeterministic salt
+    * re-spreads rows on task retry after a shuffle-fetch failure, while
+    * already-fetched reducer output keeps the old spread — rows double or
+    * vanish. A content hash reproduces the same spread on every recompute. */
   def saltedJoin(skewed: DataFrame, other: DataFrame,
                  key: String, otherKey: String, k: Int,
                  joinType: String = "inner"): DataFrame = {
@@ -30,7 +34,7 @@ object SkewJoin {
       s"saltedJoin does not preserve '$joinType' semantics " +
         "(unmatched right rows would duplicate per salt)")
     val salted = skewed.withColumn("_salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(k)))
+      pmod(hash(skewed.columns.map(col): _*), lit(k)))
     val replicated = other.withColumn("_salt",
       explode(array((0 until k).map(lit): _*)))
     salted.join(replicated,

@@ -16,15 +16,25 @@ import org.apache.spark.sql.functions._
   * the assignment is a one-off batch job and the probe is a partition-
   * pruned scan when the table is written partitioned by cell.
   *
-  * No SQL oracle (k-means cells are not reproducible in DuckDB); the
-  * driver records a rows-only check and `IvfSpec` asserts recall against
-  * the exact top-k.
+  * The approximate query (`ivf_topk`) has no SQL oracle (k-means cells are
+  * not reproducible in DuckDB) — the driver records a rows-only check and
+  * `IvfSpec` asserts recall against the exact top-k. The probe-ALL variant
+  * (`ivf_topk_probeall`, nprobe = NLists) scans every cell and therefore
+  * IS the brute-force top-k, so it carries a full DuckDB hash oracle —
+  * the IVF machinery's correctness bound, gate-checked.
   */
 object Ivf {
 
   val NLists = 16
   val NProbe = 4
   val TopK = 5
+
+  /** Train the coarse quantizer on a deterministic 1-in-SampleMod subset
+    * (`vec_id % SampleMod == 0`): centroids fitted on a uniform sample are
+    * statistically identical to full-corpus centroids, and fitting is the
+    * dominant cost — assignment and the probe path still cover every
+    * vector. Deterministic (vs `df.sample`): immune to partitioning. */
+  val SampleMod = 5
 
   // memoize the most recent quantizer only (the usual working set is one
   // corpus; a bounded slot avoids pinning stopped sessions/stale dirs and
@@ -61,13 +71,23 @@ object Ivf {
         (id, Vectors.dense(if (n == 0.0) d else d.map(_ / n)))
       }
       .toDF("vec_id", "features")
+      .cache() // read once, feed both fit (sampled) and transform (full)
+    val sampled = features.filter(pmod(col("vec_id"), lit(SampleMod)) === 0)
+    // tiny fixtures can undersample k-means below NLists points — fall back
+    // to the full set there; at scale the sample always dominates NLists
+    val trainSet =
+      if (sampled.limit(NLists * 4).count() >= NLists * 4L) sampled
+      else features
     val model = new KMeans()
       .setK(NLists).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(features)
-    (e.join(model.transform(features).select("vec_id", "cell"), "vec_id")
-      .cache(),
-      model.clusterCenters.map(_.toArray))
+      .fit(trainSet)
+    val assigned = e
+      .join(model.transform(features).select("vec_id", "cell"), "vec_id")
+      .cache()
+    assigned.count() // materialize before dropping the feature cache
+    features.unpersist()
+    (assigned, model.clusterCenters.map(_.toArray))
   }
 
   private def cosine(a: Array[Double], b: Array[Double]): Double = {
@@ -108,8 +128,26 @@ object Ivf {
         round(col("cos"), 4).as("cosine"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ivf_topk" -> ivfTopk)
+  /** Probe-all gate query: nprobe = NLists ⇒ exhaustive scan ⇒ exactly the
+    * brute-force cosine top-k, minus the `cell` column (which is k-means
+    * dependent and not oracle-reproducible). */
+  def ivfTopkProbeAll(s: SparkSession, dir: String): DataFrame =
+    ivfTopkProbing(s, dir, NLists).drop("cell")
 
-  val oracles: Map[String, String] = Map() // rows-only (see scaladoc)
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_topk" -> ivfTopk, // rows-only (approximate; see scaladoc)
+    "ivf_topk_probeall" -> ivfTopkProbeAll)
+
+  val oracles: Map[String, String] = Map(
+    "ivf_topk_probeall" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT vec_id, label,
+        |  ${SimilarityQueries.sqlDot("embedding", "qe")} AS dp,
+        |  ${SimilarityQueries.sqlDot("embedding", "embedding")} AS na,
+        |  ${SimilarityQueries.sqlDot("qe", "qe")} AS nq
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, label,
+        |  round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine
+        |FROM d ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
+        |LIMIT $TopK""".stripMargin)
 }

@@ -50,7 +50,7 @@ object SimilarityQueries {
     concat(chars: _*)
   }
 
-  private val Dim = 64
+  private[sim] val Dim = 64
 
   /** Exact cosine top-10 neighbors of vec_id 0 (broadcast query, one scan).
     * The query norm is computed once on the broadcast side, not per row. */
@@ -118,7 +118,7 @@ object SimilarityQueries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine)
 
   // ------------------------------------------------------------- oracles
-  private def sqlDot(a: String, b: String): String =
+  private[sim] def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, $Dim + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
 
   private def sqlPlaneDot(emb: String, j: Int): String =

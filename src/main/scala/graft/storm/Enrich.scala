@@ -289,20 +289,36 @@ object Enrich {
   }
 
   /** Assemble the flat enriched columns into the nested wire schema
-    * (`event.go:76-89`). */
-  def nested(flat: DataFrame): DataFrame =
+    * (`event.go:76-89`).
+    *
+    * With `omitEmpty = true` the fields the reference tags `omitempty`
+    * (geo.lat/lon zero; location raw/name/state/county, comments,
+    * source_office empty — `event.go:79-86`) are nullified, so
+    * [[wireJson]]'s to_json drops them exactly like Go's encoding/json
+    * omits them — byte parity with `writer.go` output, not just field-level
+    * equivalence. Fields WITHOUT omitempty (id, event_type,
+    * measurement.magnitude/unit, event_time, time_bucket, processed_at)
+    * always serialize, and struct-typed fields (geo, location, measurement)
+    * always appear — Go never treats a struct as empty, so zeroed geo
+    * renders as `"geo":{}` in both engines. */
+  def nested(flat: DataFrame, omitEmpty: Boolean = false): DataFrame = {
+    def s(c: Column): Column = if (omitEmpty) when(c =!= "", c) else c
+    def z(c: Column): Column = if (omitEmpty) when(c =!= 0.0, c) else c
     flat.select(
       col("id"), col("event_type"),
-      struct(col("lat"), col("lon")).as("geo"),
+      struct(z(col("lat")).as("lat"), z(col("lon")).as("lon")).as("geo"),
       struct(col("magnitude"), col("unit"), col("severity")).as("measurement"),
       col("event_time"),
       struct(
-        col("location_raw").as("raw"), col("location_name").as("name"),
+        s(col("location_raw")).as("raw"), s(col("location_name")).as("name"),
         col("location_distance").as("distance"),
         col("location_direction").as("direction"),
-        col("state"), col("county")).as("location"),
-      col("comments"), col("source_office"), col("time_bucket"),
+        s(col("state")).as("state"), s(col("county")).as("county"))
+        .as("location"),
+      s(col("comments")).as("comments"),
+      s(col("source_office")).as("source_office"), col("time_bucket"),
       col("processed_at"))
+  }
 
   /** Kafka sink value: nested StormEvent JSON (`writer.go:55-68`). */
   def wireJson(nestedRow: Column): Column =

@@ -14,8 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * SHA-256 event IDs (`internal/domain/transform.go:134-142`), so byte-exact
   * ID parity requires reproducing this exact rendering. Differences from
   * Java's `Double.toString`: integers print without `.0` ("2", not "2.0"),
-  * and scientific notation kicks in only when the decimal exponent is
-  * < -4 or >= 21 (vs Java's >= 7), with Go's `e+XX` exponent style.
+  * and scientific notation kicks in when the decimal exponent is < -4 or
+  * >= 6 (strconv's shortest-'g' eprec, same cutoff as C's %g — NOT the
+  * >= 21 rule, which is ES6/encoding-json, not fmt), with Go's `e+XX`
+  * exponent style: Go prints 1e6 as "1e+06" and 9.999e20 as "9.999e+20".
   */
 object GoFormat {
 
@@ -37,7 +39,7 @@ object GoFormat {
     val (digits, exp) = shortestDigits(abs)
     val dp = exp + 1 // decimal point position from the left of the digits
     val body =
-      if (exp < -4 || exp >= 21) {
+      if (exp < -4 || exp >= 6) {
         // Go exponential form: d[.ddd]e±XX with >=2 exponent digits
         val m =
           if (digits.length == 1) digits

@@ -98,9 +98,19 @@ object StormQueries {
       |      ELSE 'spotter says (KTLX) ' END AS comments
       |  FROM events)""".stripMargin
 
-  /** Oracle CTE chain re-implementing parse + enrichment rules in SQL. */
-  private val enrichedSql: String =
-    s"""WITH $rawSql,
+  /** Oracle CTE chain re-implementing parse + enrichment rules in SQL over
+    * any `raw` CTE exposing (kts, rtype, rtime, size, f_scale, speed, loc,
+    * county, state, lat_s, lon_s, comments) — shared by the synthetic
+    * projection and the reference-fixture oracle.
+    *
+    * Domain note on ID parity: the id hash embeds DuckDB `printf('%g')`,
+    * which is C-style %g (6 significant digits). It agrees with Go's
+    * shortest-round-trip %g (GoFormat.formatG) only while magnitudes carry
+    * <= 6 significant digits — true for every NOAA value and this synthetic
+    * projection (%.2f-rendered), asserted directly by GoFormatSpec beyond
+    * that range. */
+  private def chainSql(rawCte: String): String =
+    s"""WITH $rawCte,
       |parsed AS (
       |  SELECT *,
       |    coalesce(TRY_CAST(trim(lat_s) AS DOUBLE), 0.0) AS lat,
@@ -200,6 +210,26 @@ object StormQueries {
       |      ELSE NULL END AS location_direction
       |  FROM normd)""".stripMargin
 
+  private val enrichedSql: String = chainSql(rawSql)
+
+  /** Raw CTE over the reference's 271-record golden fixture, read directly
+    * by DuckDB — upgrades the fixture from ScalaTest-only goldens to a
+    * hash-checked gate row. */
+  val FixturePath = "/root/reference/data/mock/storm_reports_240426_combined.json"
+
+  private val fixtureRawSql: String =
+    s"""raw AS (
+      |  SELECT TIMESTAMP '2024-04-26 00:00:00' AS kts,
+      |    EventType AS rtype, Time AS rtime, Size AS size,
+      |    F_Scale AS f_scale, Speed AS speed, Location AS loc,
+      |    County AS county, State AS state, Lat AS lat_s, Lon AS lon_s,
+      |    Comments AS comments
+      |  FROM read_json('$FixturePath', format='array', columns={
+      |    'Time': 'VARCHAR', 'Size': 'VARCHAR', 'F_Scale': 'VARCHAR',
+      |    'Speed': 'VARCHAR', 'Location': 'VARCHAR', 'County': 'VARCHAR',
+      |    'State': 'VARCHAR', 'Lat': 'VARCHAR', 'Lon': 'VARCHAR',
+      |    'Comments': 'VARCHAR', 'EventType': 'VARCHAR'}))""".stripMargin
+
   /** Full-row enrichment, keyed by event_id (timestamps as strings). */
   def stormEnrich(s: SparkSession, dir: String): DataFrame = {
     val enriched = Enrich.enrich(syntheticRaw(s, dir),
@@ -229,14 +259,25 @@ object StormQueries {
       .agg(count(lit(1)).as("n_reports"),
         countDistinct("id").as("n_distinct_ids"))
 
-  /** Golden-fixture enrichment (reference data; no SQL oracle — validated by
-    * ScalaTest goldens + FixtureDemo instead; driver records rows>0). */
+  /** Golden-fixture enrichment (reference data), emitted as the FLAT scalar
+    * projection so the gate's comparator can hash it — the DuckDB oracle
+    * reads the same fixture file via read_json and re-runs the rule chain.
+    * (The nested wire shape stays covered by ScalaTest goldens +
+    * FixtureDemo.) */
   def stormFixture(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.option("multiLine", true).schema(Model.rawSchema)
-      .json("/root/reference/data/mock/storm_reports_240426_combined.json")
+      .json(FixturePath)
       .withColumn("kafka_timestamp", to_timestamp(lit("2024-04-26 00:00:00")))
-    Enrich.nested(Enrich.enrich(raw,
-      processedAt = to_timestamp(lit("2024-04-27 06:00:00"))))
+    Enrich.enrich(raw, processedAt = to_timestamp(lit("2024-04-27 06:00:00")))
+      .select(
+        col("id"), col("event_type"), col("lat"), col("lon"),
+        col("magnitude"), col("unit"), col("severity"),
+        date_format(col("event_time"), "yyyy-MM-dd HH:mm:ss").as("event_time"),
+        col("location_raw"), col("location_name"), col("location_distance"),
+        col("location_direction"), col("state"), col("county"),
+        col("comments"), col("source_office"),
+        date_format(col("time_bucket"), "yyyy-MM-dd HH:mm:ss").as("time_bucket"),
+        date_format(col("processed_at"), "yyyy-MM-dd HH:mm:ss").as("processed_at"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -260,5 +301,15 @@ object StormQueries {
     "storm_bucket_counts" ->
       (enrichedSql + "\n" + """SELECT strftime(date_trunc('hour', event_time), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  count(*) AS n_reports, count(DISTINCT id) AS n_distinct_ids
-        |FROM sev GROUP BY 1""".stripMargin))
+        |FROM sev GROUP BY 1""".stripMargin),
+    "storm_fixture" ->
+      (chainSql(fixtureRawSql) + "\n" +
+        """SELECT id, etype AS event_type, lat, lon, magnitude, unit, severity,
+          |  strftime(event_time, '%Y-%m-%d %H:%M:%S') AS event_time,
+          |  loc AS location_raw, location_name, location_distance,
+          |  location_direction, state, county, comments, source_office,
+          |  strftime(date_trunc('hour', event_time), '%Y-%m-%d %H:%M:%S')
+          |    AS time_bucket,
+          |  '2024-04-27 06:00:00' AS processed_at
+          |FROM sev""".stripMargin))
 }

@@ -13,11 +13,31 @@ object StormValidate {
 
   /** Phase 1 (J5): positional row parity — row i of `a` must equal row i of
     * `b` on every shared column. Order is made explicit with `orderCols`
-    * (Go compared slices positionally; DataFrames need a total order). */
+    * (Go compared slices positionally; DataFrames need a total order).
+    *
+    * The global row index is range-partition + in-partition sort +
+    * `zipWithIndex` — NOT an unpartitioned `Window.orderBy`, which funnels
+    * every row through one task. RangePartitioner keeps partitions in key
+    * order, so zipWithIndex's partition-ordered indices form the same total
+    * order a global sort would, with the sort work spread across tasks. */
   def rowParity(a: DataFrame, b: DataFrame, orderCols: Seq[String]): DataFrame = {
-    val w = Window.orderBy(orderCols.map(col): _*)
-    val an = a.withColumn("_rn", row_number().over(w)).as("a")
-    val bn = b.withColumn("_rn", row_number().over(w)).as("b")
+    require(orderCols.nonEmpty, "rowParity needs a total order")
+    def indexed(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val sorted = df
+        .repartitionByRange(orderCols.map(col): _*)
+        .sortWithinPartitions(orderCols.map(col): _*)
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+
+          org.apache.spark.sql.types.StructField(
+            "_rn", org.apache.spark.sql.types.LongType, nullable = false))
+      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+    val an = indexed(a).as("a")
+    val bn = indexed(b).as("b")
     val shared = a.columns.intersect(b.columns).toSeq
     val mismatch = shared.map(c => !(col(s"a.$c") <=> col(s"b.$c")))
       .reduce(_ || _)

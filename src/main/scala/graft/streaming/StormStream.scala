@@ -25,6 +25,28 @@ import org.apache.spark.sql.Row
   */
 object StormStream {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Cap on per-batch poison warn lines — provenance logging must stay O(1)
+    * per batch at scale; the full poison set still reaches the dead-letter
+    * sink untruncated. */
+  val MaxPoisonLogLines = 20
+
+  /** One warn line per poison record with its Kafka provenance, mirroring
+    * the reference's skip log (`internal/pipeline/pipeline.go:127-142`:
+    * "transform failed, skipping message" + topic/partition/offset). Only
+    * provenance columns present on the frame are included, so the same path
+    * serves Kafka envelopes and provenance-free test streams. */
+  def poisonLogLines(poison: DataFrame,
+                     limit: Int = MaxPoisonLogLines): Seq[String] = {
+    val prov = Seq("topic", "partition", "offset")
+      .filter(poison.columns.contains)
+    poison.select(prov.map(col): _*).limit(limit).collect().toSeq.map { r =>
+      val fields = prov.map(c => s"$c=${r.getAs[Any](c)}")
+      ("transform failed, skipping message" +: fields).mkString(" ")
+    }
+  }
+
   /** Batch knobs of the reference (`BATCH_SIZE`, `BATCH_FLUSH_INTERVAL`,
     * README.md:55-56) mapped to micro-batch knobs. */
   final case class Config(
@@ -122,10 +144,11 @@ object StormStream {
     Enrich.enrich(parsed, keep = Seq("parse_error"))
   }
 
-  /** S4: nested wire-format output — key = id bytes, value = nested JSON,
-    * headers event_type + processed_at (writer.go:55-68). */
+  /** S4: nested wire-format output — key = id bytes, value = nested JSON
+    * with the reference's omitempty fields dropped (byte parity with
+    * writer.go), headers event_type + processed_at (writer.go:55-68). */
   def toWire(enriched: DataFrame): DataFrame = {
-    val nested = Enrich.nested(enriched)
+    val nested = Enrich.nested(enriched, omitEmpty = true)
     nested.select(
       col("id").cast("binary").as("key"),
       Enrich.wireJson(struct(nested.columns.map(col): _*)).as("value"),
@@ -171,7 +194,13 @@ object StormStream {
             m.messagesProduced.addAndGet(good.count())
             m.transformErrors.addAndGet(nPoison)
           }
-          if (nPoison > 0) writePoison(poison)
+          if (nPoison > 0) {
+            poisonLogLines(poison).foreach(log.warn)
+            if (nPoison > MaxPoisonLogLines)
+              log.warn(s"suppressed ${nPoison - MaxPoisonLogLines} further " +
+                "poison provenance lines this batch")
+            writePoison(poison)
+          }
         } finally { t.unpersist(); raw.unpersist() }
       }
       .start()

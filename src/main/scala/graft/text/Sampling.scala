@@ -77,9 +77,9 @@ object Sampling {
         |      AS uniq_ratio
         |  FROM documents),
         |r AS (
-        |  SELECT *, sum(n_tokens) OVER (
+        |  SELECT *, (sum(n_tokens) OVER (
         |    PARTITION BY source ORDER BY uniq_ratio DESC, doc_id ASC
-        |    ROWS UNBOUNDED PRECEDING) AS running_tokens
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS running_tokens
         |  FROM d)
         |SELECT source, doc_id, n_tokens, running_tokens
         |FROM r WHERE running_tokens - n_tokens < $TokenBudgetPerSource"""

@@ -22,10 +22,11 @@ class IvfSpec extends AnyFunSuite {
     val exact = SimilarityQueries.annCosineTopk(spark, sf)
       .limit(Ivf.TopK).collect().map(_.getAs[Long]("vec_id")).toSet
     // uniform random vectors are IVF's worst case: recall is bounded near
-    // nprobe/NLists. The pipeline is fully seeded, so pin the exact
-    // deterministic overlap — any probe-selection regression changes it.
+    // nprobe/NLists. The pipeline is fully seeded (sampled training set,
+    // fixed k-means seed), so pin the exact deterministic overlap — any
+    // probe-selection regression changes it.
     val overlap = ivf.map(_.getAs[Long]("vec_id")).count(exact.contains)
-    assert(overlap == 1, s"deterministic recall changed: $overlap/5")
+    assert(overlap == 3, s"deterministic recall changed: $overlap/5")
   }
 
   test("probing every cell reproduces the exact top-k (correctness bound)") {

@@ -152,27 +152,40 @@ class EnrichSpec extends AnyFunSuite {
       .collect().toMap
     assert(counts == Map("hail" -> 79L, "tornado" -> 149L, "wind" -> 43L))
 
-    val chappel = df.filter($"location.raw" === "8 ESE Chappel").head()
+    // gate output is the flat scalar projection (hash-comparable); the
+    // golden spot-checks read the flat columns directly
+    // (kafka_pipeline_test.go:252-271)
+    val chappel = df.filter($"location_raw" === "8 ESE Chappel").head()
     assert(chappel.getAs[String]("id") == "hail-5d91dda0f56ba124")
-    val meas = chappel.getAs[Row]("measurement")
-    assert(meas.getAs[Double]("magnitude") == 1.25)
-    assert(meas.getAs[String]("unit") == "in")
-    assert(meas.getAs[String]("severity") == "moderate")
+    assert(chappel.getAs[Double]("magnitude") == 1.25)
+    assert(chappel.getAs[String]("unit") == "in")
+    assert(chappel.getAs[String]("severity") == "moderate")
     assert(chappel.getAs[String]("source_office") == "SJT")
-    val loc = chappel.getAs[Row]("location")
-    assert(loc.getAs[String]("name") == "Chappel")
-    assert(loc.getAs[String]("direction") == "ESE")
-    assert(loc.getAs[Double]("distance") == 8.0)
-    assert(chappel.getAs[java.sql.Timestamp]("time_bucket").toString
-      == "2024-04-26 15:00:00.0")
+    assert(chappel.getAs[String]("location_name") == "Chappel")
+    assert(chappel.getAs[String]("location_direction") == "ESE")
+    assert(chappel.getAs[Double]("location_distance") == 8.0)
+    assert(chappel.getAs[String]("time_bucket") == "2024-04-26 15:00:00")
 
-    val pitts = df.filter($"location.county" === "Pittsburg" &&
+    val pitts = df.filter($"county" === "Pittsburg" &&
       $"event_type" === "tornado").head()
     assert(pitts.getAs[String]("id") == "tornado-e42babad56fa20a7")
     assert(pitts.getAs[String]("source_office") == "TSA")
-    assert(pitts.getAs[Row]("location").getAs[String]("name") == "Mcalester")
-    assert(pitts.getAs[java.sql.Timestamp]("time_bucket").toString
-      == "2024-04-26 12:00:00.0")
+    assert(pitts.getAs[String]("location_name") == "Mcalester")
+    assert(pitts.getAs[String]("time_bucket") == "2024-04-26 12:00:00")
+
+    // the nested wire shape stays golden too (event.go:76-89 nesting)
+    val nested = Enrich.nested(
+      Enrich.enrich(
+        spark.read.option("multiLine", true).schema(Model.rawSchema)
+          .json(StormQueries.FixturePath)
+          .withColumn("kafka_timestamp",
+            to_timestamp(lit("2024-04-26 00:00:00"))),
+        processedAt = to_timestamp(lit("2024-04-27 06:00:00"))))
+      .filter($"location.raw" === "8 ESE Chappel").head()
+    val meas = nested.getAs[Row]("measurement")
+    assert(meas.getAs[Double]("magnitude") == 1.25)
+    assert(meas.getAs[String]("severity") == "moderate")
+    assert(nested.getAs[Row]("location").getAs[String]("name") == "Chappel")
     df.unpersist()
   }
 }

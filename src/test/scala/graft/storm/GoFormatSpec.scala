@@ -17,10 +17,14 @@ class GoFormatSpec extends AnyFunSuite {
     0.0001 -> "0.0001",
     0.00001 -> "1e-05",
     65.0 -> "65",
-    100000.0 -> "100000",
+    100000.0 -> "100000", // exp 5: still fixed form
+    999999.0 -> "999999",
+    1e6 -> "1e+06", // exp >= 6 switches to exponential (Go fmt.Println(1e6))
+    1234567.0 -> "1.234567e+06",
+    2724168.0 -> "2.724168e+06", // Prometheus-style Go output
     1e21 -> "1e+21",
     1.5e22 -> "1.5e+22",
-    9.999e20 -> "999900000000000000000",
+    9.999e20 -> "9.999e+20",
     0.1 -> "0.1",
     1.0 / 3.0 -> "0.3333333333333333",
     8.0 -> "8",
@@ -54,14 +58,22 @@ class GoFormatSpec extends AnyFunSuite {
       assert(GoFormat.formatG(n.toDouble) == n.toString)
     }
   }
+
+  test("e-notation boundary sits at exponent 6 exactly, like Go fmt") {
+    assert(GoFormat.formatG(999999.9) == "999999.9") // exp 5
+    assert(GoFormat.formatG(1000000.5) == "1.0000005e+06")
+    assert(GoFormat.formatG(-2e6) == "-2e+06")
+    assert(GoFormat.formatG(0.0001) == "0.0001") // exp -4 stays fixed
+    assert(GoFormat.formatG(0.00009) == "9e-05") // exp -5 switches
+  }
 }
 
 class GoShortestSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("formatG emits shortest digits even where JDK 17 Double.toString does not") {
     // JDK 17 (pre-Ryu) renders this as 4.0301848979298272E17 (17 digits);
     // the shortest round-trip is 4.030184897929827e17 (16) — Go prints the
-    // fixed form of the shortest digits
-    assert(GoFormat.formatG(4.0301848979298272e17) == "403018489792982700")
+    // exponential form (exp 17 >= 6) of the shortest digits
+    assert(GoFormat.formatG(4.0301848979298272e17) == "4.030184897929827e+17")
     // and a sweep: our digits never exceed the shortest length that
     // round-trips (cross-checked via parse-back)
     val rnd = new scala.util.Random(7)

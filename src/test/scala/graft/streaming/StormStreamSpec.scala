@@ -148,6 +148,68 @@ class StormStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PromHistogram: cumulative buckets, +Inf, sum/count exposition") {
+    val h = new PromHistogram(Array(1, 5, 10, 20, 30, 40, 50, 75, 100))
+    Seq(1.0, 3.0, 50.0, 512.0).foreach(h.observe)
+    val sb = new StringBuilder
+    h.render("storm_etl_batch_size", sb)
+    val body = sb.toString
+    assert(body.startsWith("# TYPE storm_etl_batch_size histogram\n"))
+    assert(body.contains("storm_etl_batch_size_bucket{le=\"1\"} 1\n"))
+    assert(body.contains("storm_etl_batch_size_bucket{le=\"5\"} 2\n"))
+    assert(body.contains("storm_etl_batch_size_bucket{le=\"40\"} 2\n"))
+    assert(body.contains("storm_etl_batch_size_bucket{le=\"50\"} 3\n"))
+    assert(body.contains("storm_etl_batch_size_bucket{le=\"100\"} 3\n"))
+    assert(body.contains("storm_etl_batch_size_bucket{le=\"+Inf\"} 4\n"))
+    assert(body.contains("storm_etl_batch_size_sum 566.0\n"))
+    assert(body.contains("storm_etl_batch_size_count 4\n"))
+    // fractional bounds render shortest-form, like the duration buckets
+    val d = new PromHistogram(Array(0.01, 0.05, 0.1, 0.5, 1, 2.5, 5, 10))
+    d.observe(0.3)
+    val sb2 = new StringBuilder
+    d.render("x", sb2)
+    assert(sb2.toString.contains("x_bucket{le=\"0.5\"} 1\n"))
+    assert(sb2.toString.contains("x_bucket{le=\"2.5\"} 1\n"))
+    assert(sb2.toString.contains("x_bucket{le=\"0.1\"} 0\n"))
+  }
+
+  test("poison provenance warn lines carry topic/partition/offset (F1 log)") {
+    // Kafka-shaped envelope: provenance columns present
+    val kafkaShaped = Seq(("bad", "raw-weather-reports", 3, 42L))
+      .toDF("value", "topic", "partition", "offset")
+    val lines = StormStream.poisonLogLines(kafkaShaped)
+    assert(lines == Seq("transform failed, skipping message " +
+      "topic=raw-weather-reports partition=3 offset=42"))
+    // provenance-free test stream: message still logged, no missing-column
+    // crash
+    val bare = Seq("bad").toDF("value")
+    assert(StormStream.poisonLogLines(bare) ==
+      Seq("transform failed, skipping message"))
+    // bounded at scale
+    val many = (1 to 50).map(i => ("bad", "t", 0, i.toLong))
+      .toDF("value", "topic", "partition", "offset")
+    assert(StormStream.poisonLogLines(many).size ==
+      StormStream.MaxPoisonLogLines)
+  }
+
+  test("wire JSON drops omitempty fields like Go encoding/json (S4 parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    // a record with empty comments/source_office and an unparseable location
+    val noOffice = goodJson
+      .replace("\"1.25 inch hail reported. (SJT)\"", "\"\"")
+    val env = envelope(noOffice -> "2024-04-26 00:00:00")
+    val wire = StormStream.toWire(
+      StormStream.transform(env).filter(!col("parse_error")))
+      .collect().head.getAs[String]("value")
+    assert(!wire.contains("\"comments\""))
+    assert(!wire.contains("\"source_office\""))
+    // non-omitempty fields always serialize, even at zero values
+    assert(wire.contains("\"magnitude\""))
+    assert(wire.contains("\"unit\""))
+    // geo present with values (lat/lon non-zero here)
+    assert(wire.contains("\"geo\":{\"lat\":31.02,\"lon\":-98.44}"))
+  }
+
   test("backoff retries transient sink failures with the reference curve (T3)") {
     val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
     var calls = 0
@@ -238,6 +300,26 @@ class StormStreamSpec extends AnyFunSuite {
         assert(mc == 200)
         assert(body.contains("storm_etl_messages_consumed_total"))
         assert(body.contains("storm_etl_pipeline_running 1"))
+        // T7: the reference's two batch histograms render with its bucket
+        // bounds (internal/observability/metrics.go:42-53); exact-count
+        // rendering is pinned in the PromHistogram test below (this shared
+        // session may see other suites' queries through the listener)
+        assert(body.contains("# TYPE storm_etl_batch_size histogram"))
+        assert(body.contains("storm_etl_batch_size_bucket{le=\"1\"} "))
+        assert(body.contains("storm_etl_batch_size_bucket{le=\"75\"} "))
+        assert(body.contains("storm_etl_batch_size_bucket{le=\"+Inf\"} "))
+        assert(body.contains("storm_etl_batch_size_count "))
+        assert(body.contains(
+          "# TYPE storm_etl_batch_processing_duration_seconds histogram"))
+        assert(body.contains(
+          "storm_etl_batch_processing_duration_seconds_bucket{le=\"0.01\"} "))
+        assert(body.contains(
+          "storm_etl_batch_processing_duration_seconds_bucket{le=\"2.5\"} "))
+        assert(body.contains(
+          "storm_etl_batch_processing_duration_seconds_count "))
+        // at least the one non-empty batch above was observed
+        assert(metrics.batchSize.count >= 1)
+        assert(metrics.batchProcessingDuration.count >= 1)
       } finally q.stop()
     } finally {
       ops.stop()
