@@ -123,17 +123,31 @@ object StormStream {
     }
   }
 
+  /** S1 option wiring as data, so the deploy-time mapping from the
+    * reference's config (`internal/adapter/kafka/reader.go:22-32`:
+    * FirstOffset, consumer group, batch bound) is unit-testable without the
+    * connector jar (absent in this sandbox — see the object scaladoc). */
+  def kafkaSourceOptions(c: Config): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> c.brokers,
+    "subscribe" -> c.sourceTopic,
+    "kafka.group.id" -> c.groupId,
+    "startingOffsets" -> "earliest", // reader.go:26 FirstOffset
+    "maxOffsetsPerTrigger" -> c.batchSize.toString, // ExtractBatch bound
+    "includeHeaders" -> "true")
+
+  /** S3 sink options: RequireAll acks like `writer.go:23-31`. */
+  def kafkaSinkOptions(c: Config, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> c.brokers,
+    "topic" -> topic,
+    "kafka.acks" -> "all")
+
   /** S1: the Kafka streaming source (offsets tracked by checkpoint, not
     * per-record commit closures). */
   def kafkaSource(spark: SparkSession, c: Config): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", c.brokers)
-      .option("subscribe", c.sourceTopic)
-      .option("kafka.group.id", c.groupId)
-      .option("startingOffsets", "earliest")
-      .option("maxOffsetsPerTrigger", c.batchSize)
-      .option("includeHeaders", "true")
+    kafkaSourceOptions(c)
+      .foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
       .load()
 
   /** P1 + P2–P15 over the raw envelope (columns `value` binary/string,
@@ -214,10 +228,10 @@ object StormStream {
             metrics: Option[Metrics] = None): StreamingQuery = {
     def kafkaBatchWrite(df: DataFrame, topic: String): Unit =
       withBackoff() {
-        df.write.format("kafka")
-          .option("kafka.bootstrap.servers", c.brokers)
-          .option("topic", topic)
-          .option("kafka.acks", "all")
+        kafkaSinkOptions(c, topic)
+          .foldLeft(df.write.format("kafka")) {
+            case (w, (k, v)) => w.option(k, v)
+          }
           .save()
       }
     runWithForeachBatch(

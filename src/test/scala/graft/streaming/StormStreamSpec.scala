@@ -247,6 +247,37 @@ class StormStreamSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parseGoDurationMs("5d"))
   }
 
+  test("Kafka option wiring maps the reference's adapter config (S1/S3)") {
+    val c = StormStream.Config(brokers = "b:9092", sourceTopic = "src",
+      sinkTopic = "dst", groupId = "g1", batchSize = 75L)
+    val src = StormStream.kafkaSourceOptions(c)
+    assert(src("kafka.bootstrap.servers") == "b:9092")
+    assert(src("subscribe") == "src")
+    assert(src("kafka.group.id") == "g1")
+    assert(src("startingOffsets") == "earliest") // reader.go FirstOffset
+    assert(src("maxOffsetsPerTrigger") == "75") // ExtractBatch size bound
+    assert(src("includeHeaders") == "true") // envelope headers (S2)
+    val sink = StormStream.kafkaSinkOptions(c, c.sinkTopic)
+    assert(sink("topic") == "dst")
+    assert(sink("kafka.acks") == "all") // writer.go RequireAll
+  }
+
+  test("start() wires through to the Kafka connector lookup (deploy path)") {
+    // The connector jar is not in this sandbox, so the deepest reachable
+    // point is Spark's data-source resolution: start() must fail THERE
+    // (proving source options + foreachBatch wiring executed), not anywhere
+    // earlier. With spark-sql-kafka on the deploy classpath the same call
+    // connects to a broker instead.
+    val c = StormStream.Config(checkpointDir =
+      java.nio.file.Files.createTempDirectory("ckpt-kafka").toString)
+    val e = intercept[Exception] { StormStream.start(spark, c) }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.toLowerCase.contains("kafka"))),
+      s"expected the kafka data-source lookup failure, got: $e")
+  }
+
   test("config loads from env with reference names, defaults and bounds") {
     val d = StormStream.Config.fromEnv(Map.empty)
     assert(d.brokers == "kafka:9092")
