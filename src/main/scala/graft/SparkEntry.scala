@@ -1,9 +1,9 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.dedup.DedupQueries
+import graft.dedup.{ConnectedComponents, DedupQueries}
 import graft.functions.BottomK
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, RelationalQueries}
+import graft.operators.{AsOfJoin, IntervalJoin, RelationalQueries, SkewJoin}
 import graft.sim.{Ivf, SimilarityQueries}
 import graft.storm.StormQueries
 import graft.text.{Sampling, TextQueries}
@@ -15,6 +15,9 @@ object SparkEntry {
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
       (AsOfJoin.queries, AsOfJoin.oracles),
+      (IntervalJoin.queries, IntervalJoin.oracles),
+      (SkewJoin.queries, SkewJoin.oracles),
+      (ConnectedComponents.queries, ConnectedComponents.oracles),
       (StormQueries.queries, StormQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (Sampling.queries, Sampling.oracles),

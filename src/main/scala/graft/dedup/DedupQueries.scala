@@ -207,6 +207,26 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhash)
 
   // ------------------------------------------------------------- oracles
+  /** CTE chain ending in `pairs(a_id, b_id, common, jaccard)` — the
+    * Jaccard >= 0.5 verified near-dup pairs. Shared by the
+    * `dedup_shingle_jaccard` oracle and [[ConnectedComponents]]'
+    * `dedup_clusters` oracle so both engines derive clusters from the
+    * byte-identical pair set. */
+  val pairsCte: String =
+    (s"$shinglesCte,\n" +
+      """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |rawpairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |               count(*) AS common
+        |             FROM sh a JOIN sh b
+        |               ON a.s = b.s AND a.doc_id < b.doc_id
+        |             GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id, common,
+        |            round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+        |          FROM rawpairs
+        |          JOIN sizes sa ON sa.doc_id = a_id
+        |          JOIN sizes sb ON sb.doc_id = b_id
+        |          WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5)""".stripMargin)
+
   private val minhashSelect: String = {
     val mins = (0 until NumPerms).map(j =>
       s"min((h * ${PermA(j)} + ${PermB(j)}) % $MinhashPrime) AS h$j")
@@ -245,19 +265,7 @@ object DedupQueries {
         |  (sum(c) - count(*))::BIGINT AS n_dup_docs
         |FROM g""".stripMargin,
     "dedup_shingle_jaccard" ->
-      (s"WITH $shinglesCte,\n" +
-        """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-          |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          |            count(*) AS common
-          |          FROM sh a JOIN sh b
-          |            ON a.s = b.s AND a.doc_id < b.doc_id
-          |          GROUP BY 1, 2)
-          |SELECT a_id, b_id, common,
-          |  round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
-          |FROM pairs
-          |JOIN sizes sa ON sa.doc_id = a_id
-          |JOIN sizes sb ON sb.doc_id = b_id
-          |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5""".stripMargin),
+      s"WITH $pairsCte\nSELECT a_id, b_id, common, jaccard FROM pairs",
     "dedup_minhash_lsh" ->
       (s"WITH $shinglesCte,\n$minhashSelect,\n$bandsSql,\n" +
         s"""cands AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join — the manual skew escape hatch (SCALE.md) for when AQE
@@ -43,4 +44,27 @@ object SkewJoin {
       joinType)
       .drop("_salt")
   }
+
+  /** Gate query: the salted fact↔fact join must be row-identical to the
+    * plain join, proven end-to-end by rolling the joined result up to a
+    * 3-row status summary the oracle computes with an ordinary join. */
+  def skewJoinRollup(s: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables(s, dir, "lineitem")
+    val orders = Tables(s, dir, "orders")
+    saltedJoin(lineitem, orders, "l_orderkey", "o_orderkey", k = 8)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_join_rollup" -> skewJoinRollup)
+
+  val oracles: Map[String, String] = Map(
+    "skew_join_rollup" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin)
 }
