@@ -29,40 +29,53 @@ object ConnectedComponents {
   /** Component label (min reachable node id) for every node appearing in
     * `edges` (columns `src`, `dst`). Returns (`id`, `comp`).
     *
-    * Each round ends in an EAGER `localCheckpoint`: without it the next
-    * round's plan embeds the previous round's, so analysis cost doubles
-    * per iteration and the loop dies in the optimizer long before the data
-    * is big. Checkpointing makes every round's plan O(1) — the loop is
-    * then bounded by the joins themselves, which shuffle on `id` only. */
+    * Three things keep the loop scalable:
+    *  - the input edges are EAGERLY `localCheckpoint`ed first, so whatever
+    *    expensive pipeline produced them (a shingle self-join here) runs
+    *    once, not once per round — and each round also ends in a
+    *    checkpoint, because without one the next round's plan embeds the
+    *    previous round's and analysis cost doubles per iteration;
+    *  - each round takes the min over the node's neighbors AND over its
+    *    current label's label (pointer doubling — the hash-to-min trick):
+    *    label reach grows multiplicatively instead of one hop per round,
+    *    so a diameter-d chain converges in O(log d) rounds;
+    *  - convergence is detected by comparing `sum(comp)` across rounds —
+    *    labels only ever decrease, so an unchanged sum IS a fixpoint; one
+    *    scalar aggregate per round instead of a join + count. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val bidir = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val bidir = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = bidir.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // min label over the closed neighborhood: the node's own label plus
-      // every neighbor's label (edges are bidirectional, so one direction
-      // of the join sees both sides)
       val neighborMin = bidir
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("comp").as("neighbor_comp"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("neighbor_comp"), col("comp")))
-            .as("comp"))
+      val viaLabel = labels.as("l")
+        .join(labels.as("m"), col("l.comp") === col("m.id"))
+        .select(col("l.id").as("id"), col("m.comp").as("comp_of_comp"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .join(viaLabel, Seq("id"), "left")
+        .select(col("id"), least(
+            col("comp"),
+            coalesce(col("neighbor_comp"), col("comp")),
+            coalesce(col("comp_of_comp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.comp") =!= col("p.comp"))
-        .count()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
-      converged = changed == 0
       iter += 1
     }
     bidir.unpersist()

@@ -55,7 +55,18 @@ object Multimodal {
       }
       h
     }
+
+    /** Unsigned byte sum — seed for the per-frame stub fingerprint. */
+    def byteSum(bytes: Array[Byte]): Long = {
+      var s = 0L
+      var i = 0
+      while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+      s
+    }
   }
+
+  final case class FrameSample(
+      id: Long, kind: String, frame_idx: Long, ts_ms: Long, frame_sig: Long)
 
   /** Synthesize a media table from `documents`: payload = UTF-8 bytes of the
     * text (opaque to everything downstream), kind cycling image/audio/video. */
@@ -80,6 +91,36 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling — the one-to-many decode stage (video → every
+    * `stride`-th frame with its timestamp and a deterministic stub
+    * fingerprint). Same per-partition decoder lifecycle as
+    * [[extractFeatures]]; the fan-out happens inside the partition
+    * iterator, so no shuffle is introduced and downstream operators see
+    * ordinary rows. Audio records (0 frames) emit nothing; images emit
+    * their single frame. */
+  def sampleFrames(ds: Dataset[MediaRecord], stride: Int = 10): Dataset[FrameSample] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val decoder = new StubDecoder // once per partition
+      it.flatMap { r =>
+        val meta = decoder.decode(r.kind, r.bytes)
+        if (meta.n_frames <= 0) Iterator.empty
+        else {
+          val bs = decoder.byteSum(r.bytes)
+          Iterator.range(0, meta.n_frames, stride).map { f =>
+            FrameSample(r.id, r.kind, f.toLong,
+              f.toLong * meta.duration_ms / meta.n_frames,
+              (bs * 31 + f) % 1000000007L)
+          }
+        }
+      }
+    }
+  }
+
+  /** Gate query: sampled frames with timestamps + stub fingerprints. */
+  def mediaFrameSample(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaFromDocuments(s, dir)).toDF()
+
   /** Gate query: typed metadata per media record. */
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaFromDocuments(s, dir))
@@ -98,7 +139,8 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> mediaMeta,
-    "media_histogram" -> mediaHistogram)
+    "media_histogram" -> mediaHistogram,
+    "media_frame_sample" -> mediaFrameSample)
 
   // Oracle twins: documents text is ASCII, so byte length == char length and
   // byte values == character codes — the SQL can reproduce the stub decode
@@ -118,6 +160,30 @@ object Multimodal {
         |  CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0
         |    ELSE 1 + n % 300 END AS n_frames
         |FROM m""".stripMargin,
+    "media_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS n,
+        |    list_sum(list_transform(range(1, length(text) + 1),
+        |      i -> ord(substr(text, i, 1))))::BIGINT AS byte_sum
+        |  FROM documents),
+        |f AS (
+        |  SELECT id, kind, byte_sum,
+        |    CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0
+        |      ELSE 1 + n % 300 END AS n_frames,
+        |    CASE WHEN kind = 'image' THEN 0 ELSE 1000 + n % 60000 END
+        |      AS duration_ms
+        |  FROM m),
+        |s AS (
+        |  SELECT id, kind, n_frames, duration_ms, byte_sum,
+        |    unnest(range(0, n_frames, 10)) AS frame_idx
+        |  FROM f WHERE n_frames > 0)
+        |SELECT id, kind, frame_idx,
+        |  (frame_idx * duration_ms) // n_frames AS ts_ms,
+        |  (byte_sum * 31 + frame_idx) % 1000000007 AS frame_sig
+        |FROM s""".stripMargin,
     "media_histogram" ->
       """WITH chars AS (
         |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

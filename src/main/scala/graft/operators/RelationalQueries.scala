@@ -230,8 +230,11 @@ object RelationalQueries {
 
   // Semi-structured extraction: the events props column is a JSON string;
   // pull the "k" field, bucket it, aggregate (from_json-on-string shape).
+  // The JSON parse happens scan-side (before the group-by shuffle), so the
+  // parallel loader matters here: on the single-row-group local parquet a
+  // bare scan would run the whole parse in one task.
   def q20EventProps(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    graft.Tables.parallel(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy((col("k") % 10).as("k_mod"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))

@@ -111,11 +111,46 @@ object SimilarityQueries {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Int8 scalar quantization round-trip — the 4× compression step an
+    * embedding store applies before indexing at scale. Per vector:
+    * min/max range, codes `q_i = round((x_i - mn) / scale)` with
+    * `scale = (mx - mn)/255`, reconstruction MSE, and an exact integer
+    * checksum of the codes (`sum q_i * i`) so the oracle proves the CODES
+    * are bit-identical, not just the rounded stats. All arithmetic is
+    * correctly-rounded IEEE ops in the same order as the oracle's
+    * `list_transform`/`list_reduce` (fold seed 0.0 + left-to-right), so
+    * every double matches bit-for-bit before the output rounding. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    def recon(i: Column): Column =
+      col("mn") + element_at(col("q"), i) * col("scale")
+    def diff(i: Column): Column = element_at(col("d"), i) - recon(i)
+    Tables.parallel(s, dir, "embeddings")
+      .withColumn("d", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("mn", array_min(col("d")))
+      .withColumn("mx", array_max(col("d")))
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+      .withColumn("q",
+        when(col("scale") === 0.0, transform(col("d"), _ => lit(0.0)))
+          .otherwise(transform(col("d"),
+            x => round((x - col("mn")) / col("scale"), 0))))
+      .withColumn("q_checksum",
+        aggregate(sequence(lit(1), size(col("q"))), lit(0L),
+          (acc, i) => acc + element_at(col("q"), i).cast("long") * i))
+      .withColumn("sq_sum",
+        aggregate(sequence(lit(1), size(col("d"))), lit(0.0),
+          (acc, i) => acc + diff(i) * diff(i)))
+      .select(col("vec_id"),
+        round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"),
+        col("q_checksum"),
+        round(col("sq_sum") / size(col("d")), 8).as("mse"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> annCosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
-    "dedup_embedding_cosine" -> dedupEmbeddingCosine)
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "embed_quantize" -> embedQuantize)
 
   // ------------------------------------------------------------- oracles
   private[sim] def sqlDot(a: String, b: String): String =
@@ -131,6 +166,24 @@ object SimilarityQueries {
       .mkString(" || ")
 
   val oracles: Map[String, String] = Map(
+    "embed_quantize" ->
+      s"""WITH d AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS d FROM embeddings),
+        |m AS (SELECT vec_id, d, list_min(d) AS mn, list_max(d) AS mx,
+        |        (list_max(d) - list_min(d)) / 255.0 AS scale
+        |      FROM d),
+        |q AS (SELECT vec_id, d, mn, mx, scale,
+        |        CASE WHEN scale = 0 THEN list_transform(d, x -> 0.0)
+        |             ELSE list_transform(d, x -> round((x - mn) / scale))
+        |        END AS q
+        |      FROM m)
+        |SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+        |  list_sum(list_transform(range(1, len(q) + 1),
+        |    i -> q[i]::BIGINT * i))::BIGINT AS q_checksum,
+        |  round(list_reduce(list_transform(range(1, len(d) + 1),
+        |    i -> (d[i] - (mn + q[i] * scale)) * (d[i] - (mn + q[i] * scale))),
+        |    (a, b) -> a + b) / len(d), 8) AS mse
+        |FROM q""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH b AS (SELECT vec_id, embedding,
         |    ${sqlBucket("embedding")} AS bucket FROM embeddings),

@@ -2,7 +2,7 @@ package graft.text
 
 import graft.Tables
 import graft.text.TextQueries.{hex32, words}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,9 +53,29 @@ object Sampling {
         col("running_tokens"))
   }
 
+  /** Deterministic train/val/test assignment — the split every training
+    * pipeline needs to be REPRODUCIBLE and LEAK-FREE: the bucket is a
+    * sha256-derived hash of a salted doc key (never `rand()` — reruns,
+    * retries and repartitions must all agree), and `group_split` assigns
+    * by `source` only, so correlated documents travel together and cannot
+    * leak across the split boundary. Pure projection: no shuffle at all. */
+  def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    def split(bucket: Column): Column =
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    Tables(s, dir, "documents")
+      .withColumn("bucket",
+        pmod(hex32(concat(lit("split|"), col("doc_id"))), lit(100)))
+      .withColumn("g_bucket",
+        pmod(hex32(concat(lit("gsplit|"), col("source"))), lit(100)))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        split(col("bucket")).as("split"),
+        split(col("g_bucket")).as("group_split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_per_group" -> samplePerGroup,
-    "token_budget_mix" -> tokenBudgetMix)
+    "token_budget_mix" -> tokenBudgetMix,
+    "train_split" -> trainSplit)
 
   val oracles: Map[String, String] = Map(
     "sample_per_group" ->
@@ -66,6 +86,19 @@ object Sampling {
         |             doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= $CapPerSource""".stripMargin,
+    "train_split" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  ('0x' || substr(sha256('split|' || doc_id), 1, 8))::BIGINT % 100
+        |    AS bucket,
+        |  ('0x' || substr(sha256('gsplit|' || source), 1, 8))::BIGINT % 100
+        |    AS g_bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CASE WHEN g_bucket < 80 THEN 'train' WHEN g_bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS group_split
+        |FROM b""".stripMargin,
     "token_budget_mix" ->
       s"""WITH d AS (
         |  SELECT source, doc_id,

@@ -2,6 +2,7 @@ package graft.text
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the `documents`
@@ -112,12 +113,50 @@ object TextQueries {
           lit("[0-9]{6,}"), lit(0)))).cast("long").as("n_long_digit_runs"),
         count(lit(1)).as("n_docs"))
 
+  /** Corpus vocabulary: top-100 tokens by document frequency (ties broken
+    * by token so the cut is deterministic). One explode + one aggregation
+    * shuffle; partial counts combine map-side. */
+  def vocabTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(s, dir, "documents")
+      .select(explode(array_distinct(words(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("token"))
+      .limit(100)
+
+  /** Per-document top-3 distinguishing terms by a log-free tf-idf variant:
+    * score = (tf / doc_len) / df. The log is deliberately omitted — ln()
+    * is not guaranteed bit-identical across engines, while this score is
+    * two correctly-rounded IEEE divisions, so ranking and hash compare
+    * exactly; the ORDERING it induces per document equals classic tf-idf's
+    * whenever df ties break the same way. */
+  def termRarityTopk(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.parallel(s, dir, "documents")
+      .select(col("doc_id"), size(words(col("text"))).as("doc_len"),
+        explode(words(col("text"))).as("token"))
+    // tf feeds BOTH sides of the join below (rows + the df roll-up);
+    // cache it or the explode+aggregate pipeline runs twice
+    val tf = toks.groupBy("doc_id", "doc_len", "token")
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
+    tf.join(df, "token")
+      .withColumn("score", col("tf") / col("doc_len") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("df"),
+        round(col("score") * 1000000, 4).as("rarity_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pii_scan" -> piiScan,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "lang_id_confusion" -> langIdConfusion,
-    "doc_fingerprint" -> docFingerprint)
+    "doc_fingerprint" -> docFingerprint,
+    "vocab_topk" -> vocabTopk,
+    "term_rarity_topk" -> termRarityTopk)
 
   /** Shared oracle word-split CTE. */
   val wordsCte: String =
@@ -180,5 +219,24 @@ object TextQueries {
           |  (list_sum(list_transform(range(1, len(w) + 1),
           |     i -> ('0x' || substr(sha256(w[i]), 1, 8))::BIGINT * i))
           |   % 1000000007)::BIGINT AS fp
-          |FROM w""".stripMargin))
+          |FROM w""".stripMargin),
+    "vocab_topk" ->
+      (s"WITH $wordsCte,\n" +
+        """t AS (SELECT unnest(list_distinct(w)) AS token FROM w)
+          |SELECT token, count(*) AS df FROM t GROUP BY token
+          |ORDER BY df DESC, token ASC LIMIT 100""".stripMargin),
+    "term_rarity_topk" ->
+      (s"WITH $wordsCte,\n" +
+        """tok AS (SELECT doc_id, len(w) AS doc_len, unnest(w) AS token FROM w),
+          |tf AS (SELECT doc_id, doc_len, token, count(*) AS tf
+          |       FROM tok GROUP BY 1, 2, 3),
+          |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+          |sc AS (SELECT tf.doc_id, tf.token, df.df,
+          |         tf.tf / tf.doc_len / df.df AS score
+          |       FROM tf JOIN df USING (token)),
+          |r AS (SELECT *, row_number() OVER (
+          |        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+          |      FROM sc)
+          |SELECT doc_id, rk, token, df, round(score * 1000000, 4) AS rarity_ppm
+          |FROM r WHERE rk <= 3""".stripMargin))
 }

@@ -42,7 +42,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("maxIter bounds the rounds (unconverged chain stays partial)") {
     val chain = (0L until 9L).map(i => (i, i + 1))
     val labels = cc(chain, maxIter = 2)
-    // after 2 rounds node 9 can only have seen labels within 2 hops
-    assert(labels(9L) >= 7L)
+    // 2 rounds of neighbor-min + pointer doubling reach at most 3 hops,
+    // so node 9 cannot yet have learned the chain-global min 0
+    assert(labels(9L) >= 6L)
   }
 }
