@@ -62,6 +62,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Partial"), "no partial (map-side) group limit")
   }
 
+  test("train_split is a pure projection: no exchange, no aggregate") {
+    // the split must stay shuffle-free — at 100 TB a split that shuffles
+    // costs a full-corpus exchange for what is a per-row hash
+    val plan = graft.text.Sampling.trainSplit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split plan shuffles:\n$plan")
+    assert(!plan.contains("Aggregate"), s"split plan aggregates:\n$plan")
+  }
+
+  test("frame sampling fans out inside the partition, no generator shuffle") {
+    val plan = graft.multimodal.Multimodal
+      .mediaFrameSample(spark, sf).queryExecution.executedPlan.toString
+    // the only exchange allowed is Tables.parallel's deliberate round-robin
+    // spread of the single-row-group local parquet before the decode
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"unexpected shuffles in frame sampling:\n$plan")
+  }
+
   test("no query plans an unintended cartesian product") {
     // broadcast single-row crossJoins compile to BroadcastNestedLoopJoin,
     // which is fine; a CartesianProduct would shuffle |A|x|B| rows.
