@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("go_fmt_g"),
       new ExpressionInfo(classOf[GoFmtG].getName, "go_fmt_g"),
       (children: Seq[Expression]) => GoFmtG(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[graft.functions.ArrayDot].getName, "array_dot"),
+      (children: Seq[Expression]) =>
+        graft.functions.ArrayDot(children.head, children(1))))
     ext.injectOptimizerRule(_ => CollapseIdempotentEnumNormalize)
   }
 }

@@ -21,11 +21,15 @@ object SimilarityQueries {
 
   val NumPlanes = 8
 
-  /** Left-to-right double dot product of two array columns. */
+  /** Left-to-right double dot product of two array columns — the custom
+    * codegen expression [[graft.functions.ArrayDot]] (bit-identical to the
+    * HOF `aggregate` composition it replaced, but fused into whole-stage
+    * codegen with no per-row sequence allocation). */
   def dot(a: Column, b: Column): Column =
-    aggregate(sequence(lit(1), size(a)),
-      lit(0.0), (acc, i) =>
-        acc + element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ArrayDot(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
