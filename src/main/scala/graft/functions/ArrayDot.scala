@@ -16,13 +16,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * build guidelines prescribe for hot scalar kernels: a tight fused loop
   * over the two `ArrayData`, no allocation, inside the codegen stage.
   *
-  * Semantics are BIT-IDENTICAL to the HOF form the DuckDB oracles mirror
+  * Semantics: for equal-length non-empty arrays (the embedding case) the
+  * value is BIT-IDENTICAL to the HOF form the DuckDB oracles mirror
   * (`list_sum(list_transform(...))`): accumulate in double, left to right,
   * seed 0.0, each float element promoted to double before the multiply.
-  * Iteration covers `min(len(a), len(b))` elements; a null element makes
-  * the result null (matching the HOF's null propagation). Mixed
-  * float/double element types are read natively per side — no array cast,
-  * no copy.
+  * A null element, an empty left array, or a right array shorter than the
+  * left yields null — matching the HOF's null poisoning (element_at past
+  * the end), never a silent partial sum. Mixed float/double element types
+  * are read natively per side — no array cast, no copy.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,13 +46,17 @@ case class ArrayDot(left: Expression, right: Expression)
   private def elemNullable(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].containsNull
 
-  override def nullable: Boolean =
-    super.nullable || elemNullable(left) || elemNullable(right)
+  // always nullable: length-mismatched or empty inputs yield null (below)
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // mirror the HOF form, which iterates over a's indices: any index past
+    // b's end (element_at null) or an empty a poisons the sum — null, never
+    // a silent partial result
+    if (n == 0 || b.numElements() < n) return null
     val af = elemFloat(left)
     val bf = elemFloat(right)
     var s = 0.0
@@ -75,20 +80,22 @@ case class ArrayDot(left: Expression, right: Expression)
                else s"$a.getDouble($i)"
       val xb = if (elemFloat(right)) s"(double) $b.getFloat($i)"
                else s"$b.getDouble($i)"
-      // ev.isNull is only assignable when the expression is nullable; the
-      // element-null guard is needed exactly then (containsNull on a side)
       val nullGuard =
         if (elemNullable(left) || elemNullable(right))
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullGuard
-         |  $s += $xa * $xb;
+         |int $n = $a.numElements();
+         |if ($n == 0 || $b.numElements() < $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $s += $xa * $xb;
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

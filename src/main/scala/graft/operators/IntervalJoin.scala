@@ -40,17 +40,26 @@ object IntervalJoin {
                    leftTs: String, rightTs: String,
                    lowerUs: Long, upperUs: Long): DataFrame = {
     require(upperUs > lowerUs, s"empty interval [$lowerUs, $upperUs)")
-    val window = upperUs - lowerUs
-    def bucket(c: Column): Column = floor(c / lit(window))
+    // subtractExact: an overflowing bound pair would otherwise produce a
+    // negative window and silently wrong buckets — fail fast instead
+    val window = Math.subtractExact(upperUs, lowerUs)
+    // exact floored long division, end to end in integer arithmetic:
+    // subtract the floored modulus (pmod) then `div` (integral division —
+    // exact because the numerator is a multiple of window). floor(c / w)
+    // as a double division could misbucket a boundary value once |c|
+    // outgrows the 53-bit mantissa, exactly the kind of bug a 100 TB
+    // corpus with far-past/far-future timestamps would hit.
+    def bucket(e: String): String =
+      s"(($e) - pmod($e, ${window}L)) div ${window}L"
     // right row bucket: where its own ts lands
     val r = right.withColumn("_ij_us", unix_micros(col(rightTs)))
-      .withColumn("_ij_bucket", bucket(col("_ij_us")))
+      .withColumn("_ij_bucket", expr(bucket("_ij_us")))
     // left row candidate buckets: the window [ts+lower, ts+upper) spans at
     // most two buckets of width `window`; explode the distinct set
     val l = left.withColumn("_ij_us", unix_micros(col(leftTs)))
       .withColumn("_ij_bucket", explode(array_distinct(array(
-        bucket(col("_ij_us") + lit(lowerUs)),
-        bucket(col("_ij_us") + lit(upperUs) - lit(1L))))))
+        expr(bucket(s"_ij_us + ${lowerUs}L")),
+        expr(bucket(s"_ij_us + ${upperUs}L - 1L"))))))
     val joined = l.as("l").join(r.as("r"),
       col(s"l.$leftKey") === col(s"r.$rightKey") &&
         col("l._ij_bucket") === col("r._ij_bucket") &&

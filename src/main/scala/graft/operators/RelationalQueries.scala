@@ -230,11 +230,14 @@ object RelationalQueries {
 
   // Semi-structured extraction: the events props column is a JSON string;
   // pull the "k" field, bucket it, aggregate (from_json-on-string shape).
-  // The JSON parse happens scan-side (before the group-by shuffle), so the
-  // parallel loader matters here: on the single-row-group local parquet a
-  // bare scan would run the whole parse in one task.
+  // Deliberately NOT Tables.parallel: avg() sums doubles, and a repartition
+  // changes the summation order, which can flip the round(.,4) boundary
+  // against the oracle (observed at sf0.001). The scan-side JSON parse
+  // therefore stays single-task on the local single-row-group parquet; a
+  // real multi-file corpus parallelizes by splits without reordering rows
+  // within a partition.
   def q20EventProps(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.parallel(s, dir, "events")
+    t(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy((col("k") % 10).as("k_mod"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))

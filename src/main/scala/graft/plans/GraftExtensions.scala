@@ -30,8 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[graft.functions.ArrayDot].getName, "array_dot"),
-      (children: Seq[Expression]) =>
-        graft.functions.ArrayDot(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"array_dot requires exactly 2 arguments, got ${children.length}")
+        graft.functions.ArrayDot(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => CollapseIdempotentEnumNormalize)
   }
 }

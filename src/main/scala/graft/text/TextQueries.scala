@@ -134,14 +134,14 @@ object TextQueries {
     val toks = Tables.parallel(s, dir, "documents")
       .select(col("doc_id"), size(words(col("text"))).as("doc_len"),
         explode(words(col("text"))).as("token"))
-    // tf feeds BOTH sides of the join below (rows + the df roll-up);
-    // cache it or the explode+aggregate pipeline runs twice
     val tf = toks.groupBy("doc_id", "doc_len", "token")
       .agg(count(lit(1)).as("tf"))
-      .cache()
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // df as a count window over tf (one shuffle by token) rather than a
+    // groupBy + self-join back — the join form evaluates the explode
+    // pipeline twice (or leaks a cache pinned for the session)
+    val wDf = Window.partitionBy("token")
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
-    tf.join(df, "token")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .withColumn("score", col("tf") / col("doc_len") / col("df"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)

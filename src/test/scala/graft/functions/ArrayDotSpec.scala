@@ -40,6 +40,19 @@ class ArrayDotSpec extends AnyFunSuite {
     assert(out == 1.0 * 0.5 + 2.0 * 1.0 + 3.0 * 1.5 + 4.0 * 2.0)
   }
 
+  test("length mismatch and empty input yield null, not a partial sum") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f)), // right shorter than left
+      (Seq.empty[Float], Seq.empty[Float])) // empty
+      .toDF("a", "b")
+      .select(nativeDot(col("a"), col("b")).as("d"))
+    assert(df.collect().forall(_.isNullAt(0)))
+    // right longer than left is fine — iteration covers a's indices
+    val ok = Seq((Seq(2.0f), Seq(3.0f, 9.0f))).toDF("a", "b")
+      .select(nativeDot(col("a"), col("b")).as("d")).head().getDouble(0)
+    assert(ok == 6.0)
+  }
+
   test("null element or null array propagates to null") {
     val df = Seq(
       (Some(Seq(Some(1.0), None)), Some(Seq(Some(1.0), Some(2.0)))),
