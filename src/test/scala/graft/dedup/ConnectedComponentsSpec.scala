@@ -39,6 +39,35 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labels == Map(5L -> 5L, 6L -> 5L))
   }
 
+  test("random graphs match a reference union-find") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(30)
+      val edges = Seq.fill(1 + rnd.nextInt(2 * n)) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }
+      // reference: plain union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { v =>
+        // component min = min node id sharing v's root, restricted to
+        // nodes that appear in the edge list
+        val root = find(v.toInt)
+        v -> nodes.filter(u => find(u.toInt) == root).min
+      }.toMap
+      assert(cc(edges) == expected, s"trial $trial: edges $edges")
+    }
+  }
+
   test("maxIter bounds the rounds (unconverged chain stays partial)") {
     val chain = (0L until 9L).map(i => (i, i + 1))
     val labels = cc(chain, maxIter = 2)
