@@ -100,6 +100,39 @@ object SimilarityQueries {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Flip bit `j` (0-based) of an 8-char "01010101" bucket string. */
+  private def flipAt(b: Column, j: Int): Column =
+    concat(substring(b, 1, j),
+      when(substring(b, j + 1, 1) === "1", "0").otherwise("1"),
+      substring(b, j + 2, NumPlanes - j - 1))
+
+  /** Multi-probe LSH top-k: probe the query's bucket plus every bucket at
+    * Hamming distance 1 (9 probes for 8 planes) — the standard
+    * recall/latency dial for sign-LSH: ~9/256 of the corpus scanned
+    * instead of 1/256, recovering neighbors that fall just across one
+    * hyperplane. The probe set joins the bucketed corpus as a broadcast
+    * equi-join, so the plan stays index-shaped (no full-corpus Hamming
+    * scan). */
+  def annLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "embeddings")
+      .withColumn("bucket", lshBucket(col("embedding"), Dim))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("bucket").as("qbucket"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val probes = q.select(col("qe"), col("qn"), explode(array(
+      col("qbucket") +: (0 until NumPlanes).map(j => flipAt(col("qbucket"), j)): _*))
+      .as("probe"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes), col("bucket") === col("probe"))
+      .withColumn("cos",
+        dot(col("embedding"), col("qe")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) * col("qn")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(5)
+      .select(col("vec_id"), col("label"), col("bucket"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH bucket self-join bounds the
     * candidate set (same 8-bit sign bucket), exact cosine >= 0.4 verifies —
     * the embedding-space analog of MinHash+verify for text. */
@@ -153,6 +186,7 @@ object SimilarityQueries {
     "ann_cosine_topk" -> annCosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
+    "ann_lsh_multiprobe" -> annLshMultiprobe,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "embed_quantize" -> embedQuantize)
 
@@ -213,6 +247,26 @@ object SimilarityQueries {
       s"""SELECT ${sqlBucket("embedding")} AS bucket,
         |  count(*) AS n_vectors, min(vec_id) AS min_vec
         |FROM embeddings GROUP BY 1""".stripMargin,
+    "ann_lsh_multiprobe" -> {
+      val flips = (0 until NumPlanes).map(j =>
+        s"substr(qb, 1, $j) || (CASE WHEN substr(qb, ${j + 1}, 1) = '1' " +
+          s"THEN '0' ELSE '1' END) || substr(qb, ${j + 2}, ${NumPlanes - j - 1})")
+      s"""WITH b AS (SELECT vec_id, label, embedding,
+        |    ${sqlBucket("embedding")} AS bucket FROM embeddings),
+        |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+        |probes AS (SELECT unnest([qb, ${flips.mkString(",\n    ")}]) AS probe
+        |           FROM q),
+        |d AS (SELECT vec_id, label, bucket,
+        |    ${sqlDot("embedding", "qe")} AS dp,
+        |    ${sqlDot("embedding", "embedding")} AS na,
+        |    ${sqlDot("qe", "qe")} AS nq
+        |  FROM b, q
+        |  WHERE vec_id <> 0 AND bucket IN (SELECT probe FROM probes))
+        |SELECT vec_id, label, bucket,
+        |  round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine
+        |FROM d ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
+        |LIMIT 5""".stripMargin
+    },
     "ann_lsh_topk" ->
       s"""WITH b AS (SELECT vec_id, label, embedding,
         |    ${sqlBucket("embedding")} AS bucket FROM embeddings),

@@ -72,10 +72,29 @@ object Sampling {
         split(col("g_bucket")).as("group_split"))
   }
 
+  /** Deterministic stratified sampling — the reproducible twin of
+    * `DataFrameStatFunctions.sampleBy`: each stratum keeps its own
+    * fraction of rows, membership decided by a salted hash so reruns,
+    * task retries and repartitionings all keep the identical sample (the
+    * property `rand()`-based sampleBy lacks). Pure projection + filter:
+    * no shuffle. The per-source fraction here is itself hash-derived
+    * (0–99 %) to exercise a distinct threshold per stratum without a
+    * config table; production code passes a `Map[stratum, fraction]`. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("threshold",
+        pmod(hex32(concat(lit("frac|"), col("source"))), lit(100)))
+      .withColumn("h",
+        pmod(hex32(concat(lit("strat|"), col("source"), lit("|"),
+          col("doc_id"))), lit(100)))
+      .filter(col("h") < col("threshold"))
+      .select(col("doc_id"), col("source"), col("threshold"), col("h"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_per_group" -> samplePerGroup,
     "token_budget_mix" -> tokenBudgetMix,
-    "train_split" -> trainSplit)
+    "train_split" -> trainSplit,
+    "stratified_sample" -> stratifiedSample)
 
   val oracles: Map[String, String] = Map(
     "sample_per_group" ->
@@ -99,6 +118,15 @@ object Sampling {
         |  CASE WHEN g_bucket < 80 THEN 'train' WHEN g_bucket < 90 THEN 'val'
         |       ELSE 'test' END AS group_split
         |FROM b""".stripMargin,
+    "stratified_sample" ->
+      """WITH s AS (SELECT doc_id, source,
+        |  ('0x' || substr(sha256('frac|' || source), 1, 8))::BIGINT % 100
+        |    AS threshold,
+        |  ('0x' || substr(sha256('strat|' || source || '|' || doc_id), 1, 8))::BIGINT % 100
+        |    AS h
+        |  FROM documents)
+        |SELECT doc_id, source, threshold, h FROM s WHERE h < threshold"""
+        .stripMargin,
     "token_budget_mix" ->
       s"""WITH d AS (
         |  SELECT source, doc_id,
