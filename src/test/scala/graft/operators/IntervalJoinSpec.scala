@@ -53,6 +53,16 @@ class IntervalJoinSpec extends AnyFunSuite {
     assertSame(-900L * 1000000, 900L * 1000000)
   }
 
+  test("random window bounds match naive join (property)") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 5) {
+      // windows from 1 second to ~2 days, anywhere relative to the row
+      val width = (1000000L + rnd.nextLong(172800L * 1000000L)).abs
+      val lower = rnd.nextLong(2 * width) - width
+      assertSame(lower, lower + width)
+    }
+  }
+
   test("half-open boundary semantics: exact-lower included, exact-upper excluded") {
     import spark.implicits._
     val l = Seq((1L, 10L, 1000000L)).toDF("l_id", "l_key", "us")
