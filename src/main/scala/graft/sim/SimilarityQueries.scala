@@ -80,17 +80,24 @@ object SimilarityQueries {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec"))
 
-  /** Within-bucket re-rank: top-5 cosine neighbors of vec_id 0 among the
-    * vectors sharing its LSH bucket (the sub-linear ANN query path). */
-  def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+  /** Shared LSH probe + re-rank: top-5 cosine neighbors of vec_id 0 among
+    * vectors whose bucket is the query's bucket or one of its first
+    * `nFlips` Hamming-1 neighbors. Both ANN query paths are this shape —
+    * single-probe is the zero-flip case — so the re-rank contract
+    * (cosine expression, tie-break, rounding, output columns) that must
+    * stay bit-identical to the oracles lives in exactly one place. */
+  private def lshProbeTopk(s: SparkSession, dir: String, nFlips: Int): DataFrame = {
     val e = Tables.parallel(s, dir, "embeddings")
       .withColumn("bucket", lshBucket(col("embedding"), Dim))
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"), col("bucket").as("qbucket"),
         sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val probeCols =
+      col("qbucket") +: (0 until nFlips).map(j => flipAt(col("qbucket"), j))
+    val probes = q.select(col("qe"), col("qn"),
+      explode(array(probeCols: _*)).as("probe"))
     e.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
-      .filter(col("bucket") === col("qbucket"))
+      .join(broadcast(probes), col("bucket") === col("probe"))
       .withColumn("cos",
         dot(col("embedding"), col("qe")) /
           (sqrt(dot(col("embedding"), col("embedding"))) * col("qn")))
@@ -99,6 +106,11 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), col("bucket"),
         round(col("cos"), 4).as("cosine"))
   }
+
+  /** Within-bucket re-rank: top-5 cosine neighbors of vec_id 0 among the
+    * vectors sharing its LSH bucket (the sub-linear ANN query path). */
+  def annLshTopk(s: SparkSession, dir: String): DataFrame =
+    lshProbeTopk(s, dir, nFlips = 0)
 
   /** Flip bit `j` (0-based) of an 8-char "01010101" bucket string. */
   private def flipAt(b: Column, j: Int): Column =
@@ -113,25 +125,8 @@ object SimilarityQueries {
     * hyperplane. The probe set joins the bucketed corpus as a broadcast
     * equi-join, so the plan stays index-shaped (no full-corpus Hamming
     * scan). */
-  def annLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.parallel(s, dir, "embeddings")
-      .withColumn("bucket", lshBucket(col("embedding"), Dim))
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("bucket").as("qbucket"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
-    val probes = q.select(col("qe"), col("qn"), explode(array(
-      col("qbucket") +: (0 until NumPlanes).map(j => flipAt(col("qbucket"), j)): _*))
-      .as("probe"))
-    e.filter(col("vec_id") =!= 0)
-      .join(broadcast(probes), col("bucket") === col("probe"))
-      .withColumn("cos",
-        dot(col("embedding"), col("qe")) /
-          (sqrt(dot(col("embedding"), col("embedding"))) * col("qn")))
-      .orderBy(desc("cos"), asc("vec_id"))
-      .limit(5)
-      .select(col("vec_id"), col("label"), col("bucket"),
-        round(col("cos"), 4).as("cosine"))
-  }
+  def annLshMultiprobe(s: SparkSession, dir: String): DataFrame =
+    lshProbeTopk(s, dir, nFlips = NumPlanes)
 
   /** Embedding-cosine near-duplicate pairs: LSH bucket self-join bounds the
     * candidate set (same 8-bit sign bucket), exact cosine >= 0.4 verifies —
@@ -203,6 +198,30 @@ object SimilarityQueries {
       s"(CASE WHEN ${sqlPlaneDot(emb, j)} >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
 
+  /** Oracle twin of [[lshProbeTopk]] — one generator for both the
+    * single-probe (0 flips) and multi-probe cases, mirroring the shared
+    * Spark helper so the re-rank contract can't drift one-sided. */
+  private def lshProbeTopkSql(nFlips: Int): String = {
+    val flips = (0 until nFlips).map(j =>
+      s"substr(qb, 1, $j) || (CASE WHEN substr(qb, ${j + 1}, 1) = '1' " +
+        s"THEN '0' ELSE '1' END) || substr(qb, ${j + 2}, ${NumPlanes - j - 1})")
+    val probeList = ("qb" +: flips).mkString(",\n    ")
+    s"""WITH b AS (SELECT vec_id, label, embedding,
+      |    ${sqlBucket("embedding")} AS bucket FROM embeddings),
+      |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+      |probes AS (SELECT unnest([$probeList]) AS probe FROM q),
+      |d AS (SELECT vec_id, label, bucket,
+      |    ${sqlDot("embedding", "qe")} AS dp,
+      |    ${sqlDot("embedding", "embedding")} AS na,
+      |    ${sqlDot("qe", "qe")} AS nq
+      |  FROM b, q
+      |  WHERE vec_id <> 0 AND bucket IN (SELECT probe FROM probes))
+      |SELECT vec_id, label, bucket,
+      |  round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine
+      |FROM d ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
+      |LIMIT 5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "embed_quantize" ->
       s"""WITH d AS (SELECT vec_id,
@@ -247,37 +266,6 @@ object SimilarityQueries {
       s"""SELECT ${sqlBucket("embedding")} AS bucket,
         |  count(*) AS n_vectors, min(vec_id) AS min_vec
         |FROM embeddings GROUP BY 1""".stripMargin,
-    "ann_lsh_multiprobe" -> {
-      val flips = (0 until NumPlanes).map(j =>
-        s"substr(qb, 1, $j) || (CASE WHEN substr(qb, ${j + 1}, 1) = '1' " +
-          s"THEN '0' ELSE '1' END) || substr(qb, ${j + 2}, ${NumPlanes - j - 1})")
-      s"""WITH b AS (SELECT vec_id, label, embedding,
-        |    ${sqlBucket("embedding")} AS bucket FROM embeddings),
-        |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
-        |probes AS (SELECT unnest([qb, ${flips.mkString(",\n    ")}]) AS probe
-        |           FROM q),
-        |d AS (SELECT vec_id, label, bucket,
-        |    ${sqlDot("embedding", "qe")} AS dp,
-        |    ${sqlDot("embedding", "embedding")} AS na,
-        |    ${sqlDot("qe", "qe")} AS nq
-        |  FROM b, q
-        |  WHERE vec_id <> 0 AND bucket IN (SELECT probe FROM probes))
-        |SELECT vec_id, label, bucket,
-        |  round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine
-        |FROM d ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
-        |LIMIT 5""".stripMargin
-    },
-    "ann_lsh_topk" ->
-      s"""WITH b AS (SELECT vec_id, label, embedding,
-        |    ${sqlBucket("embedding")} AS bucket FROM embeddings),
-        |q AS (SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0),
-        |d AS (SELECT vec_id, label, bucket,
-        |    ${sqlDot("embedding", "qe")} AS dp,
-        |    ${sqlDot("embedding", "embedding")} AS na,
-        |    ${sqlDot("qe", "qe")} AS nq
-        |  FROM b, q WHERE vec_id <> 0 AND bucket = qbucket)
-        |SELECT vec_id, label, bucket,
-        |  round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine
-        |FROM d ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
-        |LIMIT 5""".stripMargin)
+    "ann_lsh_multiprobe" -> lshProbeTopkSql(NumPlanes),
+    "ann_lsh_topk" -> lshProbeTopkSql(0))
 }

@@ -57,7 +57,7 @@ class IntervalJoinSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(99)
     for (_ <- 1 to 5) {
       // windows from 1 second to ~2 days, anywhere relative to the row
-      val width = (1000000L + rnd.nextLong(172800L * 1000000L)).abs
+      val width = 1000000L + rnd.nextLong(172800L * 1000000L)
       val lower = rnd.nextLong(2 * width) - width
       assertSame(lower, lower + width)
     }
