@@ -68,6 +68,10 @@ object Multimodal {
   final case class FrameSample(
       id: Long, kind: String, frame_idx: Long, ts_ms: Long, frame_sig: Long)
 
+  final case class ResizePlan(
+      id: Long, kind: String, width: Long, height: Long,
+      out_width: Long, out_height: Long, est_bytes: Long)
+
   /** Synthesize a media table from `documents`: payload = UTF-8 bytes of the
     * text (opaque to everything downstream), kind cycling image/audio/video. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
@@ -121,6 +125,39 @@ object Multimodal {
   def mediaFrameSample(s: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaFromDocuments(s, dir)).toDF()
 
+  /** Resize planning — the bounded-resolution normalization step (e.g.
+    * cap the long edge at 224 px before feature extraction). The stub
+    * plans the output geometry from the decoded dimensions with integer
+    * arithmetic: aspect-preserving floor division, byte estimate scaled
+    * by the area ratio. Audio (no geometry) passes through unchanged. A
+    * real implementation swaps the arithmetic for a codec scale call in
+    * the same mapPartitions stage. */
+  val ResizeMaxEdge = 224L
+
+  def planResize(ds: Dataset[MediaRecord]): Dataset[ResizePlan] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val decoder = new StubDecoder // once per partition
+      it.map { r =>
+        val m = decoder.decode(r.kind, r.bytes)
+        val (w, h) = (m.width.toLong, m.height.toLong)
+        if (w <= 0 || h <= 0) ResizePlan(r.id, r.kind, w, h, w, h, m.byte_len)
+        else {
+          val edge = math.max(w, h)
+          val (ow, oh) =
+            if (edge <= ResizeMaxEdge) (w, h)
+            else (w * ResizeMaxEdge / edge, h * ResizeMaxEdge / edge)
+          ResizePlan(r.id, r.kind, w, h, ow, oh,
+            m.byte_len.toLong * (ow * oh) / (w * h))
+        }
+      }
+    }
+  }
+
+  /** Gate query: aspect-preserving resize plan per media record. */
+  def mediaResize(s: SparkSession, dir: String): DataFrame =
+    planResize(mediaFromDocuments(s, dir)).toDF()
+
   /** Gate query: typed metadata per media record. */
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaFromDocuments(s, dir))
@@ -140,7 +177,8 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> mediaMeta,
     "media_histogram" -> mediaHistogram,
-    "media_frame_sample" -> mediaFrameSample)
+    "media_frame_sample" -> mediaFrameSample,
+    "media_resize" -> mediaResize)
 
   // Oracle twins: documents text is ASCII, so byte length == char length and
   // byte values == character codes — the SQL can reproduce the stub decode
@@ -160,6 +198,34 @@ object Multimodal {
         |  CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0
         |    ELSE 1 + n % 300 END AS n_frames
         |FROM m""".stripMargin,
+    "media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, kind, n,
+        |    (CASE WHEN kind = 'audio' THEN 0 ELSE 64 + n % 640 END)::BIGINT
+        |      AS width,
+        |    (CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (n * 7) % 480 END)::BIGINT
+        |      AS height
+        |  FROM m),
+        |p AS (
+        |  SELECT id, kind, n, width, height,
+        |    greatest(width, height) AS edge
+        |  FROM g)
+        |SELECT id, kind, width, height,
+        |  CASE WHEN width <= 0 OR height <= 0 OR edge <= 224 THEN width
+        |       ELSE width * 224 // edge END AS out_width,
+        |  CASE WHEN width <= 0 OR height <= 0 OR edge <= 224 THEN height
+        |       ELSE height * 224 // edge END AS out_height,
+        |  CASE WHEN width <= 0 OR height <= 0 THEN n
+        |       WHEN edge <= 224 THEN n
+        |       ELSE n * ((width * 224 // edge) * (height * 224 // edge))
+        |            // (width * height) END AS est_bytes
+        |FROM p""".stripMargin,
     "media_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id AS id,
