@@ -56,4 +56,38 @@ class StreamIntervalJoinSpec extends AnyFunSuite {
       assert(streaming == batch)
     } finally q.stop()
   }
+
+  test("clicks older than the watermark are dropped, not joined late") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamIntervalJoin.attributionJoin(
+      pMem.toDF().toDF("purchase_id", "user_id", "ts"),
+      cMem.toDF().toDF("c_event_id", "c_user_id", "c_ts"))
+      .select(col("purchase_id"), col("c_event_id"))
+    val q = joined.writeStream.format("memory").queryName("stream_ij_late")
+      .outputMode("append").start()
+    try {
+      // in-window click joins while the watermark is still low
+      pMem.addData((1L, 7L, ts("2024-05-01 10:00:00")))
+      cMem.addData((100L, 7L, ts("2024-05-01 09:30:00")))
+      q.processAllAvailable()
+      assert(spark.table("stream_ij_late").count() == 1)
+
+      // advance both sides ~10 days: watermark sweeps past May 1 state
+      pMem.addData((2L, 8L, ts("2024-05-11 10:00:00")))
+      cMem.addData((200L, 8L, ts("2024-05-11 09:00:00")))
+      q.processAllAvailable()
+      val afterAdvance = spark.table("stream_ij_late").count()
+
+      // a click for the May 1 purchase, in its window but far below the
+      // watermark: state for that purchase is gone and the late click is
+      // dropped on arrival — no new pairs may appear
+      cMem.addData((101L, 7L, ts("2024-05-01 09:45:00")))
+      q.processAllAvailable()
+      assert(spark.table("stream_ij_late").count() == afterAdvance,
+        "late click must not join after the watermark passed")
+    } finally q.stop()
+  }
 }
