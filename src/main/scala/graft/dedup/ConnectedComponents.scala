@@ -48,8 +48,12 @@ object ConnectedComponents {
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // jump-start: seed each label with min(id, min neighbor) — the init
+    // aggregation does round 1's neighbor-min for free, so short
+    // components (the near-dup norm) converge one round earlier
+    var labels = bidir.groupBy(col("src").as("id"))
+      .agg(min("dst").as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)

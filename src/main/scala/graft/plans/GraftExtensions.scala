@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.storm.GoFmtG
+import graft.storm.{GoFmtF, GoFmtG}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Expression, ExpressionInfo, In, Literal}
@@ -27,6 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("go_fmt_g"),
       new ExpressionInfo(classOf[GoFmtG].getName, "go_fmt_g"),
       (children: Seq[Expression]) => GoFmtG(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("go_fmt_f"),
+      new ExpressionInfo(classOf[GoFmtF].getName, "go_fmt_f"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"go_fmt_f requires (value, precision), got ${children.length} args")
+        val prec = children(1) match {
+          case Literal(p: Int, _) => p
+          case other => throw new IllegalArgumentException(
+            s"go_fmt_f precision must be an integer literal, got $other")
+        }
+        GoFmtF(children.head, prec)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[graft.functions.ArrayDot].getName, "array_dot"),

@@ -69,10 +69,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 
   test("maxIter bounds the rounds (unconverged chain stays partial)") {
-    val chain = (0L until 9L).map(i => (i, i + 1))
+    val chain = (0L until 15L).map(i => (i, i + 1))
     val labels = cc(chain, maxIter = 2)
-    // 2 rounds of neighbor-min + pointer doubling reach at most 3 hops,
-    // so node 9 cannot yet have learned the chain-global min 0
-    assert(labels(9L) >= 6L)
+    // reach after the jump-start init (1 hop) and k doubling rounds is
+    // r_k = 2*r_{k-1} + 1 → at most 7 hops after 2 rounds, so node 15
+    // cannot yet have learned the chain-global min 0
+    assert(labels(15L) >= 8L)
   }
 }
