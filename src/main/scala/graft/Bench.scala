@@ -22,16 +22,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/session so the first measured query doesn't pay startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // Compile the largest codegen unit (the storm enrich projection) once
-    // on the tiny SF: its first-run whole-stage-codegen + JIT is several
-    // seconds of ONE-TIME cost that would otherwise be attributed to
-    // whichever storm query happens to run first alphabetically. Warming
-    // on sf0.001 measures the big-SF queries at steady state — the state
-    // a long-running cluster job is in from its second task onward.
+    // Compile the largest codegen unit (the storm enrich projection) once,
+    // un-timed: its first-run whole-stage-codegen + JIT is several seconds
+    // of ONE-TIME cost that would otherwise be attributed to whichever
+    // storm query happens to run first alphabetically. Prefer the sibling
+    // sf0.001 dir for a near-free warm-up; fall back to the bench dir
+    // itself so the warm-up is never silently skipped on other layouts.
+    val warmDir = {
+      val tiny = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (tiny.isDirectory) tiny.getPath else sfDir
+    }
     try graft.storm.StormQueries
-      .queries("storm_enrich")(spark, "/root/testdata/sf0.001")
+      .queries("storm_enrich")(spark, warmDir)
       .write.format("noop").mode("overwrite").save()
-    catch { case scala.util.control.NonFatal(_) => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] enrich warm-up on $warmDir failed: ${e.getMessage}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -79,11 +79,12 @@ object GoFormat {
 
   /** Go-`fmt.Sprintf("%.<prec>f", d)` — fixed precision, correctly rounded
     * from the BINARY value (ties to even), like Go's strconv and C printf.
-    * Java's `String.format("%.4f")` instead rounds the SHORTEST decimal
-    * repr HALF_UP, which diverges whenever the shortest repr carries more
-    * than `prec` decimals near a half (e.g. 19.64995 → Java "19.6500",
-    * Go/C "19.6499"). BigDecimal(d) is the exact binary expansion, so
-    * HALF_EVEN on it reproduces Go (and DuckDB's printf) for every double.
+    * Java's `String.format("%.1f")` instead rounds the SHORTEST decimal
+    * repr HALF_UP, which diverges whenever the binary value sits on the
+    * other side of the half from the shortest repr's literal digits
+    * (e.g. 81.35 → binary 81.3499…: Go/C print "81.3", Java "81.4").
+    * BigDecimal(d) is the exact binary expansion, so HALF_EVEN on it
+    * reproduces Go (and DuckDB's printf) for every double.
     */
   def formatF(d: Double, prec: Int): String = {
     if (java.lang.Double.isNaN(d)) return "NaN"

@@ -71,9 +71,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("maxIter bounds the rounds (unconverged chain stays partial)") {
     val chain = (0L until 15L).map(i => (i, i + 1))
     val labels = cc(chain, maxIter = 2)
-    // reach after the jump-start init (1 hop) and k doubling rounds is
-    // r_k = 2*r_{k-1} + 1 → at most 7 hops after 2 rounds, so node 15
-    // cannot yet have learned the chain-global min 0
-    assert(labels(15L) >= 8L)
+    // reach doubles per round (neighbor-min and pointer-doubling both read
+    // the PREVIOUS round's labels: max(r+1, 2r) = 2r): jump-start init
+    // gives reach 1, so after 2 rounds reach is exactly 4 and node 15's
+    // label is exactly 15 - 4 — the test fails both if maxIter leaks extra
+    // rounds and if a change over-propagates within a round
+    assert(labels(15L) == 11L)
   }
 }

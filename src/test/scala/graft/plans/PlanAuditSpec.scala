@@ -104,11 +104,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // SQL-reachable custom expressions (same values as the DataFrame path)
       val out = s2.sql(
         "SELECT go_fmt_g(125.0) AS g, go_fmt_g(1.25) AS f, " +
-          "go_fmt_f(19.64995, 4) AS p, array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+          "go_fmt_f(81.35, 1) AS p, array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .head()
       assert(out.getString(0) == "125")
       assert(out.getString(1) == "1.25")
-      assert(out.getString(2) == "19.6500") // binary-exact rounding, like Go/C
+      // binary of 81.35 is 81.3499…: binary-exact rounding (Go/C) gives
+      // "81.3" where shortest-repr HALF_UP (Java Formatter) gives "81.4" —
+      // a value that actually discriminates the two behaviors
+      assert(out.getString(2) == "81.3")
       assert(out.getDouble(3) == 11.0)
 
       // idempotent enum normalization collapses to one CaseWhen (use a
