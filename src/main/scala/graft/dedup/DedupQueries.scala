@@ -173,6 +173,29 @@ object DedupQueries {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ------------------------------------------------------- decontamination
+  /** Eval-set decontamination — flag training documents sharing >=
+    * [[DecontamMinOverlap]] 3-gram shingles with any benchmark document
+    * (docs with id < [[DecontamEvalDocs]] stand in for the eval set).
+    * The eval side of the join is tiny by construction, so Spark
+    * broadcasts it and the corpus side streams through one scan — at
+    * 100 TB the same shape holds (a real pipeline compresses the eval
+    * shingle set further into a broadcast Bloom filter and keeps this
+    * exact join as the confirmation pass behind it). */
+  val DecontamEvalDocs = 20L
+  val DecontamMinOverlap = 5L
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val eval = sh.filter(col("doc_id") < DecontamEvalDocs)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val corpus = sh.filter(col("doc_id") >= DecontamEvalDocs)
+    corpus.join(broadcast(eval), "s")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= DecontamMinOverlap)
+  }
+
   // ------------------------------------------------------------- simhash
   /** 32-bit SimHash as a single-pass aggregate over a word array column
     * named `w`: one sha256 per word, a 32-wide bit-count vector folded with
@@ -204,7 +227,8 @@ object DedupQueries {
     "dedup_exact" -> dedupExact,
     "dedup_shingle_jaccard" -> dedupShingleJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
-    "dedup_simhash" -> dedupSimhash)
+    "dedup_simhash" -> dedupSimhash,
+    "decontaminate" -> decontaminate)
 
   // ------------------------------------------------------------- oracles
   /** CTE chain ending in `pairs(a_id, b_id, common, jaccard)` — the
@@ -266,6 +290,13 @@ object DedupQueries {
         |FROM g""".stripMargin,
     "dedup_shingle_jaccard" ->
       s"WITH $pairsCte\nSELECT a_id, b_id, common, jaccard FROM pairs",
+    "decontaminate" ->
+      (s"WITH $shinglesCte\n" +
+        s"""SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS n_overlap
+          |FROM sh c JOIN sh e ON c.s = e.s
+          |WHERE e.doc_id < $DecontamEvalDocs AND c.doc_id >= $DecontamEvalDocs
+          |GROUP BY 1, 2
+          |HAVING count(*) >= $DecontamMinOverlap""".stripMargin),
     "dedup_minhash_lsh" ->
       (s"WITH $shinglesCte,\n$minhashSelect,\n$bandsSql,\n" +
         s"""cands AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id

@@ -149,8 +149,31 @@ object TextQueries {
         round(col("score") * 1000000, 4).as("rarity_ppm"))
   }
 
+  /** Within-document repetition scoring — the Gopher-style trainability
+    * signal: the fraction of 3-gram occurrences that are repeats of an
+    * earlier 3-gram in the same document. Pure per-row higher-order-
+    * function work (build the gram list, count distinct), zero shuffle:
+    * the filter every pretraining pipeline runs over every document. */
+  def docRepetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = transform(sequence(lit(1), size(col("w")) - 2),
+      i => concat_ws(" ", element_at(col("w"), i),
+        element_at(col("w"), i + 1), element_at(col("w"), i + 2)))
+    Tables.parallel(s, dir, "documents")
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 3)
+      .withColumn("g", grams)
+      .select(col("doc_id"),
+        size(col("g")).as("n_grams"),
+        size(array_distinct(col("g"))).as("n_distinct"),
+        round(lit(1.0) - size(array_distinct(col("g"))) / size(col("g")), 4)
+          .as("rep_ratio"),
+        (lit(1.0) - size(array_distinct(col("g"))) / size(col("g")) > 0.2)
+          .as("high_repetition"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pii_scan" -> piiScan,
+    "doc_repetition" -> docRepetition,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "lang_id_confusion" -> langIdConfusion,
@@ -220,6 +243,20 @@ object TextQueries {
           |     i -> ('0x' || substr(sha256(w[i]), 1, 8))::BIGINT * i))
           |   % 1000000007)::BIGINT AS fp
           |FROM w""".stripMargin),
+    "doc_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+        |                x -> x <> '') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT doc_id, len(g) AS n_grams,
+        |  len(list_distinct(g)) AS n_distinct,
+        |  round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) AS rep_ratio,
+        |  (1.0 - len(list_distinct(g)) * 1.0 / len(g)) > 0.2
+        |    AS high_repetition
+        |FROM g""".stripMargin,
     "vocab_topk" ->
       (s"WITH $wordsCte,\n" +
         """t AS (SELECT unnest(list_distinct(w)) AS token FROM w)
