@@ -10,10 +10,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
 /** Engine extension point (`--conf spark.sql.extensions=graft.plans.
   * GraftExtensions` or `.withExtensions(new GraftExtensions)`):
   *
-  *  - registers `go_fmt_g` in the function registry so the Go-`%g`
-  *    formatter (the one custom expression the ID contract needs,
-  *    SURVEY.md §2.8) is reachable from SQL text as well as the DataFrame
-  *    API;
+  *  - registers the engine's custom expressions in the function registry —
+  *    `go_fmt_g` / `go_fmt_f` (the Go float formatters the ID contract
+  *    needs, SURVEY.md §2.8) and `array_dot` (the similarity-search
+  *    kernel) — so all are reachable from SQL text as well as the
+  *    DataFrame API;
   *  - injects [[CollapseIdempotentEnumNormalize]], the demonstration
   *    optimizer rule of SURVEY.md §4.2: enum-normalization `CASE WHEN x IN
   *    (...) THEN x ELSE '' END` chains are idempotent, so applying one to

@@ -80,6 +80,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"unexpected shuffles in frame sampling:\n$plan")
   }
 
+  test("decontaminate broadcasts the eval side, never shuffles the corpus for it") {
+    val plan = graft.dedup.DedupQueries.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle for the eval join:\n$plan")
+  }
+
   test("no query plans an unintended cartesian product") {
     // broadcast single-row crossJoins compile to BroadcastNestedLoopJoin,
     // which is fine; a CartesianProduct would shuffle |A|x|B| rows.
