@@ -90,11 +90,37 @@ object Sampling {
       .filter(col("h") < col("threshold"))
       .select(col("doc_id"), col("source"), col("threshold"), col("h"))
 
+  val PackBinTokens = 2048L
+
+  /** Sequence packing — the concat-and-chunk step that turns a document
+    * stream into fixed-budget training bins: per source, documents are
+    * laid out in deterministic order and each belongs to the bin its
+    * start offset falls in (`floor(start / budget)`). One window over one key
+    * shuffle (same shape as [[tokenBudgetMix]]); bin summary per
+    * (source, bin). Greedy first-fit packing is inherently sequential —
+    * this cumulative-floor layout is the distributed-friendly form, and
+    * the wasted tail per bin is bounded by one document. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("source").orderBy("doc_id")
+    Tables(s, dir, "documents")
+      .withColumn("n_tokens", size(words(col("text"))).cast("long"))
+      .withColumn("running",
+        sum("n_tokens").over(order.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("bin_id",
+        ((col("running") - col("n_tokens")) / PackBinTokens).cast("long"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_per_group" -> samplePerGroup,
     "token_budget_mix" -> tokenBudgetMix,
     "train_split" -> trainSplit,
-    "stratified_sample" -> stratifiedSample)
+    "stratified_sample" -> stratifiedSample,
+    "pack_sequences" -> packSequences)
 
   val oracles: Map[String, String] = Map(
     "sample_per_group" ->
@@ -118,6 +144,21 @@ object Sampling {
         |  CASE WHEN g_bucket < 80 THEN 'train' WHEN g_bucket < 90 THEN 'val'
         |       ELSE 'test' END AS group_split
         |FROM b""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH d AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, (sum(n_tokens) OVER (
+        |    PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS running
+        |  FROM d)
+        |SELECT source, (running - n_tokens) // $PackBinTokens AS bin_id,
+        |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "stratified_sample" ->
       """WITH s AS (SELECT doc_id, source,
         |  ('0x' || substr(sha256('frac|' || source), 1, 8))::BIGINT % 100
