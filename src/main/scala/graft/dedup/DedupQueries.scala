@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.Tables
-import graft.text.TextQueries.{hex32, words}
+import graft.text.TextQueries.{hex32, trigrams, trigramsSql, words}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,23 +54,19 @@ object DedupQueries {
   val PermB: IndexedSeq[Long] =
     (0 until NumPerms).map(j => coefSource("b", j) % MinhashPrime)
 
-  /** 3-word shingles, distinct per doc, exploded to (doc_id, s). */
+  /** 3-word shingles (engine-wide trigram definition, TextQueries.trigrams),
+    * distinct per doc, exploded to (doc_id, s). */
   def shingles(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.parallel(s, dir, "documents")
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= 3)
-    d.select(col("doc_id"), explode(array_distinct(
-      transform(sequence(lit(1), size(col("w")) - 2),
-        i => concat_ws(" ", element_at(col("w"), i),
-          element_at(col("w"), i + 1), element_at(col("w"), i + 2)))))
-      .as("s"))
+    d.select(col("doc_id"),
+      explode(array_distinct(trigrams(col("w")))).as("s"))
   }
 
   private val shinglesCte: String =
-    """sh AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |    range(1, len(w) - 1),
-      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+    s"""sh AS (
+      |  SELECT doc_id, unnest(list_distinct($trigramsSql)) AS s
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
       |                x -> x <> '') AS w
       |        FROM documents)

@@ -24,6 +24,16 @@ object Sampling {
   val CapPerSource = 5
   val TokenBudgetPerSource = 400L
 
+  /** THE token count all corpus-shaping operators share (whitespace words
+    * of `text`) — one definition so a tokenizer change can't leave two
+    * windows and two oracle CTEs disagreeing. */
+  private def nTokens: Column = size(words(col("text"))).cast("long")
+
+  /** Running per-group token sum over an `n_tokens` column in `order`. */
+  private def runningTokens(order: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum("n_tokens").over(order.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow))
+
   /** At most [[CapPerSource]] docs per source, chosen by hash order. */
   def samplePerGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("source")
@@ -40,14 +50,12 @@ object Sampling {
     * budget mixes usually overshoot one doc rather than undershoot). */
   def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-      .withColumn("n_tokens", size(words(col("text"))).cast("long"))
+      .withColumn("n_tokens", nTokens)
       .withColumn("uniq_ratio",
         size(array_distinct(words(col("text")))) / size(words(col("text"))))
     val order = Window.partitionBy("source")
       .orderBy(desc("uniq_ratio"), asc("doc_id"))
-    d.withColumn("running_tokens",
-      sum("n_tokens").over(order.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)))
+    d.withColumn("running_tokens", runningTokens(order))
       .filter(col("running_tokens") - col("n_tokens") < TokenBudgetPerSource)
       .select(col("source"), col("doc_id"), col("n_tokens"),
         col("running_tokens"))
@@ -103,10 +111,8 @@ object Sampling {
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     val order = Window.partitionBy("source").orderBy("doc_id")
     Tables(s, dir, "documents")
-      .withColumn("n_tokens", size(words(col("text"))).cast("long"))
-      .withColumn("running",
-        sum("n_tokens").over(order.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("running", runningTokens(order))
       .withColumn("bin_id",
         ((col("running") - col("n_tokens")) / PackBinTokens).cast("long"))
       .groupBy("source", "bin_id")

@@ -26,6 +26,19 @@ object TextQueries {
   def hex32(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 8), 16, 10).cast("long")
 
+  /** 3-word-gram array (WITH duplicates) of a word-array column — THE
+    * engine-wide trigram definition, shared by the dedup shingles
+    * ([[graft.dedup.DedupQueries.shingles]]) and the repetition filter so
+    * tokenization/width/separator can never drift between them. */
+  def trigrams(w: Column): Column =
+    transform(sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i),
+        element_at(w, i + 1), element_at(w, i + 2)))
+
+  /** SQL twin of [[trigrams]] over a word-list column named `w`. */
+  val trigramsSql: String =
+    "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -155,20 +168,17 @@ object TextQueries {
     * function work (build the gram list, count distinct), zero shuffle:
     * the filter every pretraining pipeline runs over every document. */
   def docRepetition(s: SparkSession, dir: String): DataFrame = {
-    val grams = transform(sequence(lit(1), size(col("w")) - 2),
-      i => concat_ws(" ", element_at(col("w"), i),
-        element_at(col("w"), i + 1), element_at(col("w"), i + 2)))
+    val ratio = lit(1.0) - col("n_distinct") / col("n_grams")
     Tables.parallel(s, dir, "documents")
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= 3)
-      .withColumn("g", grams)
+      .withColumn("g", trigrams(col("w")))
       .select(col("doc_id"),
         size(col("g")).as("n_grams"),
-        size(array_distinct(col("g"))).as("n_distinct"),
-        round(lit(1.0) - size(array_distinct(col("g"))) / size(col("g")), 4)
-          .as("rep_ratio"),
-        (lit(1.0) - size(array_distinct(col("g"))) / size(col("g")) > 0.2)
-          .as("high_repetition"))
+        size(array_distinct(col("g"))).as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round(ratio, 4).as("rep_ratio"),
+        (ratio > 0.2).as("high_repetition"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -244,9 +254,8 @@ object TextQueries {
           |   % 1000000007)::BIGINT AS fp
           |FROM w""".stripMargin),
     "doc_repetition" ->
-      """WITH g AS (
-        |  SELECT doc_id, list_transform(range(1, len(w) - 1),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g
+      s"""WITH g AS (
+        |  SELECT doc_id, $trigramsSql AS g
         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
         |                x -> x <> '') AS w
         |        FROM documents)
