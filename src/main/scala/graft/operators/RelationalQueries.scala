@@ -263,7 +263,33 @@ object RelationalQueries {
       .select("event_id", "user_id", "n_1h", "avg_1h")
   }
 
+  /** Columns profiled by [[profileNumeric]] — the lineitem measures. */
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Single-pass numeric column profiling — the data-quality sweep run
+    * before any pipeline trusts a new table drop: per column, non-null
+    * count, exact distinct count, min and max. ONE aggregation job
+    * produces every statistic (Catalyst plans the multi-countDistinct via
+    * Expand), then `stack` unpivots to a row per column — at 100 TB this
+    * is one scan, not one scan per column. */
+  def profileNumeric(s: SparkSession, dir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_cnt"),
+        countDistinct(col(c)).as(s"${c}_dst"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"))
+    }
+    val stacked = ProfileCols
+      .map(c => s"'$c', ${c}_cnt, ${c}_dst, ${c}_min, ${c}_max")
+      .mkString(", ")
+    t(s, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.length}, $stacked) AS " +
+        "(column_name, n_nonnull, n_distinct, min_v, max_v)")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_numeric" -> profileNumeric,
     "q22_rolling_user_stats" -> q22RollingUserStats,
     "q19_brand_cube" -> q19BrandCube,
     "q20_event_props" -> q20EventProps,
@@ -288,6 +314,13 @@ object RelationalQueries {
     "q18_stats" -> q18Stats)
 
   val oracles: Map[String, String] = Map(
+    "profile_numeric" ->
+      ProfileCols.map(c =>
+        s"""SELECT '$c' AS column_name, count($c)::BIGINT AS n_nonnull,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::DOUBLE AS min_v, max($c)::DOUBLE AS max_v
+           |FROM lineitem""".stripMargin)
+        .mkString("\nUNION ALL\n"),
     "q22_rolling_user_stats" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_1h,

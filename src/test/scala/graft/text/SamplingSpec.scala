@@ -1,0 +1,61 @@
+package graft.text
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the corpus-shaping operators (their VALUES are
+  * hash-oracled by the gate; these pin the properties the oracles can't
+  * express): determinism across runs, split totality, packing geometry. */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("train_split covers every document exactly once and is deterministic") {
+    val a = Sampling.trainSplit(spark, sf).cache()
+    val total = graft.Tables(spark, sf, "documents").count()
+    assert(a.count() == total)
+    assert(a.select("doc_id").distinct().count() == total)
+    // group-aware column is constant within a source
+    assert(a.groupBy("source")
+      .agg(countDistinct("group_split").as("n")).filter(col("n") > 1)
+      .count() == 0)
+    // deterministic: a second evaluation yields the identical assignment
+    val b = Sampling.trainSplit(spark, sf)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    a.unpersist()
+  }
+
+  test("stratified_sample keeps only rows under their stratum threshold, deterministically") {
+    val a = Sampling.stratifiedSample(spark, sf).cache()
+    assert(a.filter(col("h") >= col("threshold")).count() == 0)
+    assert(a.filter(col("h") < 0 || col("h") > 99 ||
+      col("threshold") < 0 || col("threshold") > 99).count() == 0)
+    val b = Sampling.stratifiedSample(spark, sf)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    a.unpersist()
+  }
+
+  test("pack_sequences bins are contiguous per source and conserve tokens") {
+    val bins = Sampling.packSequences(spark, sf).cache()
+    import spark.implicits._
+    // bins within a source are 0..n-1 with no gaps
+    val gaps = bins.groupBy("source")
+      .agg(min("bin_id").as("mn"), max("bin_id").as("mx"),
+        count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(gaps.count() == 0)
+    // token conservation: bin totals sum to the corpus token count
+    val corpusTokens = graft.Tables(spark, sf, "documents")
+      .select(size(TextQueries.words(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(bins.agg(sum("bin_tokens")).as[Long].head() == corpusTokens)
+    // doc ranges are ordered and non-overlapping across consecutive bins
+    val overlapping = bins.as("a").join(bins.as("b"),
+      col("a.source") === col("b.source") &&
+        col("a.bin_id") + 1 === col("b.bin_id") &&
+        col("a.last_doc") >= col("b.first_doc"))
+    assert(overlapping.count() == 0)
+    bins.unpersist()
+  }
+}
