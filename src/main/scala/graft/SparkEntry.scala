@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, IntervalJoin, RelationalQueries, SkewJoin}
 import graft.sim.{Ivf, SimilarityQueries}
 import graft.storm.StormQueries
-import graft.text.{Sampling, TextQueries}
+import graft.text.{Bpe, Sampling, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -21,6 +21,7 @@ object SparkEntry {
       (StormQueries.queries, StormQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (Sampling.queries, Sampling.oracles),
+      (Bpe.queries, Bpe.oracles),
       (BottomK.queries, BottomK.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),

@@ -3,6 +3,7 @@ package graft.dedup
 import graft.Tables
 import graft.text.TextQueries.{hex32, trigrams, trigramsSql, words}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline over `documents`:
@@ -192,6 +193,26 @@ object DedupQueries {
       .filter(col("n_overlap") >= DecontamMinOverlap)
   }
 
+  // ---------------------------------------------------- cross-doc n-grams
+  /** Cross-document duplication profile — per document, the fraction of its
+    * distinct 3-gram shingles that also appear in at least one other
+    * document. The corpus-level companion to [[graft.text.TextQueries
+    * .docRepetition]] (which is within-doc): high `shared_frac` marks
+    * boilerplate/templated documents that pairwise Jaccard misses because
+    * the copies are spread across MANY partners, none individually above
+    * threshold. One shuffle by gram for the document-frequency window plus
+    * one by doc_id for the rollup — no self-join, so unlike the pairwise
+    * operators this stays linear in corpus size at 100 TB. */
+  def crossDocNgrams(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val w = Window.partitionBy("s")
+    sh.withColumn("df", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("long").as("n_shared"))
+      .withColumn("shared_frac", round(col("n_shared") / col("n_grams"), 4))
+  }
+
   // ------------------------------------------------------------- simhash
   /** 32-bit SimHash as a single-pass aggregate over a word array column
     * named `w`: one sha256 per word, a 32-wide bit-count vector folded with
@@ -224,7 +245,8 @@ object DedupQueries {
     "dedup_shingle_jaccard" -> dedupShingleJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
-    "decontaminate" -> decontaminate)
+    "decontaminate" -> decontaminate,
+    "cross_doc_ngrams" -> crossDocNgrams)
 
   // ------------------------------------------------------------- oracles
   /** CTE chain ending in `pairs(a_id, b_id, common, jaccard)` — the
@@ -286,6 +308,14 @@ object DedupQueries {
         |FROM g""".stripMargin,
     "dedup_shingle_jaccard" ->
       s"WITH $pairsCte\nSELECT a_id, b_id, common, jaccard FROM pairs",
+    "cross_doc_ngrams" ->
+      (s"WITH $shinglesCte,\n" +
+        """d AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM sh)
+          |SELECT doc_id, count(*) AS n_grams,
+          |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+          |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+          |    AS shared_frac
+          |FROM d GROUP BY doc_id""".stripMargin),
     "decontaminate" ->
       (s"WITH $shinglesCte\n" +
         s"""SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS n_overlap

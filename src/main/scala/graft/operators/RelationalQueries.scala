@@ -263,6 +263,64 @@ object RelationalQueries {
       .select("event_id", "user_id", "n_1h", "avg_1h")
   }
 
+  /** Pivot value list — explicit so the plan needs NO distinct-collect
+    * pre-pass (`pivot(col)` without values runs a driver-side distinct
+    * first; at 100 TB the fixed list keeps pivoting a single pass). */
+  val OrderPriorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  // Pivot (wide crosstab): order counts by status × priority through the
+  // DataFrame pivot surface; absent cells filled 0 to match the oracle's
+  // FILTER counts.
+  def q23StatusPriorityPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", OrderPriorities)
+      .agg(count(lit(1)))
+      .na.fill(0L, OrderPriorities)
+
+  // Native session windows (the streaming-capable session_window operator,
+  // batch mode): 30-minute inactivity gap per user, window end = last event
+  // + gap. Same gap semantics as q16Sessionize — an event exactly `gap`
+  // after its predecessor starts a NEW session ([start, start+gap) is
+  // half-open) — which the SessionWindowSpec invariant pins.
+  def q24SessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("s_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("s_end"),
+        col("n_events"), col("total_value"))
+
+  /** Columns profiled by [[profileCategorical]] — the orders enums. */
+  private val CatProfileCols = Seq("o_orderstatus", "o_orderpriority")
+
+  /** Single-pass categorical column profiling — the string-column half of
+    * the new-table quality sweep: per column, non-null count, distinct
+    * count, and the modal value with its frequency. `stack` unpivots the
+    * scan once (rows × n_cols, one shuffle by (column, value)); the mode
+    * comes from a rank window over the small per-(column, value) rollup,
+    * not the raw data. */
+  def profileCategorical(s: SparkSession, dir: String): DataFrame = {
+    val stacked = CatProfileCols.map(c => s"'$c', $c").mkString(", ")
+    val vals = t(s, dir, "orders")
+      .selectExpr(s"stack(${CatProfileCols.length}, $stacked) AS (column_name, v)")
+      .filter(col("v").isNotNull)
+      .groupBy("column_name", "v")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("column_name").orderBy(desc("n"), asc("v"))
+    vals
+      .withColumn("rk", row_number().over(w))
+      .groupBy("column_name")
+      .agg(sum("n").cast("long").as("n_nonnull"),
+        count(lit(1)).as("n_distinct"),
+        max(when(col("rk") === 1, col("v"))).as("top_value"),
+        max(when(col("rk") === 1, col("n"))).cast("long").as("top_n"))
+  }
+
   /** Columns profiled by [[profileNumeric]] — the lineitem measures. */
   private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -289,6 +347,9 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_status_priority_pivot" -> q23StatusPriorityPivot,
+    "q24_session_window" -> q24SessionWindow,
+    "profile_categorical" -> profileCategorical,
     "profile_numeric" -> profileNumeric,
     "q22_rolling_user_stats" -> q22RollingUserStats,
     "q19_brand_cube" -> q19BrandCube,
@@ -314,6 +375,45 @@ object RelationalQueries {
     "q18_stats" -> q18Stats)
 
   val oracles: Map[String, String] = Map(
+    "q23_status_priority_pivot" ->
+      ("SELECT o_orderstatus,\n" +
+        OrderPriorities.map(p =>
+          s"""  count(*) FILTER (WHERE o_orderpriority = '$p') AS "$p"""")
+          .mkString(",\n") +
+        "\nFROM orders GROUP BY o_orderstatus"),
+    "q24_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_s) OVER (
+        |        PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "profile_categorical" ->
+      ("WITH v AS (\n" +
+        CatProfileCols.map(c =>
+          s"  SELECT '$c' AS column_name, $c AS v FROM orders")
+          .mkString("\n  UNION ALL\n") +
+        """),
+          |c AS (SELECT column_name, v, count(*) AS n FROM v
+          |      WHERE v IS NOT NULL GROUP BY 1, 2),
+          |r AS (SELECT *, row_number() OVER (
+          |        PARTITION BY column_name ORDER BY n DESC, v ASC) AS rk
+          |      FROM c)
+          |SELECT column_name, sum(n)::BIGINT AS n_nonnull,
+          |  count(*) AS n_distinct,
+          |  max(CASE WHEN rk = 1 THEN v END) AS top_value,
+          |  max(CASE WHEN rk = 1 THEN n END)::BIGINT AS top_n
+          |FROM r GROUP BY column_name""".stripMargin),
     "profile_numeric" ->
       ProfileCols.map(c =>
         s"""SELECT '$c' AS column_name, count($c)::BIGINT AS n_nonnull,

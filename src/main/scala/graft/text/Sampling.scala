@@ -121,7 +121,32 @@ object Sampling {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** Temperature-weighted source mixture — the sampling-weight table for
+    * multi-source training blends: weight_s ∝ tokens_s^α normalized over
+    * sources, with α = 0.5 (temperature sampling à la multilingual LM
+    * training; α < 1 upweights small sources). α is fixed at 1/2 so the
+    * power is `sqrt` — a correctly-rounded IEEE op both engines compute
+    * bit-identically, unlike `pow(x, 0.7)` which carries no such
+    * guarantee. The normalizing sum is folded over a SORTED per-source
+    * list (sources are few by definition), pinning the double-summation
+    * order so the denominator is also bit-identical cross-engine — the
+    * same discipline `runningTokens` applies to window order. */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens).cast("long").as("tokens"))
+    val denom = per.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("source"),
+          sqrt(col("tokens").cast("double")).as("sq")))),
+        lit(0.0), (a, x) => a + x.getField("sq")).as("denom"))
+    per.crossJoin(denom)
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(sqrt(col("tokens").cast("double")) / col("denom"), 6).as("weight"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_weights" -> mixWeights,
     "sample_per_group" -> samplePerGroup,
     "token_budget_mix" -> tokenBudgetMix,
     "train_split" -> trainSplit,
@@ -129,6 +154,19 @@ object Sampling {
     "pack_sequences" -> packSequences)
 
   val oracles: Map[String, String] = Map(
+    "mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
+        |      AS tokens
+        |  FROM documents GROUP BY source),
+        |d AS (SELECT list_reduce(
+        |        list_prepend(0.0, list(sqrt(tokens::DOUBLE) ORDER BY source)),
+        |        (a, b) -> a + b) AS denom
+        |      FROM per)
+        |SELECT source, n_docs, tokens,
+        |  round(sqrt(tokens::DOUBLE) / denom, 6) AS weight
+        |FROM per, d""".stripMargin,
     "sample_per_group" ->
       s"""SELECT source, rk, doc_id FROM (
         |  SELECT source, doc_id, row_number() OVER (

@@ -181,7 +181,52 @@ object TextQueries {
         (ratio > 0.2).as("high_repetition"))
   }
 
+  /** Gopher-style quality-rule thresholds (Rae et al. 2021, table A1 —
+    * re-scaled to this corpus's 10–99-word documents so both pass and fail
+    * populations are exercised). */
+  val GopherMinWords = 30L
+  val GopherMaxWords = 90L
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopHits = 2L
+
+  /** Gopher-style quality rule set — the document filter every pretraining
+    * pipeline runs before mixing: word-count bounds, mean word length
+    * bounds, fraction of words containing a letter, and a minimum stopword
+    * hit count, each emitted as its own flag plus the combined verdict.
+    * All ratios divide exact integers, so the doubles (and their
+    * `round(., 4)`) are bit-identical cross-engine. Pure per-row
+    * projection: zero shuffle at any scale. */
+  def qualityGopher(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.parallel(s, dir, "documents")
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 1)
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(transform(col("w"), x => length(x).cast("long")),
+          lit(0L), (a, x) => a + x))
+      .withColumn("n_alpha",
+        size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("w"), x => array_contains(stopArr, x))).cast("long"))
+    val meanLen = col("sum_len") / col("n_words")
+    val alphaFrac = col("n_alpha") / col("n_words")
+    val lenOk = col("n_words").between(GopherMinWords, GopherMaxWords)
+    val meanOk = meanLen >= GopherMinMeanLen && meanLen <= GopherMaxMeanLen
+    val alphaOk = alphaFrac >= GopherMinAlphaFrac
+    val stopOk = col("n_stop") >= GopherMinStopHits
+    d.select(col("doc_id"), col("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      col("n_stop"),
+      lenOk.as("len_ok"), meanOk.as("mean_len_ok"),
+      alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+      (lenOk && meanOk && alphaOk && stopOk).as("pass"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_gopher" -> qualityGopher,
     "pii_scan" -> piiScan,
     "doc_repetition" -> docRepetition,
     "text_stats" -> textStats,
@@ -199,6 +244,28 @@ object TextQueries {
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "quality_gopher" ->
+      (s"WITH $wordsCte,\n" +
+        s"""c AS (SELECT doc_id, len(w) AS n_words,
+          |  list_sum(list_transform(w, x -> length(x))) AS sum_len,
+          |  len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+          |  len(list_filter(w, x -> x IN ($stopList))) AS n_stop
+          |  FROM w WHERE len(w) >= 1)
+          |SELECT doc_id, n_words::BIGINT AS n_words,
+          |  round(sum_len * 1.0 / n_words, 4) AS mean_word_len,
+          |  round(n_alpha * 1.0 / n_words, 4) AS alpha_frac,
+          |  n_stop::BIGINT AS n_stop,
+          |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords) AS len_ok,
+          |  (sum_len * 1.0 / n_words >= $GopherMinMeanLen
+          |   AND sum_len * 1.0 / n_words <= $GopherMaxMeanLen) AS mean_len_ok,
+          |  (n_alpha * 1.0 / n_words >= $GopherMinAlphaFrac) AS alpha_ok,
+          |  (n_stop >= $GopherMinStopHits) AS stop_ok,
+          |  ((n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+          |   AND sum_len * 1.0 / n_words >= $GopherMinMeanLen
+          |   AND sum_len * 1.0 / n_words <= $GopherMaxMeanLen
+          |   AND n_alpha * 1.0 / n_words >= $GopherMinAlphaFrac
+          |   AND n_stop >= $GopherMinStopHits) AS pass
+          |FROM c""".stripMargin),
     "pii_scan" ->
       """SELECT source,
         |  sum(len(regexp_extract_all(text,
