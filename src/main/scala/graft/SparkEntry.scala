@@ -1,12 +1,12 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.dedup.{ConnectedComponents, DedupQueries}
-import graft.functions.BottomK
+import graft.functions.{BottomK, Kmv}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, IntervalJoin, RelationalQueries, SkewJoin}
+import graft.operators.{AsOfJoin, IntervalJoin, RelationalQueries, SkewJoin, ZOrder}
 import graft.sim.{Ivf, SimilarityQueries}
 import graft.storm.StormQueries
-import graft.text.{Bpe, Sampling, TextQueries}
+import graft.text.{Bpe, Sampling, TextQueries, Winnow}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -22,7 +22,10 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (Sampling.queries, Sampling.oracles),
       (Bpe.queries, Bpe.oracles),
+      (Winnow.queries, Winnow.oracles),
       (BottomK.queries, BottomK.oracles),
+      (Kmv.queries, Kmv.oracles),
+      (ZOrder.queries, ZOrder.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (Ivf.queries, Ivf.oracles),
