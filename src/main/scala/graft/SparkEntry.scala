@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.dedup.{ConnectedComponents, DedupQueries}
+import graft.dedup.{Bloom, ConnectedComponents, DedupQueries}
 import graft.functions.{BottomK, Kmv}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, IntervalJoin, RelationalQueries, SkewJoin, ZOrder}
@@ -27,6 +27,7 @@ object SparkEntry {
       (Kmv.queries, Kmv.oracles),
       (ZOrder.queries, ZOrder.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
+      (Bloom.queries, Bloom.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (Ivf.queries, Ivf.oracles),
       (Multimodal.queries, Multimodal.oracles))

@@ -65,7 +65,9 @@ object DedupQueries {
       explode(array_distinct(trigrams(col("w")))).as("s"))
   }
 
-  private val shinglesCte: String =
+  /** SQL twin of [[shingles]] (CTE `sh(doc_id, s)`), shared with the
+    * Bloom prefilter oracle. */
+  val shinglesCte: String =
     s"""sh AS (
       |  SELECT doc_id, unnest(list_distinct($trigramsSql)) AS s
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),

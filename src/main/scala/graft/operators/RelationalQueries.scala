@@ -321,6 +321,29 @@ object RelationalQueries {
         max(when(col("rk") === 1, col("n"))).cast("long").as("top_n"))
   }
 
+  /** [[valueHistogram]] geometry: 25 buckets of width 20 over [0, 500). */
+  val HistBuckets = 25
+  val HistWidth = 20.0
+
+  /** Fixed-width histogram of events.value — the distribution sweep behind
+    * every "does this column look right" check. Bucketing is a per-row
+    * projection + one tiny-key aggregation (25 groups), so the map-side
+    * partial handles 100 TB with a 25-row shuffle per task. Per-bucket sums
+    * are integer cents (`round(value·100)`), not float sums, so the result
+    * is independent of partition summation order — the property float
+    * `sum()` loses the moment data moves. */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("bucket",
+        least(floor(col("value") / HistWidth), lit(HistBuckets - 1.0))
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).cast("long")
+          .as("sum_cents"),
+        round(min("value"), 2).as("min_v"),
+        round(max("value"), 2).as("max_v"))
+
   /** Columns profiled by [[profileNumeric]] — the lineitem measures. */
   private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -350,6 +373,7 @@ object RelationalQueries {
     "q23_status_priority_pivot" -> q23StatusPriorityPivot,
     "q24_session_window" -> q24SessionWindow,
     "profile_categorical" -> profileCategorical,
+    "value_histogram" -> valueHistogram,
     "profile_numeric" -> profileNumeric,
     "q22_rolling_user_stats" -> q22RollingUserStats,
     "q19_brand_cube" -> q19BrandCube,
@@ -375,6 +399,13 @@ object RelationalQueries {
     "q18_stats" -> q18Stats)
 
   val oracles: Map[String, String] = Map(
+    "value_histogram" ->
+      s"""SELECT least(floor(value / $HistWidth), ${HistBuckets - 1}.0)::BIGINT
+        |    AS bucket,
+        |  count(*) AS n,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+        |  round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
     "q23_status_priority_pivot" ->
       ("SELECT o_orderstatus,\n" +
         OrderPriorities.map(p =>
