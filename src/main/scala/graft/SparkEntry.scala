@@ -3,7 +3,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.dedup.{Bloom, ConnectedComponents, DedupQueries}
 import graft.functions.{BottomK, Kmv}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, IntervalJoin, RelationalQueries, SkewJoin, ZOrder}
+import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin,
+  RelationalQueries, SkewJoin, ZOrder}
 import graft.sim.{Ivf, SimilarityQueries}
 import graft.storm.StormQueries
 import graft.text.{Bpe, Sampling, TextQueries, Winnow}
@@ -17,6 +18,8 @@ object SparkEntry {
       (AsOfJoin.queries, AsOfJoin.oracles),
       (IntervalJoin.queries, IntervalJoin.oracles),
       (SkewJoin.queries, SkewJoin.oracles),
+      (Funnel.queries, Funnel.oracles),
+      (FuzzyJoin.queries, FuzzyJoin.oracles),
       (ConnectedComponents.queries, ConnectedComponents.oracles),
       (StormQueries.queries, StormQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),

@@ -321,6 +321,25 @@ object RelationalQueries {
         max(when(col("rk") === 1, col("n"))).cast("long").as("top_n"))
   }
 
+  // Explicit GROUPING SETS (beyond q12's ROLLUP and q19's CUBE): two
+  // independent one-dimensional rollups plus the grand total in ONE scan —
+  // the Expand operator emits each row once per set, so three aggregations
+  // cost one shuffle instead of three scans. grouping() flags disambiguate
+  // the NULL-keyed rows. Measures are exact integers (count / distinct),
+  // immune to summation order.
+  def q25GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q25_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  cast(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  cast(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_custs
+        |FROM graft_q25_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+        .stripMargin)
+  }
+
   /** [[valueHistogram]] geometry: 25 buckets of width 20 over [0, 500). */
   val HistBuckets = 25
   val HistWidth = 20.0
@@ -374,6 +393,7 @@ object RelationalQueries {
     "q24_session_window" -> q24SessionWindow,
     "profile_categorical" -> profileCategorical,
     "value_histogram" -> valueHistogram,
+    "q25_grouping_sets" -> q25GroupingSets,
     "profile_numeric" -> profileNumeric,
     "q22_rolling_user_stats" -> q22RollingUserStats,
     "q19_brand_cube" -> q19BrandCube,
@@ -399,6 +419,15 @@ object RelationalQueries {
     "q18_stats" -> q18Stats)
 
   val oracles: Map[String, String] = Map(
+    "q25_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus)::BIGINT AS g_status,
+        |  grouping(o_orderpriority)::BIGINT AS g_priority,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_custs
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+        .stripMargin,
     "value_histogram" ->
       s"""SELECT least(floor(value / $HistWidth), ${HistBuckets - 1}.0)::BIGINT
         |    AS bucket,
