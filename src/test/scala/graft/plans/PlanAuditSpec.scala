@@ -88,6 +88,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus-side shuffle for the eval join:\n$plan")
   }
 
+  test("bloom prefilter: filter words and eval set broadcast, corpus never shuffled for them") {
+    val plan = graft.dedup.Bloom.decontamBloom(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bloom side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled to meet the broadcast side:\n$plan")
+  }
+
+  test("fuzzy join stays an equi-join on block keys, never a nested loop") {
+    val plan = graft.operators.FuzzyJoin
+      .fuzzyNamePairs(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"blocking failed — quadratic join shape:\n$plan")
+  }
+
+  test("funnel: step filter is pushed to the parquet scan") {
+    val plan = graft.operators.Funnel.funnelStages(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("In(event_type"),
+      s"step filter not pushed to scan:\n$pushed")
+  }
+
+  test("kmv aggregates map-side: partial sketch before the exchange") {
+    val plan = graft.functions.Kmv.kmvDistinct(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"custom aggregate not object-hash planned:\n$plan")
+    assert(plan.contains("partial_kmvagg") || plan.contains("partial"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+
   test("no query plans an unintended cartesian product") {
     // broadcast single-row crossJoins compile to BroadcastNestedLoopJoin,
     // which is fine; a CartesianProduct would shuffle |A|x|B| rows.
