@@ -4,7 +4,7 @@ import graft.dedup.{Bloom, ConnectedComponents, DedupQueries}
 import graft.functions.{BottomK, Kmv}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin,
-  RelationalQueries, SkewJoin, ZOrder}
+  RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
 import graft.sim.{Ivf, SimilarityQueries}
 import graft.storm.StormQueries
 import graft.text.{Bpe, Sampling, TextQueries, Winnow}
@@ -20,6 +20,8 @@ object SparkEntry {
       (SkewJoin.queries, SkewJoin.oracles),
       (Funnel.queries, Funnel.oracles),
       (FuzzyJoin.queries, FuzzyJoin.oracles),
+      (RobustStats.queries, RobustStats.oracles),
+      (Resample.queries, Resample.oracles),
       (ConnectedComponents.queries, ConnectedComponents.oracles),
       (StormQueries.queries, StormQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
