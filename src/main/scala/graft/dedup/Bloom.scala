@@ -39,29 +39,37 @@ object Bloom {
     val sh = shingles(s, dir)
       .withColumn("h", pmod(hex32(col("s")), lit(MinhashPrime)))
 
-    // build: eval shingles -> k positions -> OR'd 32-bit words (sparse)
-    val bloom = sh.filter(col("doc_id") < DecontamEvalDocs)
+    // build: eval shingles -> k positions -> OR'd 32-bit words, collected
+    // into a dense long[BloomBits/32] on the driver — the filter IS the
+    // broadcast variable (128 longs, like Ivf's centroid table), so the
+    // probe side needs no join at all
+    val words = sh.filter(col("doc_id") < DecontamEvalDocs)
       .select(col("h")).distinct()
       .select(explode(array((0 until NumHashes).map(j => bitPos(col("h"), j)): _*))
         .as("bpos"))
-      .select(expr("bpos div 32").as("word"),
+      .select(expr("cast(bpos div 32 AS int)").as("word"),
         expr("shiftleft(1L, int(bpos % 32))").as("mask"))
       .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+    val dense = Array.fill((BloomBits / 32).toInt)(0L)
+    words.foreach(r => dense(r.getInt(0)) = r.getLong(1))
 
-    // probe: corpus shingles test all k bits against the broadcast words
+    // probe: a PURE per-row projection — all four bit tests against the
+    // literal filter array; corpus shingles are never shuffled or joined
+    // for membership (the only remaining joins/shuffles are the broadcast
+    // exact-shared annotation and the per-doc rollup, which map-side
+    // partials compress to one row per doc per task)
+    val bloomArr = typedLit(dense.toSeq)
+    val passCols = (0 until NumHashes).map { j =>
+      val p = s"(${bitPosSql(j)})"
+      val mask = s"shiftleft(1L, int($p % 32))"
+      expr(s"(element_at(_bloom, cast($p div 32 AS int) + 1) & $mask) = $mask")
+    }
     val evalSet = sh.filter(col("doc_id") < DecontamEvalDocs)
       .select(col("s")).distinct().withColumn("in_eval", lit(true))
-    val probes = sh.filter(col("doc_id") >= DecontamEvalDocs)
-      .select(col("doc_id"), col("s"),
-        explode(array((0 until NumHashes).map(j => bitPos(col("h"), j)): _*))
-          .as("bpos"))
-      .select(col("doc_id"), col("s"), expr("bpos div 32").as("word"),
-        expr("shiftleft(1L, int(bpos % 32))").as("mask"))
-    probes.join(broadcast(bloom), Seq("word"), "left")
-      .withColumn("hit",
-        coalesce(col("bits").bitwiseAND(col("mask")) === col("mask"), lit(false)))
-      .groupBy("doc_id", "s")
-      .agg((sum(when(col("hit"), 1).otherwise(0)) === NumHashes).as("bloom_pass"))
+    sh.filter(col("doc_id") >= DecontamEvalDocs)
+      .withColumn("_bloom", bloomArr)
+      .withColumn("bloom_pass", passCols.reduce(_ && _))
       .join(broadcast(evalSet), Seq("s"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),

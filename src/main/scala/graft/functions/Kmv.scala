@@ -26,6 +26,16 @@ object Kmv {
   /** Sketch size: relative error ~ 1/√(k−2) ≈ 13 %. */
   val K = 64
 
+  /** 2³² — the hash range; [[K]]−1 times this is double-exact (< 2⁵³). */
+  val HashRange = 4294967296.0
+
+  /** THE estimator — the single scalar definition every surface (batch
+    * Column expr, streaming state, specs) derives from: exact below k,
+    * density-based at k. */
+  def estimate(buf: Buf): Double =
+    if (buf.items.size < K) buf.items.size.toDouble
+    else (K - 1) * HashRange / buf.items.last
+
   final case class Buf(items: List[Long]) // ascending, distinct, size <= K
 
   /** Mergeable bottom-k-distinct-hash aggregator (UDAF tier). */
@@ -33,7 +43,11 @@ object Kmv {
     override def zero: Buf = Buf(Nil)
 
     override def reduce(b: Buf, h: Long): Buf =
-      if (b.items.contains(h)) b
+      // O(1) rejection of the overwhelmingly common case once saturated:
+      // a hash at or above the current k-th minimum can never enter the
+      // sketch, so skip the O(k log k) rebuild for it
+      if (b.items.size >= k && h >= b.items.last) b
+      else if (b.items.contains(h)) b
       else Buf((h :: b.items).sorted.take(k))
 
     override def merge(a: Buf, b: Buf): Buf =
@@ -63,7 +77,7 @@ object Kmv {
       .select(col("source"), col("n_exact"),
         size(col("sk")).cast("long").as("n_kept"),
         round(when(size(col("sk")) < K, size(col("sk")).cast("double"))
-          .otherwise(lit((K - 1) * 4294967296.0) /
+          .otherwise(lit((K - 1) * HashRange) /
             element_at(col("sk"), K).cast("double")), 4).as("est_distinct"))
   }
 

@@ -32,10 +32,9 @@ object StreamKmv {
     KmvUpdate(key, buf.items.size, estimate(buf))
   }
 
-  /** The same estimator the batch gate query computes. */
-  def estimate(buf: Kmv.Buf): Double =
-    if (buf.items.size < Kmv.K) buf.items.size.toDouble
-    else (Kmv.K - 1) * 4294967296.0 / buf.items.last
+  /** The same estimator the batch gate query computes — delegated to the
+    * single shared definition so the two surfaces cannot drift. */
+  def estimate(buf: Kmv.Buf): Double = Kmv.estimate(buf)
 
   /** Streaming query: running per-key distinct estimates, update mode. */
   def distinctOverStream(events: Dataset[HashEvent])(

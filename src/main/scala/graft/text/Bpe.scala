@@ -74,15 +74,17 @@ object Bpe {
         if (top.isEmpty) return merges.result()
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += (((a, b), n))
-        val merged = a + b
-        // Symbols here are single corpus characters/merges of them — no
-        // quote escaping needed for this corpus; a production trainer
-        // would pass them as literal args instead of SQL text.
+        // Symbols come from the data, so they MUST be escaped before being
+        // inlined into SQL text — an apostrophe-bearing corpus (any natural
+        // language) would otherwise crash the round (or worse, let data
+        // inject expressions).
+        def q(v: String) = "'" + v.replace("'", "''") + "'"
+        val (qa, qb, qm) = (q(a), q(b), q(a + b))
         val next = syms.select(expr(
           s"""aggregate(sym, cast(array() AS array<string>),
              |  (acc, x) -> CASE WHEN size(acc) > 0
-             |      AND element_at(acc, size(acc)) = '$a' AND x = '$b'
-             |    THEN concat(slice(acc, 1, size(acc) - 1), array('$merged'))
+             |      AND element_at(acc, size(acc)) = $qa AND x = $qb
+             |    THEN concat(slice(acc, 1, size(acc) - 1), array($qm))
              |    ELSE concat(acc, array(x)) END)""".stripMargin).as("sym"))
           .cache()
         next.count() // materialize before dropping the parent cache

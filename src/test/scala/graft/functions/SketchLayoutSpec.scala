@@ -41,6 +41,31 @@ class SketchLayoutSpec extends AnyFunSuite {
     assert(sketch(1) == sketch(13))
   }
 
+  test("gate column estimator equals the shared scalar estimator") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    // the gate query's Column-expression estimate and Kmv.estimate (the
+    // definition StreamKmv and the specs use) must be the same function —
+    // recompute per-source sketches and compare value-for-value
+    val kmv = udaf(new Kmv.KmvAgg(Kmv.K), Encoders.scalaLong)
+    val sketches = graft.Tables(spark, sf, "documents")
+      .withColumn("w", graft.text.TextQueries.words(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"),
+        explode(graft.text.TextQueries.trigrams(col("w"))).as("sg"))
+      .groupBy("source")
+      .agg(kmv(graft.text.TextQueries.hex32(col("sg"))).as("sk"))
+      .as[(String, Seq[Long])].collect()
+      .map { case (src, sk) =>
+        src -> BigDecimal(Kmv.estimate(Kmv.Buf(sk.toList)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    val gate = Kmv.kmvDistinct(spark, sf)
+      .select("source", "est_distinct")
+      .as[(String, Double)].collect().toMap
+    assert(gate == sketches)
+  }
+
   test("winnowing density sits between the guaranteed bounds") {
     val w = Winnow.winnowFingerprints(spark, sf).cache()
     // at least one fingerprint per window position block, at most all grams

@@ -119,8 +119,10 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"),
       s"custom aggregate not object-hash planned:\n$plan")
-    assert(plan.contains("partial_kmvagg") || plan.contains("partial"),
-      s"no map-side partial aggregation:\n$plan")
+    // must name the UDAF itself — countDistinct's own partial stage would
+    // satisfy a bare "partial" and make the check vacuous
+    assert(plan.contains("partial_kmvagg"),
+      s"no map-side partial KMV aggregation:\n$plan")
   }
 
   test("no query plans an unintended cartesian product") {
