@@ -137,6 +137,34 @@ object TextQueries {
       .orderBy(desc("df"), asc("token"))
       .limit(100)
 
+  /** Top-50 word co-occurrence pairs within a ±[[CoocWindow]] token
+    * window — the GloVe/word2vec preprocessing statistic (the
+    * co-occurrence matrix embeddings are trained from), in pure integer
+    * space: each (i, i+o) position pair contributes one count to its
+    * canonical (least, greatest) word pair, with the distance-1 subcount
+    * carried alongside (the integer substitute for GloVe's 1/d
+    * weighting). A per-row explode + one count shuffle whose map-side
+    * partials are bounded by vocabulary², not corpus size — the property
+    * that makes the matrix computable at 100 TB. */
+  val CoocWindow = 2
+
+  def cooccurTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(s, dir, "documents")
+      .withColumn("w", words(col("text")))
+      .select(explode(expr(
+        s"""filter(flatten(transform(sequence(1, size(w)), i ->
+           |  transform(sequence(1, $CoocWindow), o ->
+           |    CASE WHEN i + o <= size(w) THEN struct(
+           |      least(element_at(w, i), element_at(w, i + o)) AS a,
+           |      greatest(element_at(w, i), element_at(w, i + o)) AS b,
+           |      o AS d) END))), x -> x IS NOT NULL)""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p.d") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_adjacent"))
+      .orderBy(desc("n"), asc("a"), asc("b"))
+      .limit(50)
+
   /** Per-document top-3 distinguishing terms by a log-free tf-idf variant:
     * score = (tf / doc_len) / df. The log is deliberately omitted — ln()
     * is not guaranteed bit-identical across engines, while this score is
@@ -226,6 +254,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cooccur_topk" -> cooccurTopk,
     "quality_gopher" -> qualityGopher,
     "pii_scan" -> piiScan,
     "doc_repetition" -> docRepetition,
@@ -244,6 +273,20 @@ object TextQueries {
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "cooccur_topk" ->
+      (s"WITH $wordsCte,\n" +
+        s"""p AS (SELECT unnest(list_filter(flatten(
+          |    list_transform(range(1, len(w) + 1), i ->
+          |      list_transform(range(1, ${CoocWindow + 1}), o ->
+          |        CASE WHEN i + o <= len(w) THEN
+          |          {'a': least(w[i], w[i + o]),
+          |           'b': greatest(w[i], w[i + o]), 'd': o}
+          |        END))), x -> x IS NOT NULL)) AS p
+          |  FROM w)
+          |SELECT p.a AS a, p.b AS b, count(*) AS n,
+          |  sum(CASE WHEN p.d = 1 THEN 1 ELSE 0 END)::BIGINT AS n_adjacent
+          |FROM p GROUP BY 1, 2
+          |ORDER BY n DESC, a ASC, b ASC LIMIT 50""".stripMargin),
     "quality_gopher" ->
       (s"WITH $wordsCte,\n" +
         s"""c AS (SELECT doc_id, len(w) AS n_words,

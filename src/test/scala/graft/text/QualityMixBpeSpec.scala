@@ -67,6 +67,17 @@ class QualityMixBpeSpec extends AnyFunSuite {
     assert(merges == Seq((("a", "a"), 2L)))
   }
 
+  test("cooccur pairs are canonical and adjacency-bounded") {
+    val c = TextQueries.cooccurTopk(spark, sf).cache()
+    assert(c.filter(col("a") > col("b")).count() == 0)
+    assert(c.filter(col("n_adjacent") > col("n") || col("n") <= 0)
+      .count() == 0)
+    // counts are non-increasing in emitted order (top-k contract)
+    val ns = c.select("n").collect().map(_.getLong(0))
+    assert(ns.zip(ns.tail).forall { case (x, y) => x >= y })
+    c.unpersist()
+  }
+
   test("bpe_pairs gate query is deterministic and bounded") {
     val a = Bpe.bpePairs(spark, sf).collect()
     val b = Bpe.bpePairs(spark, sf).collect()
