@@ -145,7 +145,38 @@ object Sampling {
         round(sqrt(col("tokens").cast("double")) / col("denom"), 6).as("weight"))
   }
 
+  /** Negatives per anchor, and the anchor subsample stride (every 50th
+    * doc keeps the gate output compact; production uses stride 1). */
+  val NegPerAnchor = 4
+  val AnchorStride = 50L
+
+  /** Deterministic contrastive negative mining — for each anchor document,
+    * [[NegPerAnchor]] pseudo-random partner documents drawn uniformly from
+    * the corpus by hashing (anchor, j) into the contiguous doc_id space.
+    * No rand(): reruns, task retries, and any partitioning produce the
+    * same pairs (the property that makes a 100 TB contrastive-pairs build
+    * resumable), and the oracle re-derives them exactly. Self-pairs are
+    * dropped (expected 1/n of draws). The emitted (anchor, neg_id) list
+    * is the JOIN SPEC for the gather step — at scale the text/embedding
+    * fetch is one hash join by neg_id, never a shuffle of the corpus per
+    * anchor. */
+  def negativePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"))
+      .filter(col("doc_id") % AnchorStride === 0)
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("n_docs"),
+        explode(sequence(lit(1), lit(NegPerAnchor))).as("j"))
+      .withColumn("neg_id",
+        hex32(concat(col("doc_id").cast("string"), lit("#"),
+          col("j").cast("string"))) % col("n_docs"))
+      .filter(col("neg_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "negative_pairs" -> negativePairs,
     "mix_weights" -> mixWeights,
     "sample_per_group" -> samplePerGroup,
     "token_budget_mix" -> tokenBudgetMix,
@@ -154,6 +185,15 @@ object Sampling {
     "pack_sequences" -> packSequences)
 
   val oracles: Map[String, String] = Map(
+    "negative_pairs" ->
+      s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |a AS (SELECT doc_id FROM documents WHERE doc_id % $AnchorStride = 0),
+        |js AS (SELECT unnest(range(1, ${NegPerAnchor + 1})) AS j),
+        |p AS (SELECT a.doc_id, js.j,
+        |        ('0x' || substr(sha256(a.doc_id || '#' || js.j), 1, 8))::BIGINT
+        |          % n.n_docs AS neg_id
+        |      FROM a, js, n)
+        |SELECT doc_id, j, neg_id FROM p WHERE neg_id <> doc_id""".stripMargin,
     "mix_weights" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,

@@ -36,6 +36,20 @@ class SamplingSpec extends AnyFunSuite {
     a.unpersist()
   }
 
+  test("negative_pairs are deterministic, in-corpus, and never self-paired") {
+    val a = Sampling.negativePairs(spark, sf).cache()
+    assert(a.filter(col("neg_id") === col("doc_id")).count() == 0)
+    val nDocs = graft.Tables(spark, sf, "documents").count()
+    assert(a.filter(col("neg_id") < 0 || col("neg_id") >= nDocs).count() == 0)
+    // every anchor keeps at least NegPerAnchor - 1 draws (at most one
+    // self-collision per anchor is plausible; zero draws is not)
+    assert(a.groupBy("doc_id").count()
+      .filter(col("count") < Sampling.NegPerAnchor - 1).count() == 0)
+    val b = Sampling.negativePairs(spark, sf)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    a.unpersist()
+  }
+
   test("pack_sequences bins are contiguous per source and conserve tokens") {
     val bins = Sampling.packSequences(spark, sf).cache()
     import spark.implicits._
