@@ -86,11 +86,17 @@ object ConnectedComponents {
     labels
   }
 
-  /** Gate query: cluster the shingle-Jaccard near-dup pairs; one row per
+  /** Gate query: cluster the LSH-verified near-dup pairs; one row per
     * clustered doc with its component id (min doc_id of the component) and
-    * the component size. */
+    * the component size. The pair input is [[DedupQueries.dedupMinhashLsh]]
+    * — candidate generation is banded LSH, so the pair stage is
+    * sub-quadratic at 100 TB — NOT the full shingle self-join
+    * ([[DedupQueries.dedupShingleJaccard]]), which exists as the
+    * exhaustive-verification twin and would die in pair generation at
+    * scale. Both engines derive clusters from the identical LSH-bounded,
+    * Jaccard-verified pair set ([[DedupQueries.lshPairsCte]]). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupQueries.dedupShingleJaccard(s, dir)
+    val pairs = DedupQueries.dedupMinhashLsh(s, dir)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val labels = connectedComponents(pairs)
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
@@ -103,13 +109,13 @@ object ConnectedComponents {
     "dedup_clusters" -> dedupClusters)
 
   /** DuckDB oracle: transitive closure by recursive CTE over the same
-    * pair SQL — `reach(a, b)` = b reachable from a, component id =
-    * min(b). Quadratic in component size, fine at oracle scale. */
+    * LSH-verified pair SQL — `reach(a, b)` = b reachable from a, component
+    * id = min(b). Quadratic in component size, fine at oracle scale. */
   val oracles: Map[String, String] = Map(
     "dedup_clusters" ->
-      (s"WITH RECURSIVE ${DedupQueries.pairsCte},\n" +
-        """edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-          |          UNION SELECT b_id, a_id FROM pairs),
+      (s"WITH RECURSIVE ${DedupQueries.lshPairsCte},\n" +
+        """edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+          |          UNION SELECT b_id, a_id FROM lshpairs),
           |reach(a, b) AS (
           |  SELECT src, src FROM edges
           |  UNION

@@ -3,7 +3,6 @@ package graft.dedup
 import graft.Tables
 import graft.text.TextQueries.{hex32, trigrams, trigramsSql, words}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline over `documents`:
@@ -25,7 +24,11 @@ import org.apache.spark.sql.functions._
   * Everything is expressed as shuffles over exploded relations (no
   * driver-side loops), so each stage scales horizontally: the only
   * quadratic term is within-bucket pair expansion, which LSH bounds by
-  * construction (and stop-shingle pruning would bound further).
+  * construction and stop-shingle pruning ([[MaxShingleDf]]) caps — a
+  * boilerplate shingle shared by d documents alone generates d²/2 pairs,
+  * so every PAIRWISE consumer (self-join and LSH alike) reads the pruned
+  * relation [[prunedShingles]]; the linear consumers (decontamination,
+  * the cross-doc profile) keep the full relation.
   */
 object DedupQueries {
 
@@ -33,6 +36,14 @@ object DedupQueries {
   val NumBands = 4
   val RowsPerBand = 4 // NumPerms / NumBands
   val JaccardThreshold = 0.5
+
+  /** Stop-shingle document-frequency cap for the pairwise operators: a
+    * shingle appearing in more than this many documents is dropped before
+    * any self-join (it carries no near-dup signal — at 10⁸ documents one
+    * boilerplate trigram is a 10¹⁶-pair hot key). 128 is far above any
+    * organic near-dup overlap (this corpus tops out at df=25) so the gate
+    * output is unchanged; the cap exists for the adversarial tail. */
+  val MaxShingleDf = 128
 
   /** Universal-hash modulus: Mersenne prime 2^31-1. Both operands of
     * `a*h` stay below 2^31, so the product stays below 2^62 — safely
@@ -75,6 +86,30 @@ object DedupQueries {
       |        FROM documents)
       |  WHERE len(w) >= 3)""".stripMargin
 
+  /** Stop-shingle-pruned relation for the pairwise consumers: [[shingles]]
+    * minus any shingle whose document frequency exceeds [[MaxShingleDf]].
+    * One corpus scan (the raw relation is eagerly checkpointed, so the df
+    * aggregation and the filter join both read the materialized rows, and
+    * nothing stays pinned in the cache manager after the query's action);
+    * the df count gets map-side partial aggregation, and the join back is
+    * a shuffle join by shingle — no hot-key window anywhere. The pruned
+    * result is checkpointed too, because every caller reads it 3+ times
+    * (sizes + both sides of a self-join, or signature + verification). */
+  def prunedShingles(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).localCheckpoint(true)
+    val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select(col("s"))
+    sh.join(keep, "s").select(col("doc_id"), col("s")).localCheckpoint(true)
+  }
+
+  /** SQL twin of [[prunedShingles]] (CTE `shp(doc_id, s)`; requires `sh`). */
+  val shpCte: String =
+    s"""shp AS (
+      |  SELECT sh.doc_id AS doc_id, sh.s AS s FROM sh
+      |  JOIN (SELECT s FROM sh GROUP BY s
+      |        HAVING count(*) <= $MaxShingleDf) keep ON keep.s = sh.s)""".stripMargin
+
   // ------------------------------------------------------------ exact dedup
   /** Content-hash dedup summary: total docs, distinct contents, dup docs. */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -87,9 +122,11 @@ object DedupQueries {
 
   // ------------------------------------------------- shingle jaccard dedup
   /** Near-duplicate pairs by exact 3-gram Jaccard >= 0.5 (shingle
-    * self-join + group count — the verification join of any LSH pipeline). */
+    * self-join + group count — the verification join of any LSH pipeline,
+    * over the stop-shingle-pruned relation so no boilerplate key can make
+    * the join quadratic in corpus size). */
   def dedupShingleJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = prunedShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
       col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -124,8 +161,8 @@ object DedupQueries {
     * minhash-estimated Jaccard alongside. One shingle scan feeds both the
     * signature and the verification joins. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
-    val mh = minhashSignatures(sh).cache()
+    val sh = prunedShingles(s, dir)
+    val mh = minhashSignatures(sh).localCheckpoint(true)
     val bandCols = (0 until NumBands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       struct(lit(b).as("band"),
@@ -202,13 +239,18 @@ object DedupQueries {
     * .docRepetition]] (which is within-doc): high `shared_frac` marks
     * boilerplate/templated documents that pairwise Jaccard misses because
     * the copies are spread across MANY partners, none individually above
-    * threshold. One shuffle by gram for the document-frequency window plus
-    * one by doc_id for the rollup — no self-join, so unlike the pairwise
-    * operators this stays linear in corpus size at 100 TB. */
+    * threshold. No self-join, so unlike the pairwise operators this stays
+    * linear in corpus size at 100 TB. The document frequency comes from a
+    * groupBy + join-back over the checkpointed shingle relation, NOT a
+    * `count().over(Window.partitionBy("s"))`: boilerplate shingles — the
+    * exact thing this operator hunts — are zipf-hot keys, and the window
+    * form shuffles every (doc, shingle) row by that key with no map-side
+    * combine, while the groupBy ships one partial count per key per task
+    * (and the checkpoint keeps the explode single-evaluation). */
   def crossDocNgrams(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val w = Window.partitionBy("s")
-    sh.withColumn("df", count(lit(1)).over(w))
+    val sh = shingles(s, dir).localCheckpoint(true)
+    val dfTab = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(dfTab, "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("long").as("n_shared"))
@@ -252,16 +294,14 @@ object DedupQueries {
 
   // ------------------------------------------------------------- oracles
   /** CTE chain ending in `pairs(a_id, b_id, common, jaccard)` — the
-    * Jaccard >= 0.5 verified near-dup pairs. Shared by the
-    * `dedup_shingle_jaccard` oracle and [[ConnectedComponents]]'
-    * `dedup_clusters` oracle so both engines derive clusters from the
-    * byte-identical pair set. */
+    * Jaccard >= 0.5 verified near-dup pairs from the exact (pruned)
+    * shingle self-join; the `dedup_shingle_jaccard` oracle. */
   val pairsCte: String =
-    (s"$shinglesCte,\n" +
-      """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    (s"$shinglesCte,\n$shpCte,\n" +
+      """sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
         |rawpairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |               count(*) AS common
-        |             FROM sh a JOIN sh b
+        |             FROM shp a JOIN shp b
         |               ON a.s = b.s AND a.doc_id < b.doc_id
         |             GROUP BY 1, 2),
         |pairs AS (SELECT a_id, b_id, common,
@@ -280,7 +320,7 @@ object DedupQueries {
        |    $mins
        |  FROM (SELECT doc_id,
        |          (('0x' || substr(sha256(s), 1, 8))::BIGINT) % $MinhashPrime AS h
-       |        FROM sh) hs
+       |        FROM shp) hs
        |  GROUP BY doc_id)""".stripMargin
   }
 
@@ -292,6 +332,36 @@ object DedupQueries {
     }
     "bands AS (\n  " + bandRows.mkString("\n  UNION ALL\n  ") + ")"
   }
+
+  /** CTE chain ending in `lshpairs(a_id, b_id, common, jaccard)` — the
+    * LSH-candidate pairs that survive exact-Jaccard verification, all over
+    * the pruned shingle relation. Shared by the `dedup_minhash_lsh` oracle
+    * and [[ConnectedComponents]]' `dedup_clusters` oracle, so both engines
+    * derive clusters from the byte-identical LSH-bounded pair set (the
+    * oracle's `common` is a full self-join for simplicity — fine at oracle
+    * scale — but the join to `cands` restricts the output to exactly the
+    * pairs the engine's candidate-bounded verification produces). */
+  val lshPairsCte: String =
+    (s"$shinglesCte,\n$shpCte,\n$minhashSelect,\n$bandsSql,\n" +
+      """cands AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |          FROM bands x JOIN bands y
+        |            ON x.band = y.band AND x.bh = y.bh
+        |            AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |             count(*) AS common
+        |           FROM shp a JOIN shp b
+        |             ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |lshpairs AS (SELECT c.a_id, c.b_id, m.common,
+        |               round(m.common * 1.0 / (sa.n + sb.n - m.common), 4)
+        |                 AS jaccard
+        |             FROM cands c
+        |             JOIN common m ON m.a_id = c.a_id AND m.b_id = c.b_id
+        |             JOIN sizes sa ON sa.doc_id = c.a_id
+        |             JOIN sizes sb ON sb.doc_id = c.b_id
+        |             WHERE m.common * 1.0 / (sa.n + sb.n - m.common)
+        |               >= 0.5)""".stripMargin)
 
   private val simhashExpr: String = {
     val terms = (0 until 32).map(b =>
@@ -326,31 +396,16 @@ object DedupQueries {
           |GROUP BY 1, 2
           |HAVING count(*) >= $DecontamMinOverlap""".stripMargin),
     "dedup_minhash_lsh" ->
-      (s"WITH $shinglesCte,\n$minhashSelect,\n$bandsSql,\n" +
-        s"""cands AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-          |           FROM bands x JOIN bands y
-          |             ON x.band = y.band AND x.bh = y.bh
-          |             AND x.doc_id < y.doc_id),
-          |est AS (SELECT a_id, b_id,
-          |          (${(0 until NumPerms).map(j =>
-                        s"CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END")
-                        .mkString(" + ")}) * 1.0 / $NumPerms AS est_jaccard
-          |        FROM cands
-          |        JOIN mh ma ON ma.doc_id = a_id
-          |        JOIN mh mb ON mb.doc_id = b_id),
-          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-          |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          |             count(*) AS common
-          |           FROM sh a JOIN sh b
-          |             ON a.s = b.s AND a.doc_id < b.doc_id
-          |           GROUP BY 1, 2)
-          |SELECT e.a_id, e.b_id, round(est_jaccard, 4) AS est_jaccard,
-          |  round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
-          |FROM est e
-          |JOIN common c ON c.a_id = e.a_id AND c.b_id = e.b_id
-          |JOIN sizes sa ON sa.doc_id = e.a_id
-          |JOIN sizes sb ON sb.doc_id = e.b_id
-          |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5""".stripMargin),
+      (s"WITH $lshPairsCte\n" +
+        s"""SELECT p.a_id, p.b_id,
+          |  round((${(0 until NumPerms).map(j =>
+                      s"CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END")
+                      .mkString(" + ")}) * 1.0 / $NumPerms, 4)
+          |    AS est_jaccard,
+          |  p.jaccard
+          |FROM lshpairs p
+          |JOIN mh ma ON ma.doc_id = p.a_id
+          |JOIN mh mb ON mb.doc_id = p.b_id""".stripMargin),
     "dedup_simhash" ->
       (s"""WITH hv AS (
         |  SELECT doc_id, list_transform(

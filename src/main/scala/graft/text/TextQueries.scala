@@ -175,14 +175,19 @@ object TextQueries {
     val toks = Tables.parallel(s, dir, "documents")
       .select(col("doc_id"), size(words(col("text"))).as("doc_len"),
         explode(words(col("text"))).as("token"))
+    // df via groupBy + join-back over the checkpointed tf relation, NOT a
+    // count window by token: stopword-grade tokens are zipf-hot keys, and
+    // `count().over(partitionBy("token"))` shuffles every tf row by that
+    // key with no map-side combine, while the groupBy ships one partial
+    // count per token per task. The checkpoint keeps tf single-evaluation
+    // (the naive join-back would run the explode twice) without pinning
+    // anything in the cache manager. The remaining window partitions by
+    // doc_id — bounded by document length, never hot.
     val tf = toks.groupBy("doc_id", "doc_len", "token")
-      .agg(count(lit(1)).as("tf"))
-    // df as a count window over tf (one shuffle by token) rather than a
-    // groupBy + self-join back — the join form evaluates the explode
-    // pipeline twice (or leaks a cache pinned for the session)
-    val wDf = Window.partitionBy("token")
+      .agg(count(lit(1)).as("tf")).localCheckpoint(true)
+    val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
-    tf.withColumn("df", count(lit(1)).over(wDf))
+    tf.join(dfTab, "token")
       .withColumn("score", col("tf") / col("doc_len") / col("df"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
