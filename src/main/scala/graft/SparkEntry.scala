@@ -12,7 +12,10 @@ import graft.text.{Bpe, Sampling, TextQueries, Winnow}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  // A def, not a val: some oracle maps are dynamic (Ivf inlines trained
+  // centroids, Bpe inlines trained merges), so the SQL must be re-read
+  // AFTER the queries have run — Verify dumps oracle_sql.json last.
+  private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
       (AsOfJoin.queries, AsOfJoin.oracles),

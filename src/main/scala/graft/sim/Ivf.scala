@@ -4,7 +4,7 @@ import graft.Tables
 import graft.sim.SimilarityQueries.dot
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
   * the assignment is a one-off batch job and the probe is a partition-
   * pruned scan when the table is written partitioned by cell.
   *
-  * The approximate query (`ivf_topk`) has no SQL oracle (k-means cells are
-  * not reproducible in DuckDB) — the driver records a rows-only check and
-  * `IvfSpec` asserts recall against the exact top-k. The probe-ALL variant
-  * (`ivf_topk_probeall`, nprobe = NLists) scans every cell and therefore
-  * IS the brute-force top-k, so it carries a full DuckDB hash oracle —
-  * the IVF machinery's correctness bound, gate-checked.
+  * The k-means TRAINING is not DuckDB-reproducible, but once trained the
+  * centroids are plain doubles — so cell assignment is NOT done through
+  * the (engine-private) model.transform: it is an argmin-over-literal-
+  * centroids expression both engines evaluate bit-identically, and the
+  * approximate query (`ivf_topk`) gets a full hash oracle built AFTER
+  * training by inlining those centroid literals (plus the driver-picked
+  * probe set) into SQL. The probe-ALL variant (`ivf_topk_probeall`,
+  * nprobe = NLists) scans every cell and therefore IS the brute-force
+  * top-k independent of any assignment — the static correctness bound.
+  * `IvfSpec` additionally pins recall against the exact top-k.
   */
 object Ivf {
 
@@ -82,12 +86,36 @@ object Ivf {
       .setK(NLists).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(trainSet)
-    val assigned = e
-      .join(model.transform(features).select("vec_id", "cell"), "vec_id")
-      .cache()
+    val centers = model.clusterCenters.map(_.toArray)
+    // Assignment deliberately bypasses model.transform: cellExpr is the
+    // portable argmin the oracle SQL mirrors literal-for-literal, so the
+    // cell column is bit-reproducible outside Spark.
+    val assigned = e.withColumn("cell", cellExpr(centers)).cache()
     assigned.count() // materialize before dropping the feature cache
     features.unpersist()
-    (assigned, model.clusterCenters.map(_.toArray))
+    (assigned, centers)
+  }
+
+  /** Nearest-centroid cell as a pure SQL-expressible argmin over literal
+    * centroids: for an L2-normalized corpus vector x̂ = x/‖x‖, the squared
+    * distance to centroid c_j is ‖x̂‖² + ‖c_j‖² − 2·x̂·c_j = const +
+    * (‖c_j‖² − 2·(x·c_j)/‖x‖), so the argmin needs only the parenthesized
+    * score — one dot product per centroid, ties broken by smallest j (the
+    * oracle orders by (score, j)). Every constant is a double literal
+    * shared verbatim with the oracle SQL, and the arithmetic (left-to-
+    * right dot, one division) has a single evaluation order — both
+    * engines produce the same bits. */
+  private def cellExpr(centers: Array[Array[Double]]): Column = {
+    val xn = sqrt(dot(col("embedding"), col("embedding")))
+    val scores = centers.map { c =>
+      val c2 = c.map(x => x * x).sum
+      lit(c2) - lit(2.0) * dot(col("embedding"), array(c.map(lit).toSeq: _*)) / xn
+    }
+    val m = least(scores.toSeq: _*)
+    scores.zipWithIndex.tail
+      .foldLeft(when(scores(0) === m, 0)) { case (acc, (sc, j)) =>
+        acc.when(sc === m, j)
+      }
   }
 
   private def cosine(a: Array[Double], b: Array[Double]): Double = {
@@ -113,6 +141,9 @@ object Ivf {
     val probeCells = centers.zipWithIndex
       .map { case (ctr, i) => (cosine(qEmb, ctr), i) }
       .sortBy(-_._1).take(nprobe).map(_._2)
+    if (nprobe == NProbe) synchronized {
+      lastIvfOracle = Some(ivfOracleSql(centers, probeCells))
+    }
     val q = assigned.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"),
         sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
@@ -135,19 +166,70 @@ object Ivf {
     ivfTopkProbing(s, dir, NLists).drop("cell")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ivf_topk" -> ivfTopk, // rows-only (approximate; see scaladoc)
+    "ivf_topk" -> ivfTopk,
     "ivf_topk_probeall" -> ivfTopkProbeAll)
 
-  val oracles: Map[String, String] = Map(
-    "ivf_topk_probeall" ->
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |d AS (SELECT vec_id, label,
-        |  ${SimilarityQueries.sqlDot("embedding", "qe")} AS dp,
-        |  ${SimilarityQueries.sqlDot("embedding", "embedding")} AS na,
-        |  ${SimilarityQueries.sqlDot("qe", "qe")} AS nq
-        |  FROM embeddings, q WHERE vec_id <> 0)
-        |SELECT vec_id, label,
-        |  round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine
-        |FROM d ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
-        |LIMIT $TopK""".stripMargin)
+  // The approximate query's oracle exists only once the quantizer is
+  // trained (its centroid and probe-set literals come from the model), so
+  // ivfTopkProbing records it and `oracles` is a def: Verify runs every
+  // query BEFORE dumping oracle SQL, so the gate always sees it.
+  private var lastIvfOracle: Option[String] = None
+
+  /** Shortest round-trip decimal form — DuckDB's correctly-rounded parse
+    * recovers the exact double the Spark plan uses via `lit`. */
+  private def fmtD(d: Double): String = java.lang.Double.toString(d)
+
+  /** Post-training oracle for `ivf_topk`: the trained centroids (and the
+    * driver-picked probe cells) inlined as literals; assignment = the same
+    * (‖c_j‖² − 2·(x·c_j)/‖x‖, j) argmin [[cellExpr]] computes, then the
+    * exact-cosine re-rank of the probed cells. */
+  private def ivfOracleSql(centers: Array[Array[Double]],
+      probes: Array[Int]): String = {
+    val rows = centers.zipWithIndex.map { case (c, j) =>
+      s"($j, ${fmtD(c.map(x => x * x).sum)}, " +
+        s"[${c.map(fmtD).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH cents(j, c2, c) AS (VALUES
+       |    $rows),
+       |sc AS (SELECT e.vec_id, e.label, e.embedding, c.j,
+       |         c.c2 - 2 * (${SimilarityQueries.sqlDot("e.embedding", "c.c")})
+       |           / sqrt(${SimilarityQueries.sqlDot("e.embedding", "e.embedding")})
+       |           AS score
+       |       FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, label, embedding, j AS cell
+       |        FROM (SELECT *, row_number() OVER (
+       |                PARTITION BY vec_id ORDER BY score ASC, j ASC) AS rn
+       |              FROM sc)
+       |        WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |d AS (SELECT a.vec_id, a.label, a.cell,
+       |  ${SimilarityQueries.sqlDot("a.embedding", "qe")} AS dp,
+       |  ${SimilarityQueries.sqlDot("a.embedding", "a.embedding")} AS na,
+       |  ${SimilarityQueries.sqlDot("qe", "qe")} AS nq
+       |  FROM asg a, q
+       |  WHERE a.vec_id <> 0 AND a.cell IN (${probes.mkString(", ")}))
+       |SELECT vec_id, label, cell,
+       |  round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine
+       |FROM d ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
+       |LIMIT $TopK""".stripMargin
+  }
+
+  def oracles: Map[String, String] = {
+    val base = Map(
+      "ivf_topk_probeall" ->
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          |d AS (SELECT vec_id, label,
+          |  ${SimilarityQueries.sqlDot("embedding", "qe")} AS dp,
+          |  ${SimilarityQueries.sqlDot("embedding", "embedding")} AS na,
+          |  ${SimilarityQueries.sqlDot("qe", "qe")} AS nq
+          |  FROM embeddings, q WHERE vec_id <> 0)
+          |SELECT vec_id, label,
+          |  round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine
+          |FROM d ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
+          |LIMIT $TopK""".stripMargin)
+    synchronized(lastIvfOracle) match {
+      case Some(sql) => base + ("ivf_topk" -> sql)
+      case None => base
+    }
+  }
 }
