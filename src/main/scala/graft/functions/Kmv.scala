@@ -36,19 +36,35 @@ object Kmv {
     if (buf.items.size < K) buf.items.size.toDouble
     else (K - 1) * HashRange / buf.items.last
 
-  final case class Buf(items: List[Long]) // ascending, distinct, size <= K
+  final case class Buf(items: Vector[Long]) // ascending, distinct, size <= K
 
   /** Mergeable bottom-k-distinct-hash aggregator (UDAF tier). */
   final class KmvAgg(k: Int) extends Aggregator[Long, Buf, Seq[Long]] {
-    override def zero: Buf = Buf(Nil)
+    override def zero: Buf = Buf(Vector.empty)
 
-    override def reduce(b: Buf, h: Long): Buf =
+    // First index whose value is >= h (the buffer is sorted ascending).
+    private def lowerBound(v: Vector[Long], h: Long): Int = {
+      var lo = 0
+      var hi = v.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (v(mid) < h) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    override def reduce(b: Buf, h: Long): Buf = {
+      val v = b.items
       // O(1) rejection of the overwhelmingly common case once saturated:
       // a hash at or above the current k-th minimum can never enter the
-      // sketch, so skip the O(k log k) rebuild for it
-      if (b.items.size >= k && h >= b.items.last) b
-      else if (b.items.contains(h)) b
-      else Buf((h :: b.items).sorted.take(k))
+      // sketch (and equality means it's already present)
+      if (v.size >= k && h >= v.last) b
+      else {
+        val i = lowerBound(v, h)
+        if (i < v.size && v(i) == h) b // already present
+        else Buf(v.patch(i, h :: Nil, 0).take(k))
+      }
+    }
 
     override def merge(a: Buf, b: Buf): Buf =
       Buf((a.items ++ b.items).distinct.sorted.take(k))

@@ -283,7 +283,8 @@ object RelationalQueries {
   // batch mode): 30-minute inactivity gap per user, window end = last event
   // + gap. Same gap semantics as q16Sessionize — an event exactly `gap`
   // after its predecessor starts a NEW session ([start, start+gap) is
-  // half-open) — which the SessionWindowSpec invariant pins.
+  // half-open) — pinned by PivotSessionProfileSpec's exact-gap boundary
+  // test (1800 s apart => two sessions; 1799 s => one).
   def q24SessionWindow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))

@@ -156,10 +156,13 @@ object Sampling {
     * No rand(): reruns, task retries, and any partitioning produce the
     * same pairs (the property that makes a 100 TB contrastive-pairs build
     * resumable), and the oracle re-derives them exactly. Self-pairs are
-    * dropped (expected 1/n of draws). The emitted (anchor, neg_id) list
-    * is the JOIN SPEC for the gather step — at scale the text/embedding
-    * fetch is one hash join by neg_id, never a shuffle of the corpus per
-    * anchor. */
+    * dropped (expected 1/n of draws), and two draws j1 != j2 that hash to
+    * the same partner are collapsed to one (doc_id, neg_id) row keeping
+    * the smallest j — so an anchor never receives duplicate negatives,
+    * at the cost of occasionally fewer than [[NegPerAnchor]] partners.
+    * The emitted (anchor, neg_id) list is the JOIN SPEC for the gather
+    * step — at scale the text/embedding fetch is one hash join by
+    * neg_id, never a shuffle of the corpus per anchor. */
   def negativePairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -172,7 +175,9 @@ object Sampling {
         hex32(concat(col("doc_id").cast("string"), lit("#"),
           col("j").cast("string"))) % col("n_docs"))
       .filter(col("neg_id") =!= col("doc_id"))
-      .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_id"))
+      .groupBy(col("doc_id"), col("neg_id"))
+      .agg(min(col("j")).cast("long").as("j"))
+      .select(col("doc_id"), col("j"), col("neg_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -193,7 +198,8 @@ object Sampling {
         |        ('0x' || substr(sha256(a.doc_id || '#' || js.j), 1, 8))::BIGINT
         |          % n.n_docs AS neg_id
         |      FROM a, js, n)
-        |SELECT doc_id, j, neg_id FROM p WHERE neg_id <> doc_id""".stripMargin,
+        |SELECT doc_id, min(j) AS j, neg_id FROM p
+        |WHERE neg_id <> doc_id GROUP BY doc_id, neg_id""".stripMargin,
     "mix_weights" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,

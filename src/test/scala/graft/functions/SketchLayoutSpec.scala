@@ -57,7 +57,7 @@ class SketchLayoutSpec extends AnyFunSuite {
       .agg(kmv(graft.text.TextQueries.hex32(col("sg"))).as("sk"))
       .as[(String, Seq[Long])].collect()
       .map { case (src, sk) =>
-        src -> BigDecimal(Kmv.estimate(Kmv.Buf(sk.toList)))
+        src -> BigDecimal(Kmv.estimate(Kmv.Buf(sk.toVector)))
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       }.toMap
     val gate = Kmv.kmvDistinct(spark, sf)
@@ -85,15 +85,18 @@ class SketchLayoutSpec extends AnyFunSuite {
     // two docs sharing their entire text must share every fingerprint
     val docs = Seq((1L, "a b c d e f g h i j k l m n o p q r s t"),
       (2L, "a b c d e f g h i j k l m n o p q r s t")).toDF("doc_id", "text")
-    val saved = docs.cache()
-    val viaTmp = {
-      val dir = java.nio.file.Files.createTempDirectory("winnow").toString
-      saved.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      Winnow.winnowFingerprints(spark, dir).collect()
+    val dir = java.nio.file.Files.createTempDirectory("winnow")
+    try {
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val viaTmp = Winnow.winnowFingerprints(spark, dir.toString).collect()
+      assert(viaTmp.length == 2)
+      assert(viaTmp(0).getLong(1) == viaTmp(1).getLong(1)) // n_fp equal
+      assert(viaTmp(0).getLong(2) == viaTmp(1).getLong(2)) // checksum equal
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    assert(viaTmp.length == 2)
-    assert(viaTmp(0).getLong(1) == viaTmp(1).getLong(1)) // n_fp equal
-    assert(viaTmp(0).getLong(2) == viaTmp(1).getLong(2)) // checksum equal
   }
 
   test("zkey/unzkey round-trips and orders locally") {
