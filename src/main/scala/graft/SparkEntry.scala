@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.dedup.{Bloom, ConnectedComponents, DedupQueries}
+import graft.dedup.{Bloom, ConnectedComponents, DedupQueries, SubstringDedup}
 import graft.functions.{BottomK, Kmv}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin,
@@ -35,6 +35,7 @@ object SparkEntry {
       (Kmv.queries, Kmv.oracles),
       (ZOrder.queries, ZOrder.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
+      (SubstringDedup.queries, SubstringDedup.oracles),
       (Bloom.queries, Bloom.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (Ivf.queries, Ivf.oracles),

@@ -1,0 +1,87 @@
+package graft.dedup
+
+import graft.Tables
+import graft.text.TextQueries
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact-substring deduplication (Lee et al. 2022, "Deduplicating Training
+  * Data Makes Language Models Better", arXiv:2107.06499): flag documents
+  * that share a verbatim run of at least [[SubstrK]] tokens with another
+  * document — the dedup family that catches boilerplate and quoted blocks
+  * the whole-document and near-dup operators miss.
+  *
+  * The paper's suffix array exists to find shared runs of ANY length ≥ k;
+  * every such run contains a k-token gram, so flagging via rolling k-gram
+  * fingerprints selects exactly the same document set — and k-gram
+  * fingerprinting is the Spark-native shape: explode rolling k-grams,
+  * hash to fixed-width keys, one groupBy for document frequency, one join
+  * back. No suffix array, no global sort of the corpus.
+  *
+  * Scale shape at 100 TB: the gram relation is linear in corpus tokens;
+  * the only shuffles are the per-doc distinct, the df groupBy (map-side
+  * partials), and the join back. The [[DedupQueries.MaxShingleDf]]
+  * stop-gram cap bounds hot keys exactly as the shingle operators do —
+  * a boilerplate header shared by 10⁶ documents is pruned, not joined.
+  * Grams travel as a 60-bit sha256 prefix, not the raw string: fixed-
+  * width shuffle keys, and 2⁶⁰ keyspace keeps expected collisions below
+  * one even at 10¹³ grams (hex32's 2³² would false-flag at that scale).
+  */
+object SubstringDedup {
+
+  /** Minimum verbatim run length, in tokens. The paper uses 50 BPE
+    * tokens; 8 whitespace words keeps the fixture corpus expressive while
+    * the machinery is length-independent. */
+  val SubstrK = 8
+
+  /** First 60 bits of sha256 as a long — same construction as
+    * [[TextQueries.hex32]] widened to 15 hex chars (2⁶⁰ < 2⁶³, so
+    * DuckDB's signed-BIGINT '0x' parse still accepts it). */
+  private def hex60(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+  /** Per flagged document: how many of its distinct k-grams appear in at
+    * least one other document (`n_dup_grams`), and the total number of
+    * (gram, other-doc) co-occurrences (`n_partner_grams` = Σ df−1, the
+    * duplication mass an excision pass would remove). */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.parallel(s, dir, "documents")
+      .select(col("doc_id"), TextQueries.words(col("text")).as("w"))
+      .filter(size(col("w")) >= SubstrK)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${SubstrK - 1}),
+           |  i -> array_join(slice(w, i, $SubstrK), ' '))""".stripMargin))
+        .as("g"))
+      .select(col("doc_id"), hex60(col("g")).as("gh"))
+      .distinct() // one vote per (doc, gram)
+      // read twice (df aggregation + join back) — materialize once,
+      // nothing pinned after the action completes (house pattern)
+      .localCheckpoint(true)
+    val dfs = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= DedupQueries.MaxShingleDf)
+    grams.join(dfs, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(col("df") - 1).cast("long").as("n_partner_grams"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> dedupSubstring)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_substring" ->
+      s"""WITH wd AS (SELECT doc_id,
+        |              list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |            FROM documents),
+        |pos AS (SELECT doc_id, w, unnest(range(1, len(w) - ${SubstrK - 2})) AS i
+        |        FROM wd WHERE len(w) >= $SubstrK),
+        |g AS (SELECT DISTINCT doc_id,
+        |        ('0x' || substr(sha256(array_to_string(w[i:i+${SubstrK - 1}], ' ')),
+        |                        1, 15))::BIGINT AS gh
+        |      FROM pos),
+        |d AS (SELECT gh, count(*) AS df FROM g GROUP BY gh
+        |      HAVING count(*) >= 2 AND count(*) <= ${DedupQueries.MaxShingleDf})
+        |SELECT g.doc_id, count(*) AS n_dup_grams,
+        |  sum(d.df - 1)::BIGINT AS n_partner_grams
+        |FROM g JOIN d USING (gh) GROUP BY g.doc_id""".stripMargin)
+}

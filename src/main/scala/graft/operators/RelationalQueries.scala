@@ -281,10 +281,11 @@ object RelationalQueries {
 
   // Native session windows (the streaming-capable session_window operator,
   // batch mode): 30-minute inactivity gap per user, window end = last event
-  // + gap. Same gap semantics as q16Sessionize — an event exactly `gap`
-  // after its predecessor starts a NEW session ([start, start+gap) is
-  // half-open) — pinned by PivotSessionProfileSpec's exact-gap boundary
-  // test (1800 s apart => two sessions; 1799 s => one).
+  // + gap. Same gap semantics as q16Sessionize's strict `>` — an event
+  // exactly `gap` after its predecessor EXTENDS the session (the window is
+  // closed at start+gap); only a strictly larger gap opens a new one —
+  // pinned by PivotSessionProfileSpec's exact-gap boundary test
+  // (1801 s apart => two sessions; exactly 1800 s => one).
   def q24SessionWindow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -446,7 +447,7 @@ object RelationalQueries {
       """WITH g AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

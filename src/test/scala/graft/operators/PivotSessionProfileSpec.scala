@@ -41,20 +41,20 @@ class PivotSessionProfileSpec extends AnyFunSuite {
     s.unpersist()
   }
 
-  test("q24 exact-gap boundary: 1800 s later is a new session, 1799 s is not") {
+  test("q24 exact-gap boundary: 1801 s later is a new session, 1800 s is not") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sessboundary")
     try {
       val base = 1700000000L // epoch seconds
       def ns(sec: Long) = sec * 1000000000L // Tables reads events.ts as nanos
-      Seq((1L, ns(base), 1.0), (1L, ns(base + 1800), 1.0), // exactly the gap
-        (2L, ns(base), 1.0), (2L, ns(base + 1799), 1.0)) // one below it
+      Seq((1L, ns(base), 1.0), (1L, ns(base + 1801), 1.0), // just past the gap
+        (2L, ns(base), 1.0), (2L, ns(base + 1800), 1.0)) // exactly the gap
         .toDF("user_id", "ts", "value")
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       val perUser = RelationalQueries.q24SessionWindow(spark, dir.toString)
         .groupBy("user_id").count().as[(Long, Long)].collect().toMap
-      assert(perUser(1L) == 2L, "event exactly gap-after must open a NEW session")
-      assert(perUser(2L) == 1L, "event inside the gap must extend the session")
+      assert(perUser(1L) == 2L, "a strictly-larger gap must open a NEW session")
+      assert(perUser(2L) == 1L, "an exactly-gap event must EXTEND the session")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
