@@ -1,0 +1,99 @@
+package graft.dedup
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial-corpus invariants for the bounded dedup pipeline:
+  * a boilerplate shingle above the [[DedupQueries.MaxShingleDf]] cap is
+  * pruned before any pairwise consumer (the 100 TB hot-key guard), the
+  * cluster path inherits the LSH-bounded pair set rather than the
+  * quadratic self-join, and no dedup query leaves storage pinned in the
+  * session's cache manager after its action completes. */
+class StopShingleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Corpus with one boilerplate trigram planted in MaxShingleDf + 2 docs
+    * (each otherwise unique) plus one organic near-dup pair (9001, 9002)
+    * that shares no boilerplate. */
+  private def hotCorpus(dir: String): Unit = {
+    import spark.implicits._
+    val hot = (0 until DedupQueries.MaxShingleDf + 2).map { i =>
+      (1000L + i, s"hot stop gram u${i}a u${i}b u${i}c", "fix")
+    }
+    val dup = Seq(
+      (9001L, "organic pair text shared verbatim across two documents only", "fix"),
+      (9002L, "organic pair text shared verbatim across two documents only", "fix"))
+    (hot ++ dup).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private def withHotCorpus[A](f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("hotshingle")
+    try f(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("a shingle above MaxShingleDf is pruned from the pairwise relation") {
+    withHotCorpus { dir =>
+      hotCorpus(dir)
+      val pruned = DedupQueries.prunedShingles(spark, dir)
+      assert(pruned.filter(col("s") === "hot stop gram").count() == 0,
+        "boilerplate shingle survived the stop-shingle cap")
+      // everything under the cap is untouched
+      assert(pruned.filter(col("doc_id") === 9001L).count() > 0)
+    }
+  }
+
+  test("the exhaustive and LSH pair queries see only organic pairs") {
+    withHotCorpus { dir =>
+      hotCorpus(dir)
+      // without the cap the hot shingle alone would contribute
+      // (MaxShingleDf+2 choose 2) > 8000 candidate pairs
+      val jac = DedupQueries.dedupShingleJaccard(spark, dir)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(jac.toSet == Set((9001L, 9002L)), s"got ${jac.mkString(",")}")
+      val lsh = DedupQueries.dedupMinhashLsh(spark, dir)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(lsh.toSet == Set((9001L, 9002L)), s"got ${lsh.mkString(",")}")
+    }
+  }
+
+  test("dedup_clusters inherits the LSH bound: one two-doc cluster") {
+    withHotCorpus { dir =>
+      hotCorpus(dir)
+      val cl = ConnectedComponents.dedupClusters(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the boilerplate docs never reach pair generation, so the only
+      // component is the organic pair — the quadratic self-join shape
+      // would have clustered all MaxShingleDf+2 hot docs together
+      assert(cl == Set((9001L, 9001L, 2L), (9002L, 9001L, 2L)), s"got $cl")
+    }
+  }
+
+  test("dedup family pins nothing in the cache manager after running") {
+    val sf = "/root/testdata/sf0.001"
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    DedupQueries.dedupShingleJaccard(spark, sf).collect()
+    DedupQueries.dedupMinhashLsh(spark, sf).collect()
+    DedupQueries.crossDocNgrams(spark, sf).collect()
+    SubstringDedup.dedupSubstring(spark, sf).collect()
+    ConnectedComponents.dedupClusters(spark, sf).collect()
+    graft.text.TextQueries.termRarityTopk(spark, sf).collect()
+    // localCheckpoint materializations are reclaimed by the ContextCleaner
+    // once unreferenced — a session-lifetime .cache() would never be. Poll
+    // a few GC cycles for the cleaner to drain its reference queue.
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(500)
+    }
+    assert(leaked.isEmpty,
+      s"dedup queries left RDDs pinned after their actions: $leaked")
+  }
+}
