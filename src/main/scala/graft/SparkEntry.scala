@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.dedup.{Bloom, ConnectedComponents, DedupQueries, SubstringDedup}
-import graft.functions.{BottomK, Kmv}
+import graft.functions.{BottomK, CountMin, Kmv}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin,
   RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
@@ -33,6 +33,7 @@ object SparkEntry {
       (Winnow.queries, Winnow.oracles),
       (BottomK.queries, BottomK.oracles),
       (Kmv.queries, Kmv.oracles),
+      (CountMin.queries, CountMin.oracles),
       (ZOrder.queries, ZOrder.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SubstringDedup.queries, SubstringDedup.oracles),

@@ -1,0 +1,64 @@
+package graft.plans
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketing — the write-time co-location contract the 100 TB design
+  * leans on: a fact-fact join (orders ⋈ lineitem) pre-bucketed on the
+  * join key on BOTH sides plans with NO shuffle exchange, while the
+  * unbucketed twin must exchange both sides. This is the difference
+  * between an O(corpus) network move per join and zero at scale; the
+  * same contract co-locates repeated dedup/gram joins when the heavy
+  * relations are bucketed by hash key. */
+class BucketedJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("both-sides-bucketed fact join plans with zero exchanges") {
+    // bucketed tables must go through the catalog (saveAsTable); managed
+    // tables land in the session's default warehouse and DROP removes
+    // their data
+    try {
+      Tables(spark, sf, "orders")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+      Tables(spark, sf, "lineitem")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+      // disable auto-broadcast so the join shape is decided by
+      // co-location, not by the tiny fixture size
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("rev"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+
+      // sanity: the unbucketed twin DOES need exchanges (the guard that
+      // this test is actually asserting co-location, not a trivial plan)
+      val unbucketed = Tables(spark, sf, "orders")
+        .join(Tables(spark, sf, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"))
+      assert(unbucketed.queryExecution.executedPlan.toString
+        .contains("Exchange"), "control plan unexpectedly shuffle-free")
+
+      // and the bucketed result is the same data
+      import spark.implicits._
+      val a = joined.agg(sum("n")).as[Long].head()
+      val b = unbucketed.agg(sum("n")).as[Long].head()
+      assert(a == b)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
