@@ -62,8 +62,10 @@ object CountMin {
     pmod(pmod(pmod(h, lit(Prime)) * RowA(j) + RowB(j), lit(Prime)),
       lit(Width))
 
-  /** Explode a hashed-token row into its d (j, bkt) cells. */
-  private def cells(h: Column): Column = explode(array(
+  /** Explode a hashed-token row into its d (j, bkt) cells — shared with
+    * the streaming twin ([[graft.streaming.StreamCountMin]]) so the two
+    * surfaces cannot drift. */
+  def cells(h: Column): Column = explode(array(
     (0 until Depth).map(j =>
       struct(lit(j).as("j"), bucket(h, j).as("bkt"))): _*))
 

@@ -125,6 +125,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no map-side partial KMV aggregation:\n$plan")
   }
 
+  test("document-frequency rollups partial-aggregate; no hot-key windows") {
+    // verdict r3 #6: df must come from groupBy (map-side combine) + join
+    // back, never count().over(partitionBy(<zipf-hot key>)) — the window
+    // form shuffles every exploded row by a hot key with no partials
+    for ((name, df) <- Seq(
+      "cross_doc_ngrams" -> graft.dedup.DedupQueries.crossDocNgrams(spark, sf),
+      "term_rarity_topk" -> graft.text.TextQueries.termRarityTopk(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_count"),
+        s"$name: df aggregation is not map-side partial:\n$plan")
+      val windowSpecs = plan.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(windowSpecs.forall(_.contains("doc_id")),
+        s"$name: window partitioned by a non-doc key:\n${windowSpecs.mkString("\n")}")
+    }
+  }
+
   test("no query plans an unintended cartesian product") {
     // broadcast single-row crossJoins compile to BroadcastNestedLoopJoin,
     // which is fine; a CartesianProduct would shuffle |A|x|B| rows.
