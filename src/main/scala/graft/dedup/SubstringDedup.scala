@@ -65,8 +65,44 @@ object SubstringDedup {
         sum(col("df") - 1).cast("long").as("n_partner_grams"))
   }
 
+  /** Excision accounting — the transformation the paper actually applies:
+    * every token position covered by a shared ≥k-token run is removed.
+    * Per affected document: total tokens, covered (removed) tokens, and
+    * the surviving count. Coverage is the union of [i, i+k) over flagged
+    * gram positions, computed as a distinct-position count — overlapping
+    * runs never double-count. Same linear shape as [[dedupSubstring]]
+    * plus one bounded position-explode over the FLAGGED grams only (at
+    * most k rows per flagged gram, and flagged grams are the near-dup
+    * tail, not the corpus). */
+  def dedupSubstringExcise(s: SparkSession, dir: String): DataFrame = {
+    val gramPos = Tables.parallel(s, dir, "documents")
+      .select(col("doc_id"), TextQueries.words(col("text")).as("w"))
+      .filter(size(col("w")) >= SubstrK)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        explode(expr(
+          s"""transform(sequence(1, size(w) - ${SubstrK - 1}),
+             |  i -> struct(i AS i,
+             |              array_join(slice(w, i, $SubstrK), ' ') AS g))"""
+            .stripMargin)).as("p"))
+      .select(col("doc_id"), col("n_tokens"), col("p.i").as("i"),
+        hex60(col("p.g")).as("gh"))
+      .localCheckpoint(true) // read twice: df aggregation + coverage join
+    val dupGrams = gramPos.select(col("doc_id"), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= DedupQueries.MaxShingleDf)
+      .select(col("gh"))
+    gramPos.join(dupGrams, "gh")
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(col("i"), col("i") + (SubstrK - 1))).as("pos"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(countDistinct(col("pos")).as("n_covered"))
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+        (col("n_tokens") - col("n_covered")).as("n_after"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_substring" -> dedupSubstring)
+    "dedup_substring" -> dedupSubstring,
+    "dedup_substring_excise" -> dedupSubstringExcise)
 
   val oracles: Map[String, String] = Map(
     "dedup_substring" ->
@@ -83,5 +119,24 @@ object SubstringDedup {
         |      HAVING count(*) >= 2 AND count(*) <= ${DedupQueries.MaxShingleDf})
         |SELECT g.doc_id, count(*) AS n_dup_grams,
         |  sum(d.df - 1)::BIGINT AS n_partner_grams
-        |FROM g JOIN d USING (gh) GROUP BY g.doc_id""".stripMargin)
+        |FROM g JOIN d USING (gh) GROUP BY g.doc_id""".stripMargin,
+    "dedup_substring_excise" ->
+      s"""WITH wd AS (SELECT doc_id,
+        |              list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |            FROM documents),
+        |gp AS (SELECT doc_id, len(w)::BIGINT AS n_tokens, i,
+        |         ('0x' || substr(sha256(array_to_string(w[i:i+${SubstrK - 1}], ' ')),
+        |                         1, 15))::BIGINT AS gh
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${SubstrK - 2}))
+        |               AS i
+        |             FROM wd WHERE len(w) >= $SubstrK)),
+        |dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM gp)
+        |        GROUP BY gh
+        |        HAVING count(*) >= 2 AND count(*) <= ${DedupQueries.MaxShingleDf}),
+        |cov AS (SELECT DISTINCT gp.doc_id, gp.n_tokens,
+        |          unnest(range(gp.i, gp.i + $SubstrK)) AS pos
+        |        FROM gp JOIN dup USING (gh))
+        |SELECT doc_id, n_tokens, count(*) AS n_covered,
+        |  n_tokens - count(*) AS n_after
+        |FROM cov GROUP BY doc_id, n_tokens""".stripMargin)
 }

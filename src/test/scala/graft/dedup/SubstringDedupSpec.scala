@@ -70,6 +70,31 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(r.keySet == Set(1L, 2L))
   }
 
+  test("excision covers the union of shared runs, never double-counting") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("substrx")
+    try {
+      val shared = tokens("s", k + 2) // 3 overlapping k-grams, k+2 positions
+      Seq((1L, s"${tokens("a", 4)} $shared"),
+        (2L, s"$shared ${tokens("b", 4)}"),
+        (3L, tokens("c", 30))) // untouched
+        .toDF("doc_id", "text").withColumn("source", lit("fix"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = SubstringDedup.dedupSubstringExcise(spark, dir.toString)
+        .collect()
+        .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+        .toMap
+      assert(r.keySet == Set(1L, 2L)) // doc 3 untouched => absent
+      // overlapping grams cover the shared span ONCE: k+2 positions
+      assert(r(1L) == ((k + 6L, k + 2L, 4L)))
+      assert(r(2L) == ((k + 6L, k + 2L, 4L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("n_partner_grams counts duplication mass across >2-way shares") {
     val shared = tokens("s", k)
     val r = run(Seq(
