@@ -7,7 +7,7 @@ import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin,
   RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
 import graft.sim.{Ivf, SimilarityQueries}
 import graft.storm.StormQueries
-import graft.text.{Bpe, Sampling, TextQueries, Winnow}
+import graft.text.{Bpe, Drift, Sampling, TextQueries, Winnow}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -30,6 +30,7 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (Sampling.queries, Sampling.oracles),
       (Bpe.queries, Bpe.oracles),
+      (Drift.queries, Drift.oracles),
       (Winnow.queries, Winnow.oracles),
       (BottomK.queries, BottomK.oracles),
       (Kmv.queries, Kmv.oracles),
