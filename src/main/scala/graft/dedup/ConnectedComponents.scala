@@ -105,8 +105,38 @@ object ConnectedComponents {
         col("cluster_size"))
   }
 
+  /** Gate query closing the dedup loop — the APPLY step a pipeline ships:
+    * keep the min-doc_id representative of every exact-content group, then
+    * the min-doc_id keeper of every near-dup cluster, and account for the
+    * removals tier by tier in one row. A near-dup removal is only counted
+    * when the document was not already gone at the exact tier, so the
+    * tiers always sum: n_docs = exact + near + survivors. */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("ch"))
+    val exactRemoved = docs
+      .withColumn("keeper",
+        min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("ch")))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select("doc_id")
+    val nearRemoved = dedupClusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+      .join(exactRemoved, Seq("doc_id"), "left_anti")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(exactRemoved.agg(count(lit(1)).as("n_exact_removed")))
+      .crossJoin(nearRemoved.agg(count(lit(1)).as("n_neardup_removed")))
+      .select(col("n_docs"), col("n_exact_removed"),
+        col("n_neardup_removed"),
+        (col("n_docs") - col("n_exact_removed") - col("n_neardup_removed"))
+          .as("n_survivors"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_clusters" -> dedupClusters)
+    "dedup_clusters" -> dedupClusters,
+    "dedup_apply" -> dedupApply)
 
   /** DuckDB oracle: transitive closure by recursive CTE over the same
     * LSH-verified pair SQL — `reach(a, b)` = b reachable from a, component
@@ -124,5 +154,28 @@ object ConnectedComponents {
           |         FROM reach GROUP BY a)
           |SELECT doc_id, cluster_id,
           |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
-          |FROM comp""".stripMargin))
+          |FROM comp""".stripMargin),
+    "dedup_apply" ->
+      (s"WITH RECURSIVE ${DedupQueries.lshPairsCte},\n" +
+        """edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+          |          UNION SELECT b_id, a_id FROM lshpairs),
+          |reach(a, b) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+          |         FROM reach GROUP BY a),
+          |ex AS (SELECT doc_id FROM (
+          |         SELECT doc_id,
+          |           min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+          |         FROM documents)
+          |       WHERE doc_id <> keeper),
+          |near AS (SELECT doc_id FROM comp
+          |         WHERE doc_id <> cluster_id
+          |           AND doc_id NOT IN (SELECT doc_id FROM ex))
+          |SELECT (SELECT count(*) FROM documents) AS n_docs,
+          |  (SELECT count(*) FROM ex) AS n_exact_removed,
+          |  (SELECT count(*) FROM near) AS n_neardup_removed,
+          |  (SELECT count(*) FROM documents) - (SELECT count(*) FROM ex)
+          |    - (SELECT count(*) FROM near) AS n_survivors""".stripMargin))
 }

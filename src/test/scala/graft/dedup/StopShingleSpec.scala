@@ -75,6 +75,48 @@ class StopShingleSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_apply tiers are disjoint and sum to the corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedupapply")
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      Seq(
+        1L -> base, // exact group keeper AND cluster keeper
+        2L -> base, // exact duplicate of 1 -> removed at the exact tier
+        4L -> "completely unrelated words with nothing shared at all here")
+        .toDF("doc_id", "text").withColumn("source", lit("fix"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = ConnectedComponents.dedupApply(spark, dir.toString).head()
+      // the identical pair is also an LSH cluster, but doc 2 is already
+      // gone at the exact tier, so the near tier must NOT recount it
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((3L, 1L, 0L, 2L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("dedup_apply agrees with dedup_exact and dedup_clusters on sf0.001") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val r = ConnectedComponents.dedupApply(spark, sf).head()
+    val (nDocs, nExact, nNear, nSurv) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nDocs == nExact + nNear + nSurv)
+    // exact tier equals the independent content-hash rollup
+    val exact = DedupQueries.dedupExact(spark, sf)
+      .select("n_docs", "n_dup_docs").as[(Long, Long)].head()
+    assert(nDocs == exact._1 && nExact == exact._2)
+    // near tier is bounded by the clusters' non-keeper count and nonzero
+    // on this corpus (near-dups beyond the exact groups are planted)
+    val nonKeepers = ConnectedComponents.dedupClusters(spark, sf)
+      .filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(nNear <= nonKeepers)
+    assert(nNear > 0, "expected near-dup removals beyond exact groups")
+  }
+
   test("dedup family pins nothing in the cache manager after running") {
     val sf = "/root/testdata/sf0.001"
     val before = spark.sparkContext.getPersistentRDDs.keySet
