@@ -95,13 +95,33 @@ object DedupQueries {
     * a shuffle join by shingle — no hot-key window anywhere. The pruned
     * result is checkpointed too, because every caller reads it 3+ times
     * (sizes + both sides of a self-join, or signature + verification). */
-  def prunedShingles(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).localCheckpoint(true)
-    val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-      .select(col("s"))
-    sh.join(keep, "s").select(col("doc_id"), col("s")).localCheckpoint(true)
+  // One-slot memo for the most recent (session, dir) — four gate queries
+  // (jaccard, LSH, clusters, apply) and any real multi-query session read
+  // the same pruned relation; recomputing the corpus explode per query is
+  // pure waste. Bounded like Ivf's quantizer memo: eviction just drops the
+  // reference (localCheckpoint storage is ContextCleaner-reclaimed once
+  // unreferenced, so nothing stays pinned — StopShingleSpec releases and
+  // asserts exactly that).
+  private var prunedMemo: Option[((SparkSession, String), DataFrame)] = None
+
+  def prunedShingles(s: SparkSession, dir: String): DataFrame = synchronized {
+    prunedMemo match {
+      case Some((k, v)) if k == (s, dir) => v
+      case _ =>
+        val sh = shingles(s, dir).localCheckpoint(true)
+        val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxShingleDf)
+          .select(col("s"))
+        val v = sh.join(keep, "s").select(col("doc_id"), col("s"))
+          .localCheckpoint(true)
+        prunedMemo = Some(((s, dir), v))
+        v
+    }
   }
+
+  /** Drop the memoized pruned relation (tests; long sessions switching
+    * corpora evict implicitly via the one-slot policy). */
+  def releasePrunedShingles(): Unit = synchronized { prunedMemo = None }
 
   /** SQL twin of [[prunedShingles]] (CTE `shp(doc_id, s)`; requires `sh`). */
   val shpCte: String =
