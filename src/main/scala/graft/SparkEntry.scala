@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.dedup.{Bloom, ConnectedComponents, DedupQueries, SubstringDedup}
 import graft.functions.{BottomK, CountMin, Kmv}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin,
+import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,
   RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
 import graft.sim.{Ivf, SimilarityQueries}
 import graft.storm.StormQueries
@@ -26,6 +26,7 @@ object SparkEntry {
       (RobustStats.queries, RobustStats.oracles),
       (Resample.queries, Resample.oracles),
       (ConnectedComponents.queries, ConnectedComponents.oracles),
+      (Pipeline.queries, Pipeline.oracles),
       (StormQueries.queries, StormQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (Sampling.queries, Sampling.oracles),

@@ -111,7 +111,10 @@ object ConnectedComponents {
     * removals tier by tier in one row. A near-dup removal is only counted
     * when the document was not already gone at the exact tier, so the
     * tiers always sum: n_docs = exact + near + survivors. */
-  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+  /** The two disjoint removal tiers (exact-content non-keepers, then
+    * near-dup cluster non-keepers not already exact-removed) — shared by
+    * [[dedupApply]] and the pipeline funnel. */
+  def removalTiers(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.Tables
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), sha2(col("text"), 256).as("ch"))
@@ -125,6 +128,14 @@ object ConnectedComponents {
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
       .join(exactRemoved, Seq("doc_id"), "left_anti")
+    (exactRemoved, nearRemoved)
+  }
+
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("ch"))
+    val (exactRemoved, nearRemoved) = removalTiers(s, dir)
     docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(exactRemoved.agg(count(lit(1)).as("n_exact_removed")))
       .crossJoin(nearRemoved.agg(count(lit(1)).as("n_neardup_removed")))

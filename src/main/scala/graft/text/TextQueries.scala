@@ -231,8 +231,14 @@ object TextQueries {
     * All ratios divide exact integers, so the doubles (and their
     * `round(., 4)`) are bit-identical cross-engine. Pure per-row
     * projection: zero shuffle at any scale. */
-  def qualityGopher(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.parallel(s, dir, "documents")
+  def qualityGopher(s: SparkSession, dir: String): DataFrame =
+    gopherFlags(Tables.parallel(s, dir, "documents"))
+
+  /** Gopher rule columns over ANY (doc_id, text, …) relation — shared by
+    * the gate query and the pipeline-funnel composition so the rule set
+    * cannot drift between them. */
+  def gopherFlags(docs: DataFrame): DataFrame = {
+    val d = docs
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= 1)
       .withColumn("n_words", size(col("w")).cast("long"))
@@ -276,6 +282,9 @@ object TextQueries {
       |      FROM documents)""".stripMargin
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** SQL literal list of [[stopwords]] — shared with composed oracles. */
+  val stopListSql: String = stopList
 
   val oracles: Map[String, String] = Map(
     "cooccur_topk" ->
