@@ -38,18 +38,39 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] enrich warm-up on $warmDir failed: ${e.getMessage}")
     }
+    // Shuffle accounting per query: wall time alone can't tell a plan
+    // regression from machine weather, but bytes shuffled is a pure plan
+    // property — a new exchange shows up here even on a noisy box.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val s0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are async (the bus is private API); a short fixed
+      // drain keeps each query's bytes attributed to it — at worst a tail
+      // stage's bytes slide to the next query, which is noise-level
+      Thread.sleep(200L)
+      (name, sec, (shuffleBytes.get() - s0) / 1048576.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, mb) => "\"" + k + f"\":$mb%.1f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

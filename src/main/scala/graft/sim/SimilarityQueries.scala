@@ -72,6 +72,36 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), round(col("cos"), 4).as("cosine"))
   }
 
+  /** Batch size and per-query depth for [[annBatchTopk]]. */
+  val BatchQueries = 10L
+  val BatchTopK = 3
+
+  /** Batched brute-force ANN — the shape a serving/backfill job actually
+    * runs: B query vectors broadcast against ONE corpus scan, cosine per
+    * (query, candidate), and a per-query top-k via a rank window that
+    * Spark compiles to partial+final WindowGroupLimit (bounded state per
+    * query before the shuffle, never a full sort of B×N scored pairs).
+    * Amortizes the scan across the batch — B queries cost one pass, not
+    * B passes; the LSH/IVF variants bound the candidate set the same way
+    * for single queries. */
+  def annBatchTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < BatchQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    e.filter(col("vec_id") >= BatchQueries)
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        dot(col("embedding"), col("qe")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) * col("qn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= BatchTopK)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("label"), round(col("cos"), 4).as("cosine"))
+  }
+
   /** LSH bucket histogram — the data layout a bucketed ANN index would
     * partition by at scale. */
   def annLshBuckets(s: SparkSession, dir: String): DataFrame =
@@ -179,6 +209,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> annCosineTopk,
+    "ann_batch_topk" -> annBatchTopk,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
@@ -262,6 +293,21 @@ object SimilarityQueries {
         |  round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine
         |FROM d ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
         |LIMIT 10""".stripMargin,
+    "ann_batch_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        |           WHERE vec_id < $BatchQueries),
+        |d AS (SELECT q.q_id, e.vec_id, e.label,
+        |  ${sqlDot("e.embedding", "qe")} AS dp,
+        |  ${sqlDot("e.embedding", "e.embedding")} AS na,
+        |  ${sqlDot("qe", "qe")} AS nq
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= $BatchQueries)
+        |SELECT q_id, rk, vec_id, label,
+        |  round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY q_id
+        |        ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC) AS rk
+        |      FROM d)
+        |WHERE rk <= $BatchTopK""".stripMargin,
     "ann_lsh_buckets" ->
       s"""SELECT ${sqlBucket("embedding")} AS bucket,
         |  count(*) AS n_vectors, min(vec_id) AS min_vec

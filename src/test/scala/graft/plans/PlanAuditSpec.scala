@@ -142,6 +142,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("batched ANN broadcasts the query batch and bounds the rank window") {
+    val plan = graft.sim.SimilarityQueries.annBatchTopk(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the B-query batch replicates via broadcast (one corpus scan serves
+    // the whole batch), and the per-query top-k is a partial group limit
+    // before any shuffle — never a full sort of B×N scored pairs
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"query batch not broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed to a group limit:\n$plan")
+  }
+
   test("no query plans an unintended cartesian product") {
     // broadcast single-row crossJoins compile to BroadcastNestedLoopJoin,
     // which is fine; a CartesianProduct would shuffle |A|x|B| rows.
