@@ -95,15 +95,34 @@ object ConnectedComponents {
     * exhaustive-verification twin and would die in pair generation at
     * scale. Both engines derive clusters from the identical LSH-bounded,
     * Jaccard-verified pair set ([[DedupQueries.lshPairsCte]]). */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupQueries.dedupMinhashLsh(s, dir)
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-    val labels = connectedComponents(pairs)
-    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "comp")
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-        col("cluster_size"))
+  // One-slot memo for the most recent (session, dir): three gate queries
+  // (clusters, apply, funnel) and any real dedup session consume the same
+  // cluster labels, and the LSH pair generation + CC rounds are the most
+  // expensive chain in the engine. Same policy as the pruned-shingle and
+  // Ivf memos: eviction drops the reference, checkpoint storage is
+  // ContextCleaner-reclaimed, StopShingleSpec releases and asserts it.
+  private var clusterMemo: Option[((SparkSession, String), DataFrame)] = None
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = synchronized {
+    clusterMemo match {
+      case Some((k, v)) if k == (s, dir) => v
+      case _ =>
+        val pairs = DedupQueries.dedupMinhashLsh(s, dir)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val labels = connectedComponents(pairs)
+        val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+        val v = labels.join(sizes, "comp")
+          .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+            col("cluster_size"))
+          .localCheckpoint(true)
+        clusterMemo = Some(((s, dir), v))
+        v
+    }
   }
+
+  /** Drop the memoized cluster labels (tests; corpus switches evict via
+    * the one-slot policy). */
+  def releaseClusters(): Unit = synchronized { clusterMemo = None }
 
   /** Gate query closing the dedup loop — the APPLY step a pipeline ships:
     * keep the min-doc_id representative of every exact-content group, then

@@ -126,9 +126,10 @@ class StopShingleSpec extends AnyFunSuite {
     SubstringDedup.dedupSubstring(spark, sf).collect()
     ConnectedComponents.dedupClusters(spark, sf).collect()
     graft.text.TextQueries.termRarityTopk(spark, sf).collect()
-    // drop the deliberate one-slot memo first: after release, EVERY
+    // drop the deliberate one-slot memos first: after release, EVERY
     // checkpointed relation must be unreferenced
     DedupQueries.releasePrunedShingles()
+    ConnectedComponents.releaseClusters()
     // localCheckpoint materializations are reclaimed by the ContextCleaner
     // once unreferenced — a session-lifetime .cache() would never be. Poll
     // a few GC cycles for the cleaner to drain its reference queue.
