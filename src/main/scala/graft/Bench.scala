@@ -59,10 +59,18 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events are async (the bus is private API); a short fixed
-      // drain keeps each query's bytes attributed to it — at worst a tail
-      // stage's bytes slide to the next query, which is noise-level
-      Thread.sleep(200L)
+      // listener events are async (the bus's waitUntilEmpty is private
+      // API): poll until the counter is stable for two consecutive 50 ms
+      // checks (bounded at 2 s) so a late stage-completed event lands on
+      // the query that produced it, not the next one
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(50L); waited += 50
+        val cur = shuffleBytes.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
       (name, sec, (shuffleBytes.get() - s0) / 1048576.0)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }

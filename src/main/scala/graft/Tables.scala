@@ -23,6 +23,17 @@ object Tables {
     }
   }
 
+  /** Coarse change stamp for a table under `dir`: max mtime over the
+    * parquet file/directory tree (one shallow stat pass). Memo keys
+    * include it so an in-place data rewrite invalidates cached
+    * derivations instead of serving stale results. */
+  def sourceStamp(dir: String, table: String): Long = {
+    val root = new java.io.File(s"$dir/$table.parquet")
+    val own = root.lastModified()
+    val children = Option(root.listFiles()).getOrElse(Array.empty)
+    (own +: children.map(_.lastModified())).max
+  }
+
   /** Like [[apply]], but guarantees the table is spread across the cluster
     * before a compute-heavy projection (sha256 chains, regex parses, HOF
     * dot products). The testdata parquet ships as a single row group, so a

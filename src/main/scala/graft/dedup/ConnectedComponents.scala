@@ -101,11 +101,15 @@ object ConnectedComponents {
   // expensive chain in the engine. Same policy as the pruned-shingle and
   // Ivf memos: eviction drops the reference, checkpoint storage is
   // ContextCleaner-reclaimed, StopShingleSpec releases and asserts it.
-  private var clusterMemo: Option[((SparkSession, String), DataFrame)] = None
+  // Keyed by the source's modification stamp too, so an in-place data
+  // rewrite invalidates instead of serving stale labels.
+  private var clusterMemo: Option[((SparkSession, String, Long), DataFrame)] =
+    None
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame = synchronized {
+    val key = (s, dir, graft.Tables.sourceStamp(dir, "documents"))
     clusterMemo match {
-      case Some((k, v)) if k == (s, dir) => v
+      case Some((k, v)) if k == key => v
       case _ =>
         val pairs = DedupQueries.dedupMinhashLsh(s, dir)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -115,7 +119,7 @@ object ConnectedComponents {
           .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
             col("cluster_size"))
           .localCheckpoint(true)
-        clusterMemo = Some(((s, dir), v))
+        clusterMemo = Some((key, v))
         v
     }
   }
@@ -132,7 +136,10 @@ object ConnectedComponents {
     * tiers always sum: n_docs = exact + near + survivors. */
   /** The two disjoint removal tiers (exact-content non-keepers, then
     * near-dup cluster non-keepers not already exact-removed) — shared by
-    * [[dedupApply]] and the pipeline funnel. */
+    * [[dedupApply]] and the pipeline funnel. Both tiers are tiny
+    * (duplicate doc_ids only) but every consumer reads them 2+ times
+    * (a count plus an anti-join membership), so each is materialized
+    * once. */
   def removalTiers(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.Tables
     val docs = Tables(s, dir, "documents")
@@ -143,17 +150,18 @@ object ConnectedComponents {
           org.apache.spark.sql.expressions.Window.partitionBy("ch")))
       .filter(col("doc_id") =!= col("keeper"))
       .select("doc_id")
+      .localCheckpoint(true)
     val nearRemoved = dedupClusters(s, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
       .join(exactRemoved, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     (exactRemoved, nearRemoved)
   }
 
   def dedupApply(s: SparkSession, dir: String): DataFrame = {
     import graft.Tables
-    val docs = Tables(s, dir, "documents")
-      .select(col("doc_id"), sha2(col("text"), 256).as("ch"))
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
     val (exactRemoved, nearRemoved) = removalTiers(s, dir)
     docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(exactRemoved.agg(count(lit(1)).as("n_exact_removed")))

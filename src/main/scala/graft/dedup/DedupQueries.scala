@@ -101,12 +101,17 @@ object DedupQueries {
   // pure waste. Bounded like Ivf's quantizer memo: eviction just drops the
   // reference (localCheckpoint storage is ContextCleaner-reclaimed once
   // unreferenced, so nothing stays pinned — StopShingleSpec releases and
-  // asserts exactly that).
-  private var prunedMemo: Option[((SparkSession, String), DataFrame)] = None
+  // asserts exactly that). The key includes the source's modification
+  // stamp, so rewriting the data under the same path (fixture
+  // regeneration, an in-place pipeline rerun) invalidates rather than
+  // serving stale shingles.
+  private var prunedMemo: Option[((SparkSession, String, Long), DataFrame)] =
+    None
 
   def prunedShingles(s: SparkSession, dir: String): DataFrame = synchronized {
+    val key = (s, dir, Tables.sourceStamp(dir, "documents"))
     prunedMemo match {
-      case Some((k, v)) if k == (s, dir) => v
+      case Some((k, v)) if k == key => v
       case _ =>
         val sh = shingles(s, dir).localCheckpoint(true)
         val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -114,7 +119,7 @@ object DedupQueries {
           .select(col("s"))
         val v = sh.join(keep, "s").select(col("doc_id"), col("s"))
           .localCheckpoint(true)
-        prunedMemo = Some(((s, dir), v))
+        prunedMemo = Some((key, v))
         v
     }
   }

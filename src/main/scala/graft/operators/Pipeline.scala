@@ -29,8 +29,12 @@ object Pipeline {
       .select(col("doc_id"), col("text"),
         size(TextQueries.words(col("text"))).cast("long").as("n_tok"))
     val (exactRemoved, nearRemoved) = ConnectedComponents.removalTiers(s, dir)
+    // the surviving corpus is read three times (its count, the quality
+    // flags, and the final token join) — materialize it once, exactly as
+    // a real build would write the post-dedup corpus before scoring it
     val surv = docs.join(
       exactRemoved.unionByName(nearRemoved), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     val fin = TextQueries.gopherFlags(surv).filter(col("pass"))
       .select(col("doc_id"))
       .join(surv, "doc_id")

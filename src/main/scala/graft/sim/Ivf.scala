@@ -44,19 +44,22 @@ object Ivf {
   // corpus; a bounded slot avoids pinning stopped sessions/stale dirs and
   // the synchronization avoids concurrent duplicate training)
   private var lastTrained:
-    Option[((SparkSession, String), (DataFrame, Array[Array[Double]]))] = None
+    Option[((SparkSession, String, Long), (DataFrame, Array[Array[Double]]))] =
+    None
 
   /** Train the coarse quantizer and assign every vector to a cell
-    * (memoized per most-recent (session, dir); the assignment DataFrame is
+    * (memoized per most-recent (session, dir, source-mtime) — the stamp
+    * invalidates on an in-place data rewrite; the assignment DataFrame is
     * cached once and unpersisted on eviction). */
   def assignments(s: SparkSession, dir: String):
       (DataFrame, Array[Array[Double]]) = synchronized {
+    val key = (s, dir, Tables.sourceStamp(dir, "embeddings"))
     lastTrained match {
-      case Some((k, v)) if k == (s, dir) => v
+      case Some((k, v)) if k == key => v
       case prev =>
         prev.foreach(_._2._1.unpersist())
         val v = trainAssignments(s, dir)
-        lastTrained = Some(((s, dir), v))
+        lastTrained = Some((key, v))
         v
     }
   }

@@ -117,6 +117,31 @@ class StopShingleSpec extends AnyFunSuite {
     assert(nNear > 0, "expected near-dup removals beyond exact groups")
   }
 
+  test("memoized dedup results invalidate when data is rewritten in place") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("memostale")
+    try {
+      def write(texts: Seq[(Long, String)]): Unit =
+        texts.toDF("doc_id", "text").withColumn("source", lit("fix"))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val base = "the quick brown fox jumps over the lazy dog again"
+      write(Seq(1L -> base, 2L -> base, 3L -> base, 4L -> base))
+      val first = ConnectedComponents.dedupApply(spark, dir.toString).head()
+      assert(first.getLong(1) == 3L, "three exact duplicates expected")
+      Thread.sleep(1100) // outlast coarse filesystem mtime granularity
+      write(Seq(1L -> s"$base one", 2L -> s"$base two two two two",
+        3L -> (1 to 12).map(i => s"z$i").mkString(" "),
+        4L -> (1 to 12).map(i => s"y$i").mkString(" ")))
+      val second = ConnectedComponents.dedupApply(spark, dir.toString).head()
+      assert(second.getLong(1) == 0L,
+        "stale memoized tiers served after an in-place rewrite")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("dedup family pins nothing in the cache manager after running") {
     val sf = "/root/testdata/sf0.001"
     val before = spark.sparkContext.getPersistentRDDs.keySet

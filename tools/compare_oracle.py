@@ -50,11 +50,14 @@ def main():
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d) or (only and name not in only):
             continue
-        files = glob.glob(f"{d}/*.parquet")
-        tbl = pq.read_table(files[0]) if files else None
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        if not files:
+            results[name] = {"err": "no_spark_dump"}
+            bad.append(name)
+            continue
+        tbl = pq.read_table(files)  # all part files, deterministic order
         if name not in oracle:
-            results[name] = {"err": "no_oracle",
-                             "spark_rows": tbl.num_rows if tbl else None}
+            results[name] = {"err": "no_oracle", "spark_rows": tbl.num_rows}
             continue
         try:
             cur = con.execute(oracle[name])
