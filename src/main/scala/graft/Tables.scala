@@ -23,15 +23,30 @@ object Tables {
     }
   }
 
-  /** Coarse change stamp for a table under `dir`: max mtime over the
-    * parquet file/directory tree (one shallow stat pass). Memo keys
-    * include it so an in-place data rewrite invalidates cached
-    * derivations instead of serving stale results. */
+  /** Change stamp for a table under `dir`: a fold of (path, mtime,
+    * length) over the FULL parquet file tree — depth-complete so
+    * partitioned layouts are covered, and length-sensitive so a rewrite
+    * landing within one filesystem mtime tick still changes the stamp
+    * whenever the bytes do. Memo keys include it so an in-place data
+    * rewrite invalidates cached derivations instead of serving stale
+    * results. (A same-length rewrite inside one mtime tick remains
+    * theoretically invisible — mtime granularity is a filesystem
+    * property; callers that rewrite that fast should evict explicitly
+    * via the release hooks.) */
   def sourceStamp(dir: String, table: String): Long = {
-    val root = new java.io.File(s"$dir/$table.parquet")
-    val own = root.lastModified()
-    val children = Option(root.listFiles()).getOrElse(Array.empty)
-    (own +: children.map(_.lastModified())).max
+    val root = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    if (!java.nio.file.Files.exists(root)) return 0L
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      // per-entry hash summed COMMUTATIVELY: directory traversal order is
+      // unspecified, and an order-dependent fold would spuriously miss
+      // the memo on every call
+      walk.iterator().asScala.map { p =>
+        val f = p.toFile
+        p.toString.hashCode.toLong * 961 + f.lastModified() * 31 + f.length()
+      }.sum
+    } finally walk.close()
   }
 
   /** Like [[apply]], but guarantees the table is spread across the cluster

@@ -128,13 +128,19 @@ class StopShingleSpec extends AnyFunSuite {
       write(Seq(1L -> base, 2L -> base, 3L -> base, 4L -> base))
       val first = ConnectedComponents.dedupApply(spark, dir.toString).head()
       assert(first.getLong(1) == 3L, "three exact duplicates expected")
-      Thread.sleep(1100) // outlast coarse filesystem mtime granularity
-      write(Seq(1L -> s"$base one", 2L -> s"$base two two two two",
-        3L -> (1 to 12).map(i => s"z$i").mkString(" "),
-        4L -> (1 to 12).map(i => s"y$i").mkString(" ")))
+      // rewrite in place with four PAIRWISE-UNRELATED texts. The exact
+      // tier is recomputed fresh every call, so the memoized state only
+      // shows in the NEAR tier (column 2): stale cluster labels from the
+      // all-duplicates corpus would report 3 near-dup removals (old
+      // cluster non-keepers minus the now-empty exact tier), fresh labels
+      // report 0.
+      write(Seq.tabulate(4)(d =>
+        (d + 1).toLong -> (1 to 12).map(i => s"u$d-$i").mkString(" ")))
       val second = ConnectedComponents.dedupApply(spark, dir.toString).head()
-      assert(second.getLong(1) == 0L,
-        "stale memoized tiers served after an in-place rewrite")
+      assert(second.getLong(1) == 0L)
+      assert(second.getLong(2) == 0L,
+        "stale memoized cluster labels served after an in-place rewrite")
+      assert(second.getLong(3) == 4L, "all rewritten docs must survive")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
