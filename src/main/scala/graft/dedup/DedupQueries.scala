@@ -282,6 +282,35 @@ object DedupQueries {
       .withColumn("shared_frac", round(col("n_shared") / col("n_grams"), 4))
   }
 
+  // ------------------------------------------------------- source overlap
+  /** Cross-source containment matrix — the redundancy diagnostic a mixing
+    * stage consults before setting source weights ([[graft.text.Sampling
+    * .mixWeights]]): for every ordered source pair (a, b), how many of
+    * a's distinct shingles also occur in b, and the fraction of a that
+    * overlap represents. Unlike the doc-pair operators this joins the
+    * per-SOURCE distinct shingle relation with itself, so a shingle
+    * contributes at most |sources|² rows — bounded by the (small) source
+    * count, never by corpus size; the only heavy step is the (source,
+    * shingle) distinct, one shuffle with map-side partials. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.parallel(s, dir, "documents")
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(array_distinct(trigrams(col("w"))))
+        .as("g"))
+      .distinct()
+      .localCheckpoint(true) // read 3x: sizes + both sides of the join
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n_grams", "n_a"), "src_a")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_shared"),
+        round(col("n_shared") / col("n_a"), 4).as("frac_a"))
+  }
+
   // ------------------------------------------------------------- simhash
   /** 32-bit SimHash as a single-pass aggregate over a word array column
     * named `w`: one sha256 per word, a 32-wide bit-count vector folded with
@@ -315,7 +344,8 @@ object DedupQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "decontaminate" -> decontaminate,
-    "cross_doc_ngrams" -> crossDocNgrams)
+    "cross_doc_ngrams" -> crossDocNgrams,
+    "source_overlap" -> sourceOverlap)
 
   // ------------------------------------------------------------- oracles
   /** CTE chain ending in `pairs(a_id, b_id, common, jaccard)` — the
@@ -405,6 +435,21 @@ object DedupQueries {
         |FROM g""".stripMargin,
     "dedup_shingle_jaccard" ->
       s"WITH $pairsCte\nSELECT a_id, b_id, common, jaccard FROM pairs",
+    "source_overlap" ->
+      s"""WITH sh AS (
+        |  SELECT DISTINCT source, unnest(list_distinct($trigramsSql)) AS g
+        |  FROM (SELECT source, list_filter(string_split(text, ' '),
+        |                x -> x <> '') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |sz AS (SELECT source, count(*) AS n_grams FROM sh GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        count(*) AS n_shared
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.source <> b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, sz.n_grams AS n_a, p.n_shared,
+        |  round(p.n_shared * 1.0 / sz.n_grams, 4) AS frac_a
+        |FROM p JOIN sz ON sz.source = p.src_a""".stripMargin,
     "cross_doc_ngrams" ->
       (s"WITH $shinglesCte,\n" +
         """d AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM sh)

@@ -117,6 +117,19 @@ class StopShingleSpec extends AnyFunSuite {
     assert(nNear > 0, "expected near-dup removals beyond exact groups")
   }
 
+  test("source_overlap is symmetric in shared counts and bounded in fractions") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val m = DedupQueries.sourceOverlap(spark, sf)
+      .select("src_a", "src_b", "n_a", "n_shared")
+      .as[(String, String, Long, Long)].collect()
+    assert(m.nonEmpty)
+    val shared = m.map(r => (r._1, r._2) -> r._4).toMap
+    for (((a, b), n) <- shared)
+      assert(shared((b, a)) == n, s"|A∩B| must be symmetric for ($a,$b)")
+    assert(m.forall(r => r._4 <= r._3), "shared cannot exceed the source size")
+  }
+
   test("memoized dedup results invalidate when data is rewritten in place") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("memostale")
