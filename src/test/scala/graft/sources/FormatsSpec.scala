@@ -41,6 +41,20 @@ class FormatsSpec extends AnyFunSuite {
 
   test("parquet round-trip is lossless")(roundTrip("parquet"))
   test("orc round-trip is lossless")(roundTrip("orc"))
+
+  test("orc scans get predicate pushdown like parquet") {
+    val dir = Files.createTempDirectory("orc_push").toString + "/out"
+    enriched.write.mode("overwrite").format("orc").save(dir)
+    val plan = spark.read.format("orc").load(dir)
+      .filter(col("severity") === "severe")
+      .select("id", "severity")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:") && plan.contains("severity"),
+      s"severity filter not pushed to the ORC scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("magnitude"), "ORC scan reads pruned columns")
+  }
   test("json (line-delimited) round-trip is lossless")(roundTrip("json"))
   test("csv round-trip is lossless up to null/empty conflation")(roundTrip("csv"))
 }
