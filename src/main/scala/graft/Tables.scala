@@ -23,29 +23,50 @@ object Tables {
     }
   }
 
-  /** Change stamp for a table under `dir`: a fold of (path, mtime,
-    * length) over the FULL parquet file tree — depth-complete so
-    * partitioned layouts are covered, and length-sensitive so a rewrite
-    * landing within one filesystem mtime tick still changes the stamp
-    * whenever the bytes do. Memo keys include it so an in-place data
+  /** Change stamp for a table under `dir`: an XOR fold of a strong
+    * per-entry digest (sha256 of `path|mtime|length`, first 8 bytes) over
+    * the FULL parquet file tree, combined with the tree's aggregate
+    * (fileCount, totalLength, maxMtime). Depth-complete so partitioned
+    * layouts are covered. Memo keys include it so an in-place data
     * rewrite invalidates cached derivations instead of serving stale
-    * results. (A same-length rewrite inside one mtime tick remains
-    * theoretically invisible — mtime granularity is a filesystem
-    * property; callers that rewrite that fast should evict explicitly
-    * via the release hooks.) */
+    * results.
+    *
+    * XOR of 64-bit sha256 prefixes is commutative (directory traversal
+    * order is unspecified) but — unlike the previous weak sum of 32-bit
+    * path hashCodes — offsetting changes across files (a compaction that
+    * swaps lengths/mtimes between parts) cannot cancel without a sha256
+    * collision; and because `lastModified` returns 0 on filesystems that
+    * don't expose mtimes, the independent (count, totalLength, maxMtime)
+    * component keeps the stamp at least layout- and size-sensitive there.
+    * (A same-length rewrite inside one mtime tick remains theoretically
+    * invisible — mtime granularity is a filesystem property; callers that
+    * rewrite that fast should evict explicitly via the release hooks.) */
   def sourceStamp(dir: String, table: String): Long = {
     val root = java.nio.file.Paths.get(s"$dir/$table.parquet")
     if (!java.nio.file.Files.exists(root)) return 0L
     val walk = java.nio.file.Files.walk(root)
     try {
       import scala.jdk.CollectionConverters._
-      // per-entry hash summed COMMUTATIVELY: directory traversal order is
-      // unspecified, and an order-dependent fold would spuriously miss
-      // the memo on every call
-      walk.iterator().asScala.map { p =>
+      var acc = 0L
+      var count = 0L
+      var totalLen = 0L
+      var maxMtime = 0L
+      walk.iterator().asScala.foreach { p =>
         val f = p.toFile
-        p.toString.hashCode.toLong * 961 + f.lastModified() * 31 + f.length()
-      }.sum
+        val mtime = f.lastModified()
+        val len = f.length()
+        val d = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$p|$mtime|$len".getBytes("UTF-8"))
+        var entry = 0L
+        var i = 0
+        while (i < 8) { entry = (entry << 8) | (d(i) & 0xffL); i += 1 }
+        acc ^= entry
+        count += 1
+        totalLen += len
+        if (mtime > maxMtime) maxMtime = mtime
+      }
+      acc ^ java.lang.Long.rotateLeft(count, 48) ^
+        java.lang.Long.rotateLeft(totalLen, 24) ^ maxMtime
     } finally walk.close()
   }
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.Tables
-import graft.text.TextQueries.{hex32, words}
+import graft.text.TextQueries.words
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,6 +41,16 @@ object CountMin {
 
   val TopK = 5
 
+  /** Token hash for the sketch: a 28-bit sha256 prefix, deliberately
+    * BELOW the modulus. hex32 ranges over [0, 2³²) which the bucket map
+    * reduces mod 2³¹−1 — under that reduction two tokens whose 32-bit
+    * hashes differ by exactly 2³¹−1 would collide in ALL d rows at once
+    * (row collisions not independent, weakening the e^−d bound). With
+    * h < 2²⁸ < Prime the reduction is injective on the hash domain, so
+    * simultaneous-row collisions require a genuine 28-bit hash collision. */
+  def tokenHash(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 7), 16, 10).cast("long")
+
   /** Deterministic row coefficients from sha256 of the row index —
     * seed-free, reproducible anywhere, inlined as literals into both
     * engines (the DedupQueries.coefSource discipline). */
@@ -55,9 +65,10 @@ object CountMin {
   val RowB: IndexedSeq[Long] =
     (0 until Depth).map(j => coefSource("b", j) % Prime)
 
-  /** Cell coordinates of a 32-bit token hash for row j. The hash is
-    * reduced mod the prime BEFORE the multiply so both operands stay
-    * below 2³¹ and the product below 2⁶² (no 64-bit overflow). */
+  /** Cell coordinates of a token hash for row j. The hash is reduced mod
+    * the prime BEFORE the multiply so both operands stay below 2³¹ and
+    * the product below 2⁶² (no 64-bit overflow); for [[tokenHash]] inputs
+    * (< 2²⁸) that reduction is the identity. */
   def bucket(h: Column, j: Int): Column =
     pmod(pmod(pmod(h, lit(Prime)) * RowA(j) + RowB(j), lit(Prime)),
       lit(Width))
@@ -78,7 +89,7 @@ object CountMin {
     val cnt = Tables.parallel(s, dir, "documents")
       .select(col("source"), explode(words(col("text"))).as("t"))
       .groupBy("source", "t").agg(count(lit(1)).as("n"))
-      .withColumn("h", hex32(col("t")))
+      .withColumn("h", tokenHash(col("t")))
       .localCheckpoint(true)
     val counters = cnt
       .select(col("source"), col("n"), cells(col("h")).as("c"))
@@ -120,7 +131,7 @@ object CountMin {
           |            AS t
           |        FROM documents),
           |cnt AS (SELECT source, t, count(*) AS n,
-          |          ('0x' || substr(sha256(t), 1, 8))::BIGINT AS h
+          |          ('0x' || substr(sha256(t), 1, 7))::BIGINT AS h
           |        FROM tok GROUP BY source, t),
           |cells AS (SELECT source, j, (((h % $Prime) * a + b) % $Prime) % $Width
           |            AS bkt,

@@ -58,12 +58,23 @@ object GenMock {
     (raw, enriched)
   }
 
+  /** Hard cap on JSON array fixture size — [[writeJsonArray]] collects to
+    * the driver and sorts through one unpartitioned window, which is the
+    * fixture-scale contract (mirrors the reference CLI); the cap makes
+    * that contract ENFORCED rather than documented. Production sinks are
+    * the parquet/Kafka writers. */
+  val FixtureMaxRows = 100000L
+
   /** S7: pretty-printed JSON array fixture (fixtures are small — the
     * reference writes them with MarshalIndent; order follows `orderCol`).
     * Timestamps render RFC 3339 without fractional seconds, matching the
     * reference's Go time.Time marshalling. */
   def writeJsonArray(df: DataFrame, orderCol: String, path: String,
                      dropOrderCol: Boolean = false): Unit = {
+    val n = df.count()
+    require(n <= FixtureMaxRows,
+      s"writeJsonArray is a driver-side fixture sink ($n rows > cap " +
+        s"$FixtureMaxRows); write parquet for datasets at scale")
     val outCols = if (dropOrderCol) df.columns.filter(_ != orderCol)
       else df.columns
     // secondary sort on every column makes tie order deterministic across

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.CountMin
-import graft.text.TextQueries.hex32
+import graft.functions.CountMin.tokenHash
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -24,7 +24,7 @@ object StreamCountMin {
     * non-empty (source, hash-row, bucket) cell. */
   def countersOverStream(tokens: DataFrame): DataFrame =
     tokens
-      .withColumn("h", hex32(col("t")))
+      .withColumn("h", tokenHash(col("t")))
       .select(col("source"), CountMin.cells(col("h")).as("c"))
       .groupBy(col("source"), col("c.j"), col("c.bkt"))
       .agg(count(lit(1)).as("cell"))

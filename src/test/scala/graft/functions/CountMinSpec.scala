@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.{SparkTestSession, Tables}
-import graft.text.TextQueries.{hex32, words}
+import graft.text.TextQueries.words
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -18,7 +18,7 @@ class CountMinSpec extends AnyFunSuite {
     val cnt = Tables(spark, sf, "documents")
       .select(col("source"), explode(words(col("text"))).as("t"))
       .groupBy("source", "t").agg(count(lit(1)).as("n"))
-      .withColumn("h", hex32(col("t")))
+      .withColumn("h", CountMin.tokenHash(col("t")))
       .localCheckpoint(true)
     val counters = cnt
       .select(col("source"), col("n"), explode(array(
@@ -52,5 +52,18 @@ class CountMinSpec extends AnyFunSuite {
     assert(CountMin.RowA.forall(a => a >= 1 && a < CountMin.Prime))
     assert(CountMin.RowB.forall(b => b >= 0 && b < CountMin.Prime))
     assert(CountMin.RowA.distinct.size == CountMin.Depth)
+  }
+
+  test("token hash domain sits strictly below the universal-hash modulus") {
+    // the independence guarantee of the d rows requires the hash domain
+    // to inject into [0, Prime): a >= Prime domain folds pairs of tokens
+    // (h, h + Prime) onto the same residue in EVERY row simultaneously
+    import spark.implicits._
+    val hs = Tables(spark, sf, "documents")
+      .select(explode(words(col("text"))).as("t"))
+      .select(CountMin.tokenHash(col("t")).as("h"))
+      .agg(min("h"), max("h")).as[(Long, Long)].head()
+    assert(hs._1 >= 0L && hs._2 < CountMin.Prime,
+      s"token hash range [${hs._1}, ${hs._2}] escapes [0, ${CountMin.Prime})")
   }
 }

@@ -19,6 +19,7 @@ class BucketedJoinSpec extends AnyFunSuite {
     // bucketed tables must go through the catalog (saveAsTable); managed
     // tables land in the session's default warehouse and DROP removes
     // their data
+    val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       Tables(spark, sf, "orders")
         .write.mode("overwrite").format("parquet")
@@ -56,7 +57,9 @@ class BucketedJoinSpec extends AnyFunSuite {
       val b = unbucketed.agg(sum("n")).as[Long].head()
       assert(a == b)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      // restore the CAPTURED pre-test value, not a hardcoded default —
+      // another suite customizing the conf must see its own value back
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
@@ -67,6 +70,7 @@ class BucketedJoinSpec extends AnyFunSuite {
     // date-partitioned table must touch only the matching partitions —
     // at 100 TB this is the difference between scanning a day and a year
     val dir = java.nio.file.Files.createTempDirectory("partlayout")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       Tables(spark, sf, "events")
         .withColumn("event_date", to_date(col("ts")))
@@ -104,7 +108,7 @@ class BucketedJoinSpec extends AnyFunSuite {
       assert(scanned.nonEmpty && scanned.forall(_ < totalFiles),
         s"scan read ${scanned.mkString(",")} of $totalFiles files — no pruning")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))

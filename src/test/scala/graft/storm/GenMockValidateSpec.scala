@@ -60,6 +60,19 @@ class GenMockValidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.filter(col("EventType") === "hail").count() == 79)
   }
 
+  test("json array sink refuses datasets above the fixture-scale cap") {
+    // the sink collects to the driver by contract; the cap turns the
+    // documented fixture-scale contract into an enforced one
+    val big = spark.range(GenMock.FixtureMaxRows + 1)
+      .withColumnRenamed("id", "EventType")
+    val err = intercept[IllegalArgumentException] {
+      GenMock.writeJsonArray(big, "EventType", s"$tmp/too_big.json")
+    }
+    assert(err.getMessage.contains("fixture"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/too_big.json")))
+  }
+
   test("validate phase 1: row parity passes on identical sets, catches edits") {
     val (raw, _) = built
     assert(StormValidate.rowParity(raw, raw, Seq("_row")).count() == 0)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkTestSession
 import graft.functions.CountMin
-import graft.text.TextQueries.hex32
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -50,7 +50,7 @@ class StreamCountMinSpec extends AnyFunSuite {
       // exact count (the CMS contract carried over to streaming state)
       val probe = "w5"
       val exact = (b1 ++ b2 ++ b3).count(t => t._1 == "a" && t._2 == probe)
-      val h = Seq(probe).toDF("t").select(hex32(col("t"))).as[Long].head()
+      val h = Seq(probe).toDF("t").select(CountMin.tokenHash(col("t"))).as[Long].head()
       val est = (0 until CountMin.Depth).map { j =>
         val bkt = Seq(h).toDF("h")
           .select(CountMin.bucket(col("h"), j)).as[Long].head()

@@ -11,6 +11,14 @@ import sys, json, hashlib, glob, os
 import duckdb
 import pyarrow.parquet as pq
 
+# Queries intentionally shipped WITHOUT an oracle (rows-only driver check).
+# Currently every gate query has one; any dump directory missing from
+# oracle_sql.json and not listed here is treated as a FAILURE — otherwise a
+# dynamically-registered oracle that failed to materialize (e.g. a
+# post-training SQL whose query errored after dumping partial state) would
+# silently count toward the green total.
+ORACLE_FREE = set()
+
 
 def canon(v):
     if v is None:
@@ -58,6 +66,8 @@ def main():
         tbl = pq.read_table(files)  # all part files, deterministic order
         if name not in oracle:
             results[name] = {"err": "no_oracle", "spark_rows": tbl.num_rows}
+            if name not in ORACLE_FREE:
+                bad.append(name)
             continue
         try:
             cur = con.execute(oracle[name])
