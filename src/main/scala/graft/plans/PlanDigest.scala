@@ -1,0 +1,120 @@
+package graft.plans
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Normalized physical-plan digests for every gate query — the
+  * regression lock that catches plan drift the value-hash gate cannot.
+  * A lost broadcast, a new exchange, or a filter that stops reaching the
+  * scan keeps the query hash-green while silently changing its 100 TB
+  * cost; `plans.lock` pins the pre-AQE physical plan shape of all gate
+  * queries and `PlanLockSpec` diffs against it every test run.
+  *
+  * The digest is sha256 over `queryExecution.sparkPlan` (the planned
+  * physical tree BEFORE adaptive/codegen preparations — deterministic
+  * without executing the query) with per-run noise normalized away:
+  * expression IDs, file-index paths, and path counts. Partition numbers
+  * are deliberately KEPT: the lockfile is generated under the same
+  * session shape the spec runs (local[4], shuffle.partitions=4,
+  * sf0.001), so a changed partitioning IS drift.
+  */
+object PlanDigest {
+
+  /** Session shape the lockfile is defined under — the spec's shared
+    * test session must match or every digest would differ. */
+  val LockSfDir = "/root/testdata/sf0.001"
+
+  def normalize(tree: String): String =
+    tree
+      .replaceAll("#\\d+", "#")                       // expression IDs
+      .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=]") // per-JVM plan ids
+      // JVM-instance identity: lambda classes (typed/mapPartitions
+      // closures) and object identity hashes (Aggregator instances)
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda")
+      .replaceAll("@[0-9a-f]{4,16}", "@id")
+      .replaceAll("\\[file:[^\\]]*\\]", "[PATH]")     // file-index roots
+      .replaceAll("InMemoryFileIndex\\(\\d+ paths?\\)",
+        "InMemoryFileIndex(N paths)")
+      .replaceAll("Location: [A-Za-z]+\\[PATH\\]", "Location: INDEX[PATH]")
+
+  def digestOf(df: DataFrame): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(normalize(df.queryExecution.sparkPlan.treeString)
+        .getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Compact operator outline (nodeName tree) — committed next to the
+    * digest so a lockfile diff in review shows WHAT shape changed, not
+    * just that something did. */
+  def outlineOf(df: DataFrame): String = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Seq[String] =
+      (" " * d + p.nodeName) +: p.children.flatMap(walk(_, d + 1))
+    walk(df.queryExecution.sparkPlan, 0).mkString("\n")
+  }
+
+  /** Digest + outline for every gate query, sorted by name. Constructing
+    * a query executes its training/memo prerequisites (BPE rounds, IVF
+    * centroids, cluster memos) but never the query itself. */
+  def all(spark: SparkSession, sfDir: String): Seq[(String, String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      (name, digestOf(df), outlineOf(df))
+    }
+
+  def writeLock(spark: SparkSession, sfDir: String, path: String): Unit = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val body = all(spark, sfDir).map { case (name, dig, outline) =>
+      s"  ${q(name)}: {\n    ${q("digest")}: ${q(dig)},\n" +
+        s"    ${q("outline")}: ${q(outline)}\n  }"
+    }.mkString("{\n", ",\n", "\n}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+  }
+
+  /** Minimal reader for the lockfile subset of JSON we write (no external
+    * JSON dep in this offline build). */
+  def readLock(path: String): Map[String, String] = {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val entry =
+      "\"([^\"]+)\":\\s*\\{\\s*\"digest\":\\s*\"([0-9a-f]{64})\"".r
+    entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+  }
+}
+
+/** Regenerate `plans.lock`: `sbt "runMain graft.plans.PlanLockMain"`.
+  * Run ONLY when a plan change is intentional; the diff in review is the
+  * approval record. Session shape mirrors SparkTestSession so the spec
+  * reproduces the digests. */
+object PlanLockMain {
+  def main(args: Array[String]): Unit = {
+    val lockPath = if (args.nonEmpty) args(0) else "plans.lock"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-planlock")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    PlanDigest.writeLock(spark, PlanDigest.LockSfDir, lockPath)
+    // optional second arg: directory for full normalized plan dumps
+    // (debugging digest drift between JVMs)
+    if (args.length > 1) {
+      val dir = java.nio.file.Paths.get(args(1))
+      java.nio.file.Files.createDirectories(dir)
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        java.nio.file.Files.writeString(dir.resolve(s"$n.txt"),
+          PlanDigest.normalize(fn(spark, PlanDigest.LockSfDir)
+            .queryExecution.sparkPlan.treeString))
+      }
+    }
+    println(s"wrote $lockPath")
+    spark.stop()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Diffs every gate query's normalized physical-plan digest against the
+  * committed `plans.lock`. A drifted plan (lost broadcast, extra
+  * exchange, un-pushed filter) fails here even while the value-hash gate
+  * stays green; regenerate the lockfile with
+  * `sbt "runMain graft.plans.PlanLockMain"` ONLY when the change is
+  * intentional, and let the lockfile diff carry the review. */
+class PlanLockSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("every gate query's physical plan matches plans.lock") {
+    val locked = PlanDigest.readLock("plans.lock")
+    assert(locked.keySet == SparkEntry.queries.keySet,
+      s"lockfile/queries key drift: missing=${
+        SparkEntry.queries.keySet -- locked.keySet}, stale=${
+        locked.keySet -- SparkEntry.queries.keySet} — regenerate plans.lock")
+
+    // pin the one conf that decides join strategy to its default for the
+    // duration of the digest pass, restoring the prior value after
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    val drifted = try {
+      spark.conf.set(key, "10485760")
+      PlanDigest.all(spark, PlanDigest.LockSfDir).flatMap {
+        case (name, dig, outline) if locked(name) != dig =>
+          val dir = java.nio.file.Paths.get("target/plan-drift")
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.writeString(dir.resolve(s"$name.txt"),
+            outline + "\n\n" + PlanDigest.normalize(
+              SparkEntry.queries(name)(spark, PlanDigest.LockSfDir)
+                .queryExecution.sparkPlan.treeString))
+          Some(name)
+        case _ => None
+      }
+    } finally spark.conf.set(key, prior)
+    assert(drifted.isEmpty,
+      s"plan drift in ${drifted.size} queries (normalized plans dumped " +
+        s"under target/plan-drift): ${drifted.mkString(", ")}")
+  }
+
+  test("the digest is sensitive to an injected plan change") {
+    // the canary that this lock can actually go red: disabling the
+    // auto-broadcast threshold must change the digest of a query whose
+    // broadcast is stats-decided. NOTE the dim-table joins (q3 etc.) are
+    // deliberately immune — their broadcast() hints pin the strategy
+    // independent of stats, which is exactly the scale contract; the
+    // canary therefore uses cms_heavy_hitters, whose counters join is
+    // unhinted and auto-broadcast at fixture scale.
+    val locked = PlanDigest.readLock("plans.lock")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    val injected = try {
+      spark.conf.set(key, "-1")
+      PlanDigest.digestOf(
+        SparkEntry.queries("cms_heavy_hitters")(spark, PlanDigest.LockSfDir))
+    } finally spark.conf.set(key, prior)
+    assert(injected != locked("cms_heavy_hitters"),
+      "digest did not move when broadcast joins were disabled — " +
+        "the lock would miss a lost broadcast")
+
+    // and a pinned-broadcast query must NOT move: the hint is the
+    // guarantee that a stats regression can't un-broadcast the dim side
+    val pinned = try {
+      spark.conf.set(key, "-1")
+      PlanDigest.digestOf(
+        SparkEntry.queries("q3_revenue_by_nation")(spark, PlanDigest.LockSfDir))
+    } finally spark.conf.set(key, prior)
+    assert(pinned == locked("q3_revenue_by_nation"),
+      "hinted dim-table broadcast moved with the stats threshold — " +
+        "the explicit broadcast() pin is not holding")
+  }
+}
