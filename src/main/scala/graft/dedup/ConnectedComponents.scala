@@ -19,8 +19,10 @@ import org.apache.spark.storage.StorageLevel
   * long-chain graphs at 100 TB the published upgrade is the
   * large-star/small-star alternation (Kiveris et al., "Connected Components
   * in MapReduce and Beyond"), which converges in O(log²n) rounds with the
-  * same per-round join shape — the loop below is written against a
-  * (labels, edges) interface so that swap is local. Each iteration
+  * same per-round join shape — implemented as
+  * [[connectedComponentsStars]] behind the identical (edges in, labels
+  * out) contract, with the round bound and label agreement proven by
+  * `StarComponentsSpec` on a scrambled diameter-10³ chain. Each iteration
   * materializes its result and drops the previous one, so the plan lineage
   * stays O(1) instead of growing by one join per round.
   */
@@ -84,6 +86,93 @@ object ConnectedComponents {
     }
     bidir.unpersist()
     labels
+  }
+
+  /** Connected components via the large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the adversarial-diameter upgrade the pointer-doubling
+    * loop above documents. Same contract: edges (`src`, `dst`) in,
+    * (`id`, `comp`) out, `comp` = min node id of the component.
+    *
+    * Each round rewrites the edge set with two star operations:
+    *  - large-star: every node u links its LARGER neighbors to the
+    *    minimum m of its closed neighborhood — emit (v, m) for
+    *    v ∈ Γ(u), v > u;
+    *  - small-star: every node u links its smaller-or-equal neighbors
+    *    and itself to their minimum — emit (v, m) for
+    *    v ∈ Γ≤(u) ∪ {u} \ {m}.
+    * Both are one groupBy(min) + one join back, the same per-round
+    * shuffle shape as a pointer-doubling round, and the paper proves the
+    * alternation converges in O(log² n) rounds on ANY graph — including
+    * the high-diameter chains where plain one-hop propagation needs
+    * diameter rounds. The fixpoint is a star forest: every node points
+    * at its component minimum.
+    *
+    * Kept as the documented scale path next to [[connectedComponents]]
+    * (the default for near-dup graphs, whose tiny diameters converge in
+    * 2–4 rounds); [[StarComponentsSpec]] proves the two agree and that
+    * this one meets the O(log² n) round bound on a diameter-10³ chain. */
+  def connectedComponentsStars(edges: DataFrame, maxIter: Int = 40): DataFrame =
+    starComponentsWithRounds(edges, maxIter)._1
+
+  /** [[connectedComponentsStars]] plus the number of alternation rounds
+    * taken — exposed so the convergence-bound spec can assert the
+    * O(log² n) contract instead of trusting it. */
+  def starComponentsWithRounds(edges: DataFrame,
+                               maxIter: Int = 40): (DataFrame, Int) = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).localCheckpoint(true)
+
+    // one star half-round: group the (node, neighbor) view by node, take
+    // the closed-neighborhood min, link the selected neighbors to it
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = nbrs.groupBy("src")
+        .agg(least(min("dst"), first("src")).as("m"))
+      nbrs.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge small→large: (u, v) with v ≤ u after the swap
+      val oriented = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val m = oriented.groupBy("src").agg(min("dst").as("m"))
+      val linked = oriented.join(m, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val self = m.select(col("src"), col("m").as("dst"))
+      linked.unionByName(self).distinct()
+    }
+
+    def stamp(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum((col("src") * 31 + col("dst")).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var e = e0
+    var prev = stamp(e)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // checkpoint per round: O(1) lineage, same policy as the
+      // pointer-doubling loop
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val s = stamp(e)
+      converged = s == prev
+      prev = s
+      iter += 1
+    }
+    // fixpoint is a star forest (src = member, dst = component min);
+    // roots appear only on the dst side, so union them back in
+    val labels = e.select(col("src").as("id"), col("dst").as("comp"))
+      .unionByName(e.select(col("dst").as("id"), col("dst").as("comp")))
+      .groupBy("id").agg(min("comp").as("comp"))
+    (labels, iter)
   }
 
   /** Gate query: cluster the LSH-verified near-dup pairs; one row per
