@@ -169,6 +169,49 @@ object RelationalQueries {
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
 
+  // The scale twin of q15: exact `percentile` keeps the full per-group
+  // value multiset in aggregation state (a per-group sort at 100 TB);
+  // `percentile_approx` is the GK-style mergeable sketch with bounded
+  // state and a published rank guarantee — a single summary returns a
+  // value whose rank is within eps*N of p*N for eps = 1/accuracy, and
+  // Spark's distributed execution MERGES per-partition summaries, which
+  // loosens the bound by up to another eps (merged GK summaries carry
+  // the sum of their errors), so the checked bound is 2*eps*N plus one
+  // rank of integer slack. DuckDB has no matching sketch, so the gate
+  // row encodes the GUARANTEE, not the value: one boolean per
+  // percentile, true iff the rank interval spanned by the approx value
+  // ([count(<v)+1, count(<=v)]) overlaps [p*N - bound, p*N + bound].
+  // The oracle emits literal TRUE per group, so the hash matches iff the
+  // bound holds everywhere — a bound assertion routed through the hash
+  // gate. n_events rides along as the exact cross-check.
+  def q15ApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.5, 0.9, 0.99)
+    val accuracy = 1000 // eps = 0.001
+    val approx = t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(ps.map(lit): _*), lit(accuracy)).as("ap"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type") +: col("n_events") +:
+        ps.indices.map(i => element_at(col("ap"), i + 1).as(s"a$i")): _*)
+    val checks = ps.indices.flatMap { i =>
+      Seq(sum(when(col("value") < col(s"a$i"), 1L).otherwise(0L)).as(s"lt$i"),
+        sum(when(col("value") <= col(s"a$i"), 1L).otherwise(0L)).as(s"le$i"))
+    }
+    t(s, dir, "events")
+      .join(broadcast(approx), "event_type")
+      .groupBy(col("event_type"), col("n_events"))
+      .agg(checks.head, checks.tail: _*)
+      .select(col("event_type") +: col("n_events") +:
+        ps.zipWithIndex.map { case (p, i) =>
+          val bound = lit(2.0 / accuracy) * col("n_events") + 1
+          val lo = lit(p) * col("n_events") - bound
+          val hi = lit(p) * col("n_events") + bound
+          ((col(s"lt$i") + 1 <= hi) && (col(s"le$i") >= lo))
+            .as(s"ok${(p * 100).round}")
+        }: _*)
+  }
+
   // Sessionization: 30-minute inactivity gap, counted per user (lag window +
   // running flag sum — the classic gap-and-island shape).
   def q16Sessionize(s: SparkSession, dir: String): DataFrame = {
@@ -416,6 +459,7 @@ object RelationalQueries {
     "q13_top_events_per_type" -> q13TopEventsPerType,
     "q14_hourly_events" -> q14HourlyEvents,
     "q15_value_percentiles" -> q15ValuePercentiles,
+    "q15_approx_percentiles" -> q15ApproxPercentiles,
     "q16_sessionize" -> q16Sessionize,
     "q17_constraints" -> q17Constraints,
     "q18_stats" -> q18Stats)
@@ -610,6 +654,12 @@ object RelationalQueries {
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    // bound assertion (see q15ApproxPercentiles): TRUE per group; the
+    // hash matches iff Spark's sketch met its rank guarantee everywhere
+    "q15_approx_percentiles" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
         |FROM events GROUP BY event_type""".stripMargin,
     "q16_sessionize" ->
       """WITH g AS (
