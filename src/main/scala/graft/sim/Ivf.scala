@@ -137,13 +137,8 @@ object Ivf {
 
   def ivfTopkProbing(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val (assigned, centers) = assignments(s, dir)
-    import s.implicits._
-    val qEmb = assigned.filter(col("vec_id") === 0)
-      .select("embedding").as[Array[Float]].head().map(_.toDouble)
     // O(NLists) centroid comparison picks the probe set
-    val probeCells = centers.zipWithIndex
-      .map { case (ctr, i) => (cosine(qEmb, ctr), i) }
-      .sortBy(-_._1).take(nprobe).map(_._2)
+    val probeCells = probeSet(s, dir, nprobe).toArray
     if (nprobe == NProbe) synchronized {
       lastIvfOracle = Some(ivfOracleSql(centers, probeCells))
     }
@@ -171,6 +166,47 @@ object Ivf {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_topk" -> ivfTopk,
     "ivf_topk_probeall" -> ivfTopkProbeAll)
+
+  /** The recall/latency dial, measured: for each nprobe, recall@TopK
+    * against the exact top-k and the fraction of the corpus the probe
+    * actually scans. Fully seeded (sampled training set, fixed k-means
+    * seed), so the numbers are reproducible — `IvfSweepMain` prints the
+    * committed SCALE.md table and `IvfSpec` asserts recall is monotone
+    * in nprobe with both endpoints pinned. */
+  def recallSweep(s: SparkSession, dir: String,
+                  nprobes: Seq[Int]): Seq[(Int, Double, Double)] = {
+    val (assigned, _) = assignments(s, dir)
+    val exact = ivfTopkProbing(s, dir, NLists).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val cellSizes = assigned.filter(col("vec_id") =!= 0)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = cellSizes.values.sum.toDouble
+    nprobes.map { np =>
+      val rows = ivfTopkProbing(s, dir, np).collect()
+      val recall = rows.map(_.getAs[Long]("vec_id")).count(exact.contains)
+        .toDouble / TopK
+      // reconstruct the probe set from what ivfTopkProbing scanned — the
+      // union of returned cells is a lower bound, so recompute it the
+      // same way the query does (cells of the np nearest centroids)
+      val scanned = probeSet(s, dir, np).map(cellSizes.getOrElse(_, 0L)).sum /
+        total
+      (np, recall, scanned)
+    }
+  }
+
+  /** The probe set ivfTopkProbing(nprobe) scans: cells of the nprobe
+    * centroids nearest the query — factored out so the sweep reports the
+    * true scanned fraction rather than inferring it from results. */
+  def probeSet(s: SparkSession, dir: String, nprobe: Int): Seq[Int] = {
+    val (assigned, centers) = assignments(s, dir)
+    import s.implicits._
+    val qEmb = assigned.filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head().map(_.toDouble)
+    centers.zipWithIndex
+      .map { case (ctr, i) => (cosine(qEmb, ctr), i) }
+      .sortBy(-_._1).take(nprobe).map(_._2).toSeq
+  }
 
   // The approximate query's oracle exists only once the quantizer is
   // trained (its centroid and probe-set literals come from the model), so
@@ -217,6 +253,16 @@ object Ivf {
        |LIMIT $TopK""".stripMargin
   }
 
+  /** Prints the SCALE.md recall/scanned-fraction table:
+    * `sbt "runMain graft.sim.IvfSweepMain <sfDir>"`. */
+  def sweepTable(s: SparkSession, dir: String): String = {
+    val rows = recallSweep(s, dir, Seq(1, 2, 4, 8, NLists))
+    ("| nprobe | recall@5 | corpus scanned |\n|---|---|---|\n" +
+      rows.map { case (np, r, sc) =>
+        f"| $np | $r%.1f | $sc%.3f |"
+      }.mkString("\n"))
+  }
+
   def oracles: Map[String, String] = {
     val base = Map(
       "ivf_topk_probeall" ->
@@ -234,5 +280,23 @@ object Ivf {
       case Some(sql) => base + ("ivf_topk" -> sql)
       case None => base
     }
+  }
+}
+
+/** Reproducible generator for the committed IVF recall table. */
+object IvfSweepMain {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ivf-sweep")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"IVF sweep over $dir (NLists=${Ivf.NLists}, k=${Ivf.TopK})")
+    println(Ivf.sweepTable(spark, dir))
+    spark.stop()
   }
 }

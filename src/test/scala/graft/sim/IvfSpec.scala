@@ -29,6 +29,20 @@ class IvfSpec extends AnyFunSuite {
     assert(overlap == 3, s"deterministic recall changed: $overlap/5")
   }
 
+  test("recall is monotone in nprobe, reaching 1.0 at probe-all") {
+    val sweep = Ivf.recallSweep(spark, sf, Seq(1, 2, 4, 8, Ivf.NLists))
+    val recalls = sweep.map(_._2)
+    val scanned = sweep.map(_._3)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nprobe: $sweep")
+    assert(recalls.last == 1.0, "probe-all must recall the exact top-k")
+    assert(scanned.zip(scanned.tail).forall { case (a, b) => a <= b } &&
+      scanned.last == 1.0,
+      s"scanned fraction not monotone to 1.0: $sweep")
+    info(sweep.map { case (np, r, sc) => f"nprobe=$np r=$r%.1f sc=$sc%.3f" }
+      .mkString("; "))
+  }
+
   test("probing every cell reproduces the exact top-k (correctness bound)") {
     val all = Ivf.ivfTopkProbing(spark, sf, Ivf.NLists).collect()
       .map(_.getAs[Long]("vec_id")).toSeq
