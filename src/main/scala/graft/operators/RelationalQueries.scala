@@ -330,7 +330,16 @@ object RelationalQueries {
   // pinned by PivotSessionProfileSpec's exact-gap boundary test
   // (1801 s apart => two sessions; exactly 1800 s => one).
   def q24SessionWindow(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    sessionWindowAgg(t(s, dir, "events"))
+
+  /** The q24 session aggregation over any (user_id, ts, value) relation —
+    * factored out so the STREAMING twin
+    * ([[graft.streaming.StreamSessionWindows]]) runs the identical
+    * Column expressions over a watermarked stream: same gap semantics
+    * (exactly-gap extends, strictly-greater splits), same projection,
+    * provably stream ≡ batch in `StreamSessionWindowSpec`. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
       .select(col("user_id"),
