@@ -1,0 +1,109 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Seeded synthetic scale-up of the `documents`/`embeddings` corpus —
+  * the input for the empirical validation of SCALE.md's shuffle scaling
+  * laws (`ScaleValidate`, results in SCALE_VALIDATION.md). Writes a
+  * FACTOR× corpus to a scratch dir (never under /root/testdata) with a
+  * controlled duplicate structure so every family's prediction is
+  * crisp:
+  *
+  *  - replica 0 is the base corpus verbatim (original doc_ids, so the
+  *    `doc_id < DecontamEvalDocs` eval slice is unchanged and the
+  *    decontamination queries keep a fixed broadcast side);
+  *  - per extra replica k, ids shift by k·Stride and every token is
+  *    REMAPPED into a replica-keyed slot of a fixed 997-token space
+  *    (`w<(hash+37k) mod 997>`): token count scales exactly ×FACTOR,
+  *    per-doc repetition structure is preserved, corpus-wide vocab is
+  *    BOUNDED by 997 at any factor (the vocab-law control), and
+  *    replicas share (almost) no tokens, so their trigram Jaccard is ≈0
+  *    and they are NOT near-duplicates. (A same-multiset permutation
+  *    fails here: with the base corpus's 31-token vocabulary, permuted
+  *    replicas keep trigram Jaccard above the 0.5 near-dup threshold
+  *    and every document becomes a FACTOR-clique — pairs ∝ docs×F²,
+  *    which is a corpus artifact, not an engine property.);
+  *  - in replica 1 only: every 10th document is copied VERBATIM (exact
+  *    duplicates ∝ docs) and every 10th+1 document gets a 1-in-50 token
+  *    substitution (trigram Jaccard ≈ 0.89 — a near-duplicate), so
+  *    exact/near dup pair counts grow linearly in docs, never
+  *    quadratically;
+  *  - embeddings: replica 1 of every 50th vector is a tiny perturbation
+  *    (a cosine near-dup), all other replicas are large seeded
+  *    perturbations (far vectors), L2-normalized either way.
+  *
+  * Everything is keyed on (id, k) — deterministic under any
+  * partitioning, no RNG state shared across rows.
+  */
+object ScaleGen {
+
+  val Stride = 10000000L
+
+  def remap(tokens: Array[String], k: Int): Array[String] =
+    tokens.map(t => "w" + (((t.hashCode & 0x7fffffff) + 37L * k) % 997))
+
+  def mutateText(docId: Long, k: Int, text: String): String = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (k == 1 && docId % 10 == 0) text // exact duplicate
+    else if (k == 1 && docId % 10 == 1)
+      toks.zipWithIndex.map { case (t, j) =>
+        if (j % 50 == 17) s"sub${(docId + j) % 1000}" else t
+      }.mkString(" ") // near-duplicate
+    else remap(toks, k).mkString(" ")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale/x30"
+    val factor = if (args.length > 2) args(2).toInt else 30
+    require(!out.startsWith("/root/testdata"), "scratch dir only")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scalegen")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val ks = spark.range(factor).select($"id".cast("int").as("k"))
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+      .as[(Long, String, String, String, Long)]
+    val scaledDocs = docs.crossJoin(ks)
+      .as[(Long, String, String, String, Long, Int)]
+      .map { case (id, text, lang, source, _, k) =>
+        val t = if (k == 0) text else mutateText(id, k, text)
+        (id + k * Stride, t, lang, source, t.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    scaledDocs.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val embs = spark.read.parquet(s"$base/embeddings.parquet")
+      .as[(Long, Array[Float], Int)]
+    val scaledEmbs = embs.crossJoin(ks)
+      .as[(Long, Array[Float], Int, Int)]
+      .map { case (id, emb, label, k) =>
+        val v =
+          if (k == 0) emb
+          else {
+            val rnd = new scala.util.Random(id * 1000003L + k)
+            val eps = if (k == 1 && id % 50 == 0) 0.01f else 0.8f
+            val raw = emb.map(x => x + (rnd.nextFloat() - 0.5f) * 2 * eps)
+            val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+            if (n == 0f) raw else raw.map(_ / n)
+          }
+        (id + k * Stride, v, label)
+      }
+      .toDF("vec_id", "embedding", "label")
+    scaledEmbs.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+
+    val nd = spark.read.parquet(s"$out/documents.parquet").count()
+    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
+    println(s"wrote $out: $nd documents, $ne embeddings (factor $factor)")
+    spark.stop()
+  }
+}
