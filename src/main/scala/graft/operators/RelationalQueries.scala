@@ -422,24 +422,27 @@ object RelationalQueries {
 
   /** Single-pass numeric column profiling — the data-quality sweep run
     * before any pipeline trusts a new table drop: per column, non-null
-    * count, exact distinct count, min and max. ONE aggregation job
-    * produces every statistic (Catalyst plans the multi-countDistinct via
-    * Expand), then `stack` unpivots to a row per column — at 100 TB this
-    * is one scan, not one scan per column. */
+    * count, exact distinct count, min and max. `stack` unpivots to
+    * (column_name, v) rows first, then ONE aggregation keyed by
+    * column_name produces every statistic — at 100 TB this is one scan,
+    * not one scan per column, and the distinct count partial-aggregates
+    * on (column_name, v) across executors instead of funneling a
+    * zero-key multi-countDistinct through a single reducer. (The
+    * unpivot-first shape also keeps the physical plan rendering
+    * deterministic: N parallel countDistincts go through
+    * RewriteDistinctAggregates, whose Expand gid assignment follows
+    * expression-ID map order and so varies with session history —
+    * plans.lock needs one canonical plan per query.) */
   def profileNumeric(s: SparkSession, dir: String): DataFrame = {
-    val aggs = ProfileCols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}_cnt"),
-        countDistinct(col(c)).as(s"${c}_dst"),
-        min(col(c)).cast("double").as(s"${c}_min"),
-        max(col(c)).cast("double").as(s"${c}_max"))
-    }
     val stacked = ProfileCols
-      .map(c => s"'$c', ${c}_cnt, ${c}_dst, ${c}_min, ${c}_max")
-      .mkString(", ")
+      .map(c => s"'$c', cast($c AS double)").mkString(", ")
     t(s, dir, "lineitem")
-      .agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${ProfileCols.length}, $stacked) AS " +
-        "(column_name, n_nonnull, n_distinct, min_v, max_v)")
+      .selectExpr(s"stack(${ProfileCols.length}, $stacked) AS (column_name, v)")
+      .groupBy(col("column_name"))
+      .agg(count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

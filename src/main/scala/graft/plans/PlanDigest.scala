@@ -24,6 +24,28 @@ object PlanDigest {
     * test session must match or every digest would differ. */
   val LockSfDir = "/root/testdata/sf0.001"
 
+  /** Plan strings must be rendered UNtruncated while digesting: the
+    * default 100-char metadata cut and 25-field list cut land at
+    * positions that shift with expression-ID digit counts (a session
+    * that created more expressions prints wider IDs), so a truncated
+    * string can differ across sessions even when the normalized full
+    * string is identical. Both the lock generator and the spec digest
+    * inside this wrapper. */
+  def withFullPlanStrings[T](spark: SparkSession)(f: => T): T = {
+    val k1 = "spark.sql.maxMetadataStringLength"
+    val k2 = "spark.sql.debug.maxToStringFields"
+    val p1 = spark.conf.get(k1)
+    val p2 = spark.conf.get(k2)
+    try {
+      spark.conf.set(k1, "100000")
+      spark.conf.set(k2, "10000")
+      f
+    } finally {
+      spark.conf.set(k1, p1)
+      spark.conf.set(k2, p2)
+    }
+  }
+
   def normalize(tree: String): String =
     tree
       .replaceAll("#\\d+", "#")                       // expression IDs
@@ -32,12 +54,15 @@ object PlanDigest {
       // closures) and object identity hashes (Aggregator instances)
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda")
       .replaceAll("@[0-9a-f]{4,16}", "@id")
+      // HOF lambda variables carry a session-global counter (x_206) that
+      // depends on how many lambda expressions the session created before
+      .replaceAll("lambda [A-Za-z0-9]+_\\d+", "lambda v")
       .replaceAll("\\[file:[^\\]]*\\]", "[PATH]")     // file-index roots
       .replaceAll("InMemoryFileIndex\\(\\d+ paths?\\)",
         "InMemoryFileIndex(N paths)")
       .replaceAll("Location: [A-Za-z]+\\[PATH\\]", "Location: INDEX[PATH]")
 
-  def digestOf(df: DataFrame): String = {
+  def digestOf(df: DataFrame): String = withFullPlanStrings(df.sparkSession) {
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(normalize(df.queryExecution.sparkPlan.treeString)
         .getBytes("UTF-8"))
@@ -57,9 +82,11 @@ object PlanDigest {
     * a query executes its training/memo prerequisites (BPE rounds, IVF
     * centroids, cluster memos) but never the query itself. */
   def all(spark: SparkSession, sfDir: String): Seq[(String, String, String)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val df = fn(spark, sfDir)
-      (name, digestOf(df), outlineOf(df))
+    withFullPlanStrings(spark) {
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val df = fn(spark, sfDir)
+        (name, digestOf(df), outlineOf(df))
+      }
     }
 
   def writeLock(spark: SparkSession, sfDir: String, path: String): Unit = {
@@ -110,8 +137,9 @@ object PlanLockMain {
       java.nio.file.Files.createDirectories(dir)
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         java.nio.file.Files.writeString(dir.resolve(s"$n.txt"),
-          PlanDigest.normalize(fn(spark, PlanDigest.LockSfDir)
-            .queryExecution.sparkPlan.treeString))
+          PlanDigest.withFullPlanStrings(spark)(
+            PlanDigest.normalize(fn(spark, PlanDigest.LockSfDir)
+              .queryExecution.sparkPlan.treeString)))
       }
     }
     println(s"wrote $lockPath")

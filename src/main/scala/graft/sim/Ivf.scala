@@ -64,6 +64,13 @@ object Ivf {
     }
   }
 
+  /** Drop the memoized quantizer (tests needing fresh-session plan
+    * state; corpus switches evict via the one-slot policy). */
+  def release(): Unit = synchronized {
+    lastTrained.foreach(_._2._1.unpersist())
+    lastTrained = None
+  }
+
   private def trainAssignments(s: SparkSession, dir: String):
       (DataFrame, Array[Array[Double]]) = {
     import s.implicits._

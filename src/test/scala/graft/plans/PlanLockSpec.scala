@@ -12,6 +12,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanLockSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  /** plans.lock is generated in a FRESH session; suites sharing this
+    * test session may have left DataFrames cached (an InMemoryRelation
+    * in the cache manager rewrites any later query whose plan contains
+    * the cached fragment into an InMemoryTableScan) or engine memos
+    * warm. Restore fresh-session plan conditions: clear the cache and
+    * release every one-slot memo so the digest pass rebuilds exactly
+    * the state the lockfile was generated under. */
+  private def freshPlanState(): Unit = {
+    spark.catalog.clearCache()
+    graft.dedup.DedupQueries.releasePrunedShingles()
+    graft.dedup.ConnectedComponents.releaseClusters()
+    graft.sim.Ivf.release()
+  }
+
   test("every gate query's physical plan matches plans.lock") {
     val locked = PlanDigest.readLock("plans.lock")
     assert(locked.keySet == SparkEntry.queries.keySet,
@@ -21,6 +35,7 @@ class PlanLockSpec extends AnyFunSuite {
 
     // pin the one conf that decides join strategy to its default for the
     // duration of the digest pass, restoring the prior value after
+    freshPlanState()
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prior = spark.conf.get(key)
     val drifted = try {
@@ -30,9 +45,10 @@ class PlanLockSpec extends AnyFunSuite {
           val dir = java.nio.file.Paths.get("target/plan-drift")
           java.nio.file.Files.createDirectories(dir)
           java.nio.file.Files.writeString(dir.resolve(s"$name.txt"),
-            outline + "\n\n" + PlanDigest.normalize(
-              SparkEntry.queries(name)(spark, PlanDigest.LockSfDir)
-                .queryExecution.sparkPlan.treeString))
+            outline + "\n\n" + PlanDigest.withFullPlanStrings(spark)(
+              PlanDigest.normalize(
+                SparkEntry.queries(name)(spark, PlanDigest.LockSfDir)
+                  .queryExecution.sparkPlan.treeString)))
           Some(name)
         case _ => None
       }
@@ -50,6 +66,7 @@ class PlanLockSpec extends AnyFunSuite {
     // independent of stats, which is exactly the scale contract; the
     // canary therefore uses cms_heavy_hitters, whose counters join is
     // unhinted and auto-broadcast at fixture scale.
+    freshPlanState()
     val locked = PlanDigest.readLock("plans.lock")
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prior = spark.conf.get(key)
