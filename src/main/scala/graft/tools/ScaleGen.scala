@@ -2,12 +2,32 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Seeded synthetic scale-up of the `documents`/`embeddings` corpus —
-  * the input for the empirical validation of SCALE.md's shuffle scaling
+/** Seeded synthetic scale-up of the full testdata star schema — the
+  * input for the empirical validation of SCALE.md's shuffle scaling
   * laws (`ScaleValidate`, results in SCALE_VALIDATION.md). Writes a
-  * FACTOR× corpus to a scratch dir (never under /root/testdata) with a
-  * controlled duplicate structure so every family's prediction is
-  * crisp:
+  * FACTOR× corpus to a scratch dir (never under /root/testdata).
+  *
+  * Relational tables model the realistic growth shape — facts grow,
+  * dimensions don't:
+  *
+  *  - `region nation customer supplier part` are copied VERBATIM (the
+  *    broadcast-dim side of every join is held fixed, exactly the
+  *    100 TB regime where dims stay hinted-broadcast);
+  *  - `orders`/`lineitem` replicate ×FACTOR with `o_orderkey`/
+  *    `l_orderkey` shifted by k·Stride per replica k: the order⋈line
+  *    join stays key-consistent, orders-per-customer and
+  *    lines-per-part grow ×FACTOR (fact growth against fixed keys —
+  *    the skew/top-k control), all measures/dates unchanged;
+  *  - `events` replicates ×FACTOR with BOTH `event_id` and `user_id`
+  *    shifted by k·Stride: users grow ×FACTOR with each user's
+  *    timeline preserved verbatim, so per-key window/session state is
+  *    constant while total stream volume scales — the state-bound
+  *    control for the window/session/as-of families. (`ts` is read
+  *    with the nanos-as-long conf and written back as int64; the
+  *    `Tables` loader applies the same conversion either way.)
+  *
+  * The `documents`/`embeddings` corpus keeps a controlled duplicate
+  * structure so every dedup/similarity family's prediction is crisp:
   *
   *  - replica 0 is the base corpus verbatim (original doc_ids, so the
   *    `doc_id < DecontamEvalDocs` eval slice is unchanged and the
@@ -101,9 +121,42 @@ object ScaleGen {
     scaledEmbs.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
+    // Dimensions verbatim — the fixed broadcast side of every join.
+    Seq("region", "nation", "customer", "supplier", "part").foreach { tn =>
+      spark.read.parquet(s"$base/$tn.parquet")
+        .write.mode("overwrite").parquet(s"$out/$tn.parquet")
+    }
+
+    // Facts ×FACTOR with replica-shifted keys.
+    spark.read.parquet(s"$base/orders.parquet").crossJoin(ks)
+      .select(($"o_orderkey" + $"k" * Stride).as("o_orderkey"),
+        $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderdate", $"o_orderpriority")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/orders.parquet")
+
+    spark.read.parquet(s"$base/lineitem.parquet").crossJoin(ks)
+      .select(($"l_orderkey" + $"k" * Stride).as("l_orderkey"),
+        $"l_partkey", $"l_suppkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_discount", $"l_tax", $"l_returnflag",
+        $"l_linestatus", $"l_shipdate")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/lineitem.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$base/events.parquet").crossJoin(ks)
+      .select(($"event_id" + $"k" * Stride).as("event_id"), $"ts",
+        ($"user_id" + $"k" * Stride).as("user_id"),
+        $"event_type", $"value", $"props")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
-    println(s"wrote $out: $nd documents, $ne embeddings (factor $factor)")
+    val nl = spark.read.parquet(s"$out/lineitem.parquet").count()
+    val nv = spark.read.parquet(s"$out/events.parquet").count()
+    println(s"wrote $out: $nd documents, $ne embeddings, $nl lineitem, " +
+      s"$nv events (factor $factor)")
     spark.stop()
   }
 }

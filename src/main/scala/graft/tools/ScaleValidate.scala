@@ -3,9 +3,9 @@ package graft.tools
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
-/** Runs the dedup/similarity/text families over one or more corpus dirs
-  * and prints per-query wall seconds + shuffle MB (the Bench listener
-  * discipline) — one JSON line per dir. Feed it the base sf0.1 corpus
+/** Runs the dedup/similarity/text AND relational/storm families over
+  * one or more corpus dirs and prints per-query wall seconds + shuffle
+  * MB (the Bench listener discipline) — one JSON line per dir. Feed it the base sf0.1 corpus
   * and a `ScaleGen` scratch corpus to measure how each family's shuffle
   * actually scales; SCALE_VALIDATION.md commits the comparison against
   * the laws claimed in SCALE.md.
@@ -32,7 +32,30 @@ object ScaleValidate {
       "decontaminate", "decontam_bloom", "ann_cosine_topk",
       "ann_batch_topk", "ivf_topk", "dedup_embedding_cosine")),
     ("bounded-candidates", "pairs df-capped: ≈F× (dup pairs ∝ docs)", Seq(
-      "dedup_shingle_jaccard", "source_overlap")))
+      "dedup_shingle_jaccard", "source_overlap")),
+    // Relational / storm families (facts ×F, dims fixed — ScaleGen's
+    // star-schema growth shape):
+    ("scan-agg", "map-side complete: partials ∝ partitions×groups: ≪F×", Seq(
+      "q1_pricing_summary", "q6_forecast", "q14_hourly_events",
+      "q18_stats")),
+    ("fact-join", "dims hinted-broadcast, agg partials only: ≪F×", Seq(
+      "q3_revenue_by_nation", "q5_segment_nation_revenue",
+      "q9_suppliers_heavy_items")),
+    ("salted-shuffle", "salted repartition moves facts by design: ≈F×", Seq(
+      "skew_join_rollup")),
+    ("keyed-topk", "agg keyed by fixed dim / WindowGroupLimit-capped: ≪F×", Seq(
+      "q2_top_customers", "q13_top_events_per_type")),
+    ("time-align-join", "bucketed equi on time: ∝ events ≈F×", Seq(
+      "asof_join", "interval_join")),
+    ("user-state", "hash by user, per-key state fixed: ∝ events ≈F×", Seq(
+      "q16_sessionize", "q22_rolling_user_stats", "q24_session_window",
+      "funnel_stages")),
+    ("percentile-pair", "exact ∝ rows vs sketch ∝ partitions×groups", Seq(
+      "q15_value_percentiles", "q15_approx_percentiles")),
+    ("storm-chain", "enrichment is a projection; rollups ∝ groups: ≪F×", Seq(
+      "storm_enrich", "storm_severity_counts")),
+    ("exact-distinct", "countDistinct partials ∝ distinct (key,id): ≈F×", Seq(
+      "storm_bucket_counts")))
 
   def main(rawArgs: Array[String]): Unit = {
     // --no-broadcast pins every stats-decided join to shuffle strategy —
@@ -55,14 +78,21 @@ object ScaleValidate {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // Bytes AND records: compressed bytes can scale sublinearly on
+    // replica-heavy corpora (duplicate values compress better at larger
+    // F), so record counts are the law signal and bytes the memory/
+    // network signal.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleRecs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val m = sc.stageInfo.taskMetrics
-          if (m != null)
+          if (m != null) {
             shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shuffleRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          }
         }
       })
 
@@ -70,6 +100,7 @@ object ScaleValidate {
     args.foreach { dir =>
       val rows = names.map { name =>
         val s0 = shuffleBytes.get()
+        val r0 = shuffleRecs.get()
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
@@ -83,10 +114,12 @@ object ScaleValidate {
           val cur = shuffleBytes.get()
           if (cur == last) stable += 1 else { stable = 0; last = cur }
         }
-        (name, sec, (shuffleBytes.get() - s0) / 1048576.0)
+        (name, sec, (shuffleBytes.get() - s0) / 1048576.0,
+          shuffleRecs.get() - r0)
       }
-      val qs = rows.map { case (k, sec, mb) =>
-        "\"" + k + f"""\":{"sec":$sec%.2f,"shuffle_mb":$mb%.2f}"""
+      val qs = rows.map { case (k, sec, mb, rec) =>
+        "\"" + k +
+          f"""\":{"sec":$sec%.2f,"shuffle_mb":$mb%.2f,"shuffle_rec":$rec%d}"""
       }.mkString("{", ",", "}")
       println(s"""{"dir":"$dir","queries":$qs}""")
     }
