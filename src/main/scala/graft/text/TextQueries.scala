@@ -95,6 +95,50 @@ object TextQueries {
           .when(col("n_words") >= 8 && col("n_uniq") / col("n_words") >= 0.6, "medium")
           .otherwise("low").as("quality"))
 
+  /** Top-K unigram vocabulary size for [[qualityLmScore]]. 16 keeps the
+    * out-of-vocabulary path exercised at every fixture SF (the synthetic
+    * base vocabulary is ~31 tokens); a production corpus would dial this
+    * to 10⁵–10⁶ — the broadcast stays tiny either way. */
+  val LmVocabK = 16
+
+  /** CCNet-style unigram language-model quality score — the perplexity
+    * filter every large pretraining pipeline runs (CCNet trains a 5-gram
+    * KenLM; the unigram variant keeps the same shape: train token
+    * statistics, broadcast them, score every document by mean token
+    * surprisal). Deliberately INTEGER-EXACT across engines: a token's
+    * surprisal is `length(bin(N div c))` = floor(log2(N/c)) + 1 — the
+    * bit-length of the inverse-frequency ratio — so no transcendental
+    * function whose last-ulp behavior could differ between Spark and
+    * DuckDB enters the score; the per-document mean is an exact rational
+    * rounded once at the output boundary. Out-of-vocabulary tokens score
+    * the maximum surprisal `length(bin(N))` (count 1).
+    *
+    * Scale shape: the scoring side is one exploded-token stream joined
+    * against a BROADCAST top-K vocab (hinted — it can never fall off the
+    * auto-broadcast cliff) plus a broadcast single-row total, then a
+    * partial-aggregated mean keyed by doc_id. The training side is
+    * vocab-sized aggregation; at production scale wrap `counts` in the
+    * one-slot corpus-memo pattern ([[graft.dedup.DedupQueries]]) to
+    * avoid re-scanning the corpus for vocab and total. */
+  def qualityLmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("n"))
+    val vocab = counts.orderBy(desc("c"), asc("tok")).limit(LmVocabK)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        length(bin(expr("n div coalesce(c, CAST(1 AS BIGINT))"))).as("surp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg("surp"), 4).as("lm_score"))
+      .withColumn("grade",
+        when(col("lm_score") <= 6.0, "natural")
+          .when(col("lm_score") <= 12.0, "mixed")
+          .otherwise("synthetic"))
+  }
+
   /** Language-ID confusion matrix: labeled lang × heuristic prediction. */
   def langIdConfusion(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -271,6 +315,7 @@ object TextQueries {
     "doc_repetition" -> docRepetition,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
+    "quality_lm_score" -> qualityLmScore,
     "lang_id_confusion" -> langIdConfusion,
     "doc_fingerprint" -> docFingerprint,
     "vocab_topk" -> vocabTopk,
@@ -359,6 +404,21 @@ object TextQueries {
           |         AND len(list_distinct(w)) * 1.0 / len(w) >= 0.6 THEN 'medium'
           |       ELSE 'low' END AS quality
           |FROM w""".stripMargin),
+    "quality_lm_score" ->
+      (s"WITH $wordsCte,\n" +
+        s"""t AS (SELECT doc_id, unnest(w) AS tok FROM w),
+          |c AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+          |n AS (SELECT sum(c)::BIGINT AS n FROM c),
+          |v AS (SELECT tok, c FROM c ORDER BY c DESC, tok ASC LIMIT $LmVocabK),
+          |sc AS (SELECT t.doc_id,
+          |    length(bin((SELECT n FROM n) // coalesce(v.c, 1))) AS surp
+          |  FROM t LEFT JOIN v USING (tok))
+          |SELECT doc_id, count(*) AS n_toks,
+          |  round(avg(surp), 4) AS lm_score,
+          |  CASE WHEN round(avg(surp), 4) <= 6.0 THEN 'natural'
+          |       WHEN round(avg(surp), 4) <= 12.0 THEN 'mixed'
+          |       ELSE 'synthetic' END AS grade
+          |FROM sc GROUP BY doc_id""".stripMargin),
     "lang_id_confusion" ->
       (s"WITH $wordsCte\n" +
         """SELECT lang,
