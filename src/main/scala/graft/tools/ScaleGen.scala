@@ -76,7 +76,6 @@ object ScaleGen {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale/x30"
     val factor = if (args.length > 2) args(2).toInt else 30
-    require(!out.startsWith("/root/testdata"), "scratch dir only")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scalegen")
@@ -85,6 +84,22 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, base, out, factor)
+    val nd = spark.read.parquet(s"$out/documents.parquet").count()
+    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
+    val nl = spark.read.parquet(s"$out/lineitem.parquet").count()
+    val nv = spark.read.parquet(s"$out/events.parquet").count()
+    println(s"wrote $out: $nd documents, $ne embeddings, $nl lineitem, " +
+      s"$nv events (factor $factor)")
+    spark.stop()
+  }
+
+  /** Writes the scaled corpus — shared by [[main]] and the invariant
+    * spec (`ScaleToolsSpec`) so the generator the measurements run on is
+    * exactly the generator the tests lock. */
+  def generate(spark: SparkSession, base: String, out: String,
+               factor: Int): Unit = {
+    require(!out.startsWith("/root/testdata"), "scratch dir only")
     import spark.implicits._
 
     val ks = spark.range(factor).select($"id".cast("int").as("k"))
@@ -150,13 +165,5 @@ object ScaleGen {
         $"event_type", $"value", $"props")
       .repartition(32).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
-
-    val nd = spark.read.parquet(s"$out/documents.parquet").count()
-    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
-    val nl = spark.read.parquet(s"$out/lineitem.parquet").count()
-    val nv = spark.read.parquet(s"$out/events.parquet").count()
-    println(s"wrote $out: $nd documents, $ne embeddings, $nl lineitem, " +
-      s"$nv events (factor $factor)")
-    spark.stop()
   }
 }

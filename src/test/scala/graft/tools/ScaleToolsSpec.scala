@@ -1,0 +1,93 @@
+package graft.tools
+
+import graft.{SparkEntry, SparkTestSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the scale-measurement tooling itself: SCALE_VALIDATION.md's
+  * numbers are only as good as the corpus generator's invariants (facts
+  * ×F with consistent keys, dims verbatim, per-user timelines preserved)
+  * and the family lists' query names resolving. A factor-2 corpus at
+  * sf0.001 keeps the spec fast. */
+class ScaleToolsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val base = "/root/testdata/sf0.001"
+  private lazy val out = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scalegen-spec").toString
+    ScaleGen.generate(spark, base, dir, 2)
+    dir
+  }
+
+  test("every ScaleValidate family query name resolves in SparkEntry") {
+    val names = ScaleValidate.Families.flatMap(_._3)
+    val missing = names.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"unknown queries in Families: $missing")
+    assert(names.distinct.size == names.size, "duplicate family entries")
+  }
+
+  test("facts scale ×F with consistent keys, dims verbatim") {
+    def cnt(dir: String, t: String): Long =
+      spark.read.parquet(s"$dir/$t.parquet").count()
+    Seq("orders", "lineitem").foreach { t =>
+      assert(cnt(out, t) == 2 * cnt(base, t), s"$t not ×2")
+    }
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      assert(cnt(out, t) == cnt(base, t), s"dim $t changed")
+    }
+    // the order⋈line join stays key-consistent: every scaled lineitem
+    // orderkey exists in scaled orders (and vice-versa key sets match)
+    val o = spark.read.parquet(s"$out/orders.parquet")
+      .select(col("o_orderkey").as("k")).distinct()
+    val l = spark.read.parquet(s"$out/lineitem.parquet")
+      .select(col("l_orderkey").as("k")).distinct()
+    assert(l.join(o, Seq("k"), "left_anti").count() == 0,
+      "lineitem orderkeys missing from orders")
+    // fact growth lands on fixed dim keys: distinct custkeys unchanged
+    val baseCust = spark.read.parquet(s"$base/orders.parquet")
+      .select(countDistinct("o_custkey")).head().getLong(0)
+    val scaledCust = spark.read.parquet(s"$out/orders.parquet")
+      .select(countDistinct("o_custkey")).head().getLong(0)
+    assert(scaledCust == baseCust, "custkey domain should not grow")
+  }
+
+  test("events: users ×F with per-user timelines preserved verbatim") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val b = spark.read.parquet(s"$base/events.parquet")
+    val s2 = spark.read.parquet(s"$out/events.parquet")
+    assert(s2.count() == 2 * b.count())
+    val bu = b.select(countDistinct("user_id")).head().getLong(0)
+    val su = s2.select(countDistinct("user_id")).head().getLong(0)
+    assert(su == 2 * bu, s"users $su != 2 × $bu")
+    // replica 1 of a user's timeline is the base timeline shifted by
+    // Stride: the multiset of (ts, event_type, value) per shifted user
+    // matches the base user exactly
+    val baseSig = b.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type"),
+        col("value")))).as("sig"))
+    val replicaSig = s2.filter(col("user_id") >= ScaleGen.Stride)
+      .withColumn("user_id", col("user_id") - ScaleGen.Stride)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type"),
+        col("value")))).as("sig"))
+    val mismatch = baseSig.as("a").join(replicaSig.as("b"), Seq("user_id"))
+      .filter(col("a.sig") =!= col("b.sig"))
+    assert(replicaSig.count() == bu)
+    assert(mismatch.count() == 0, "replica timelines differ from base")
+  }
+
+  test("documents: replica 1 plants exact dups, others share no tokens") {
+    val d = spark.read.parquet(s"$out/documents.parquet")
+    val baseDocs = spark.read.parquet(s"$base/documents.parquet")
+    assert(d.count() == 2 * baseDocs.count())
+    // every 10th doc of replica 1 is a verbatim copy of its base doc
+    val dup = d.filter(col("doc_id") >= ScaleGen.Stride &&
+        (col("doc_id") - ScaleGen.Stride) % 10 === 0)
+      .withColumn("doc_id", col("doc_id") - ScaleGen.Stride)
+      .select(col("doc_id"), col("text").as("t2"))
+    val joined = baseDocs.join(dup, Seq("doc_id"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("text") =!= col("t2")).count() == 0,
+      "planted exact duplicates are not verbatim")
+  }
+}
