@@ -30,7 +30,8 @@ object ScaleValidate {
       "cms_heavy_hitters", "vocab_topk", "bpe_pairs")),
     ("broadcast-side", "shuffle ∝ corpus partials, broadcast fixed: ≤F×", Seq(
       "decontaminate", "decontam_bloom", "ann_cosine_topk",
-      "ann_batch_topk", "ivf_topk", "dedup_embedding_cosine")),
+      "ann_batch_topk", "ivf_topk", "dedup_embedding_cosine",
+      "quality_lm_score")),
     ("bounded-candidates", "pairs df-capped: ≈F× (dup pairs ∝ docs)", Seq(
       "dedup_shingle_jaccard", "source_overlap")),
     // Relational / storm families (facts ×F, dims fixed — ScaleGen's
@@ -63,8 +64,15 @@ object ScaleValidate {
     // without it separates genuine scaling from the one-time step change
     // when a relation outgrows the 10 MB auto-broadcast threshold.
     val noBroadcast = rawArgs.contains("--no-broadcast")
-    val args = rawArgs.filterNot(_ == "--no-broadcast")
-    require(args.nonEmpty, "usage: ScaleValidate [--no-broadcast] <dir> ...")
+    // --only=a,b,c restricts to a subset — for re-measuring a single
+    // family member after a change without paying the full matrix.
+    val only: Set[String] = rawArgs.collectFirst {
+      case a if a.startsWith("--only=") =>
+        a.stripPrefix("--only=").split(',').toSet
+    }.getOrElse(Set.empty)
+    val args = rawArgs.filterNot(a => a == "--no-broadcast" || a.startsWith("--only="))
+    require(args.nonEmpty,
+      "usage: ScaleValidate [--no-broadcast] [--only=q1,q2] <dir> ...")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-validate")
@@ -96,7 +104,8 @@ object ScaleValidate {
         }
       })
 
-    val names = Families.flatMap(_._3)
+    val all = Families.flatMap(_._3)
+    val names = if (only.isEmpty) all else all.filter(only)
     args.foreach { dir =>
       val rows = names.map { name =>
         val s0 = shuffleBytes.get()
