@@ -148,9 +148,16 @@ object ConnectedComponents {
       linked.unionByName(self).distinct()
     }
 
+    // Unlike the pointer-doubling loop, star rounds rewrite the edge set
+    // non-monotonically, so a LINEAR stamp (sum of 31·src+dst) is unsound:
+    // it is invariant under dst-swaps between edges ({(a,x),(b,y)} vs
+    // {(a,y),(b,x)}) and could declare a non-fixpoint converged. Summing a
+    // per-edge 64-bit hash is non-linear per edge — two distinct edge sets
+    // of equal size collide only with ~2^-64 probability — and stays one
+    // scalar aggregate per round.
     def stamp(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
-        sum((col("src") * 31 + col("dst")).cast("decimal(38,0)"))).head
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
       (r.getLong(0), r.getDecimal(1))
     }
 

@@ -185,18 +185,27 @@ object DedupQueries {
   /** LSH candidate pairs → exact-Jaccard verification (>= 0.5), with the
     * minhash-estimated Jaccard alongside. One shingle scan feeds both the
     * signature and the verification joins. */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = prunedShingles(s, dir)
-    val mh = minhashSignatures(sh).localCheckpoint(true)
+  /** LSH band keys for a signature relation: one row per (doc, band)
+    * with the band's 16-hex bucket hash. The single definition of the
+    * banding recipe (band count, row grouping, hash width) — shared by
+    * [[dedupMinhashLsh]] and the [[graft.tools.LshProbe]] diagnostics so
+    * the probe can never describe a bucketing the pipeline no longer
+    * runs. */
+  def bands(mh: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       struct(lit(b).as("band"),
         substring(sha2(concat_ws(",", rows: _*), 256), 1, 16).as("bh"))
     }
-    val bands = mh.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("bb"))
+    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-    val cands = bands.as("x").join(bands.as("y"),
+  }
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = prunedShingles(s, dir)
+    val mh = minhashSignatures(sh).localCheckpoint(true)
+    val bandsDf = bands(mh)
+    val cands = bandsDf.as("x").join(bandsDf.as("y"),
       col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))

@@ -187,12 +187,17 @@ object RelationalQueries {
   def q15ApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
     val ps = Seq(0.5, 0.9, 0.99)
     val accuracy = 1000 // eps = 0.001
+    // n_events (count(*)) is the exact cross-check column; the rank
+    // bound is stated against n_vals = count(value), the non-null count
+    // the sketch actually summarizes (percentile_approx ignores NULLs,
+    // as do the lt/le rank counts below).
     val approx = t(s, dir, "events")
       .groupBy("event_type")
       .agg(percentile_approx(col("value"),
         array(ps.map(lit): _*), lit(accuracy)).as("ap"),
-        count(lit(1)).as("n_events"))
-      .select(col("event_type") +: col("n_events") +:
+        count(lit(1)).as("n_events"),
+        count(col("value")).as("n_vals"))
+      .select(col("event_type") +: col("n_events") +: col("n_vals") +:
         ps.indices.map(i => element_at(col("ap"), i + 1).as(s"a$i")): _*)
     val checks = ps.indices.flatMap { i =>
       Seq(sum(when(col("value") < col(s"a$i"), 1L).otherwise(0L)).as(s"lt$i"),
@@ -200,13 +205,13 @@ object RelationalQueries {
     }
     t(s, dir, "events")
       .join(broadcast(approx), "event_type")
-      .groupBy(col("event_type"), col("n_events"))
+      .groupBy(col("event_type"), col("n_events"), col("n_vals"))
       .agg(checks.head, checks.tail: _*)
       .select(col("event_type") +: col("n_events") +:
         ps.zipWithIndex.map { case (p, i) =>
-          val bound = lit(2.0 / accuracy) * col("n_events") + 1
-          val lo = lit(p) * col("n_events") - bound
-          val hi = lit(p) * col("n_events") + bound
+          val bound = lit(2.0 / accuracy) * col("n_vals") + 1
+          val lo = lit(p) * col("n_vals") - bound
+          val hi = lit(p) * col("n_vals") + bound
           ((col(s"lt$i") + 1 <= hi) && (col(s"le$i") >= lo))
             .as(s"ok${(p * 100).round}")
         }: _*)

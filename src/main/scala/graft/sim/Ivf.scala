@@ -142,10 +142,17 @@ object Ivf {
   def ivfTopk(s: SparkSession, dir: String): DataFrame =
     ivfTopkProbing(s, dir, NProbe)
 
-  def ivfTopkProbing(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  def ivfTopkProbing(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    ivfTopkProbing(s, dir, nprobe, rankedCells(s, dir))
+
+  /** Probing variant over a precomputed centroid ranking — the sweep
+    * computes [[rankedCells]] once and slices prefixes instead of paying
+    * a query-embedding fetch per nprobe. */
+  private def ivfTopkProbing(s: SparkSession, dir: String, nprobe: Int,
+                             ranked: Seq[Int]): DataFrame = {
     val (assigned, centers) = assignments(s, dir)
-    // O(NLists) centroid comparison picks the probe set
-    val probeCells = probeSet(s, dir, nprobe).toArray
+    // O(NLists) centroid comparison picked the ranking; prefix = probe set
+    val probeCells = ranked.take(nprobe).toArray
     if (nprobe == NProbe) synchronized {
       lastIvfOracle = Some(ivfOracleSql(centers, probeCells))
     }
@@ -183,37 +190,43 @@ object Ivf {
   def recallSweep(s: SparkSession, dir: String,
                   nprobes: Seq[Int]): Seq[(Int, Double, Double)] = {
     val (assigned, _) = assignments(s, dir)
-    val exact = ivfTopkProbing(s, dir, NLists).collect()
+    // one centroid ranking serves every sweep point (probeSet(np) is by
+    // construction its prefix) — no per-nprobe query-embedding refetch
+    val ranked = rankedCells(s, dir)
+    val exact = ivfTopkProbing(s, dir, NLists, ranked).collect()
       .map(_.getAs[Long]("vec_id")).toSet
     val cellSizes = assigned.filter(col("vec_id") =!= 0)
       .groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = cellSizes.values.sum.toDouble
     nprobes.map { np =>
-      val rows = ivfTopkProbing(s, dir, np).collect()
+      val rows = ivfTopkProbing(s, dir, np, ranked).collect()
       val recall = rows.map(_.getAs[Long]("vec_id")).count(exact.contains)
         .toDouble / TopK
-      // reconstruct the probe set from what ivfTopkProbing scanned — the
-      // union of returned cells is a lower bound, so recompute it the
-      // same way the query does (cells of the np nearest centroids)
-      val scanned = probeSet(s, dir, np).map(cellSizes.getOrElse(_, 0L)).sum /
+      val scanned = ranked.take(np).map(cellSizes.getOrElse(_, 0L)).sum /
         total
       (np, recall, scanned)
     }
   }
 
-  /** The probe set ivfTopkProbing(nprobe) scans: cells of the nprobe
-    * centroids nearest the query — factored out so the sweep reports the
-    * true scanned fraction rather than inferring it from results. */
-  def probeSet(s: SparkSession, dir: String, nprobe: Int): Seq[Int] = {
+  /** All cells ranked by centroid cosine to the query —
+    * `probeSet(nprobe)` is its length-nprobe prefix. One driver-side
+    * head() job fetches the query embedding. */
+  def rankedCells(s: SparkSession, dir: String): Seq[Int] = {
     val (assigned, centers) = assignments(s, dir)
     import s.implicits._
     val qEmb = assigned.filter(col("vec_id") === 0)
       .select("embedding").as[Array[Float]].head().map(_.toDouble)
     centers.zipWithIndex
       .map { case (ctr, i) => (cosine(qEmb, ctr), i) }
-      .sortBy(-_._1).take(nprobe).map(_._2).toSeq
+      .sortBy(-_._1).map(_._2).toSeq
   }
+
+  /** The probe set ivfTopkProbing(nprobe) scans: cells of the nprobe
+    * centroids nearest the query — factored out so the sweep reports the
+    * true scanned fraction rather than inferring it from results. */
+  def probeSet(s: SparkSession, dir: String, nprobe: Int): Seq[Int] =
+    rankedCells(s, dir).take(nprobe)
 
   // The approximate query's oracle exists only once the quantizer is
   // trained (its centroid and probe-set literals come from the model), so

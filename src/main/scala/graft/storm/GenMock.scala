@@ -71,10 +71,12 @@ object GenMock {
     * reference's Go time.Time marshalling. */
   def writeJsonArray(df: DataFrame, orderCol: String, path: String,
                      dropOrderCol: Boolean = false): Unit = {
-    val n = df.count()
-    require(n <= FixtureMaxRows,
-      s"writeJsonArray is a driver-side fixture sink ($n rows > cap " +
-        s"$FixtureMaxRows); write parquet for datasets at scale")
+    // limit(cap+1) stops the scan at the first over-cap row instead of
+    // recomputing the full input lineage just to count it
+    val over = df.limit(FixtureMaxRows.toInt + 1).count() > FixtureMaxRows
+    require(!over,
+      s"writeJsonArray is a driver-side fixture sink (input exceeds cap " +
+        s"$FixtureMaxRows rows); write parquet for datasets at scale")
     val outCols = if (dropOrderCol) df.columns.filter(_ != orderCol)
       else df.columns
     // secondary sort on every column makes tie order deterministic across

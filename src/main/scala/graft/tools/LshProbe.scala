@@ -20,16 +20,8 @@ object LshProbe {
     args.foreach { dir =>
       val sh = DedupQueries.prunedShingles(spark, dir)
       val mh = DedupQueries.minhashSignatures(sh).localCheckpoint(true)
-      val bandCols = (0 until DedupQueries.NumBands).map { b =>
-        val rows = (0 until DedupQueries.RowsPerBand)
-          .map(r => col(s"h${b * DedupQueries.RowsPerBand + r}"))
-        struct(lit(b).as("band"),
-          substring(sha2(concat_ws(",", rows: _*), 256), 1, 16).as("bh"))
-      }
-      val bands = mh.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-        .localCheckpoint(true)
+      // the pipeline's own banding recipe — never a diverged copy
+      val bands = DedupQueries.bands(mh).localCheckpoint(true)
       val bucketSizes = bands.groupBy("band", "bh").count()
         .agg(sum(col("count") * (col("count") - 1) / 2).as("pairs"),
           max("count").as("max_bucket"), count(lit(1)).as("n_buckets"))

@@ -108,9 +108,13 @@ object ScaleGen {
       .as[(Long, String, String, String, Long)]
     val scaledDocs = docs.crossJoin(ks)
       .as[(Long, String, String, String, Long, Int)]
-      .map { case (id, text, lang, source, _, k) =>
+      .map { case (id, text, lang, source, nChars, k) =>
+        // replica 0 is the base corpus VERBATIM — including its n_chars,
+        // whatever definition the base generator used; only mutated
+        // replicas recompute it from the mutated text
         val t = if (k == 0) text else mutateText(id, k, text)
-        (id + k * Stride, t, lang, source, t.length.toLong)
+        val n = if (k == 0) nChars else t.length.toLong
+        (id + k * Stride, t, lang, source, n)
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     scaledDocs.repartition(32).write.mode("overwrite")

@@ -89,46 +89,29 @@ object ScaleValidate {
     // Bytes AND records: compressed bytes can scale sublinearly on
     // replica-heavy corpora (duplicate values compress better at larger
     // F), so record counts are the law signal and bytes the memory/
-    // network signal.
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
-    val shuffleRecs = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          val m = sc.stageInfo.taskMetrics
-          if (m != null) {
-            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-            shuffleRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
-          }
-        }
-      })
+    // network signal. Attribution is exact via job groups (shared
+    // ShuffleByGroup listener — same discipline as Bench; keys are
+    // dir|name because the same query runs once per corpus dir).
+    val shuffle = new graft.ShuffleByGroup
+    spark.sparkContext.addSparkListener(shuffle)
 
     val all = Families.flatMap(_._3)
     val names = if (only.isEmpty) all else all.filter(only)
     args.foreach { dir =>
-      val rows = names.map { name =>
-        val s0 = shuffleBytes.get()
-        val r0 = shuffleRecs.get()
+      val timed = names.map { name =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[scale] $name on $dir failed: ${e.getMessage}")
+        shuffle.measure(spark.sparkContext, s"$dir|$name") {
+          try SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] $name on $dir failed: ${e.getMessage}")
+          }
         }
-        val sec = (System.nanoTime() - t0) / 1e9
-        var last = -1L; var stable = 0; var waited = 0
-        while (stable < 2 && waited < 2000) {
-          Thread.sleep(50L); waited += 50
-          val cur = shuffleBytes.get()
-          if (cur == last) stable += 1 else { stable = 0; last = cur }
-        }
-        (name, sec, (shuffleBytes.get() - s0) / 1048576.0,
-          shuffleRecs.get() - r0)
+        (name, (System.nanoTime() - t0) / 1e9)
       }
-      val qs = rows.map { case (k, sec, mb, rec) =>
-        "\"" + k +
-          f"""\":{"sec":$sec%.2f,"shuffle_mb":$mb%.2f,"shuffle_rec":$rec%d}"""
+      shuffle.drain()
+      val qs = timed.map { case (k, sec) =>
+        "\"" + k + f"""\":{"sec":$sec%.2f,"shuffle_mb":${shuffle.mbOf(s"$dir|$k")}%.2f,"shuffle_rec":${shuffle.recOf(s"$dir|$k")}%d}"""
       }.mkString("{", ",", "}")
       println(s"""{"dir":"$dir","queries":$qs}""")
     }
