@@ -139,6 +139,100 @@ object TextQueries {
           .otherwise("synthetic"))
   }
 
+  /** CCNet-style head/middle/tail corpus split (Wenzek et al. 2020):
+    * within each language, rank documents by LM score (ascending — low
+    * surprisal reads most natural) and cut the ranking into terciles by
+    * integer arithmetic, `((rk-1)*3) div n` ∈ {0,1,2}. CCNet takes
+    * `head` as the cleanest training slice.
+    *
+    * Scale shape: the rank is DECOMPOSED instead of computed with one
+    * `row_number` window per language (which would sort a whole
+    * language's corpus inside a single partition — the hot-key shape
+    * that dies first at 100 TB). rank = (docs in this lang with a
+    * smaller score) + (position among same-score ties): the first term
+    * is a cumulative sum over the DISTINCT (lang, score) relation —
+    * bounded by score cardinality, not corpus size — and the second is
+    * a window over one tie group. The only per-corpus-row work is two
+    * hash joins and a tie-group window. */
+  def lmBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityLmScore(s, dir).select(col("doc_id"), col("lm_score"))
+    val j = Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(scored, "doc_id")
+    val grp = j.groupBy("lang", "lm_score").agg(count(lit(1)).as("g"))
+    val wCum = Window.partitionBy("lang").orderBy("lm_score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = grp.withColumn("below", coalesce(sum("g").over(wCum), lit(0L)))
+      .select("lang", "lm_score", "below")
+    val nPer = j.groupBy("lang").agg(count(lit(1)).as("n"))
+    val wTie = Window.partitionBy("lang", "lm_score").orderBy("doc_id")
+    j.join(below, Seq("lang", "lm_score"))
+      .withColumn("rk", col("below") + row_number().over(wTie))
+      .join(broadcast(nPer), "lang")
+      .withColumn("t", expr("((rk - 1) * 3) div n"))
+      .select(col("doc_id"), col("lang"), col("lm_score"), col("rk"),
+        when(col("t") === 0, "head").when(col("t") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Feature-hash bucket count for [[dsirWeights]] — DSIR hashes n-grams
+    * into a fixed bucket space (Xie et al. 2023 use 10⁴; 64 keeps
+    * collisions exercised at fixture scale). The bucket count, not the
+    * vocabulary, bounds every broadcast below. */
+  val DsirBuckets = 64
+  /** Target domain for the importance weights: English documents. */
+  val DsirTargetLang = "en"
+
+  /** DSIR-style importance-resampling weight (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", 2023): score every
+    * document by how much more likely its tokens are under a TARGET
+    * domain's hashed-unigram distribution than under the raw corpus's —
+    * the data-selection step that turns a heterogeneous crawl into a
+    * domain-matched training set. Kept integer-exact in the engine's
+    * house style: each bucket's log-probability is replaced by the
+    * bit-length surprisal `length(bin(N div c))` (see
+    * [[qualityLmScore]]), so a document's log-weight is
+    * Σ (surp_raw − surp_target) over its tokens — positive when the
+    * target model finds the document less surprising than the raw model
+    * does. Buckets absent from the target get target-count 1 (the same
+    * OOV convention as the LM score); buckets always exist on the raw
+    * side because the raw model is trained on the corpus being scored.
+    *
+    * Scale shape: two vocab-bounded aggregations (≤ [[DsirBuckets]]
+    * partials per task) build the weight table, which is HINTED
+    * broadcast into one exploded-token pass with a map-side-combined
+    * per-doc sum — the quality_lm_score family: shuffle ∝ per-doc
+    * partials, the model never shuffles. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("tok"))
+      .withColumn("b", pmod(hex32(col("tok")), lit(DsirBuckets.toLong)))
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+    val nR = raw.agg(sum("cr").as("nr"))
+    val tgt = toks.filter(col("lang") === DsirTargetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val nT = tgt.agg(sum("ct").as("nt"))
+    val bw = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("b"),
+        (length(bin(expr("nr div cr"))) -
+          length(bin(expr("nt div coalesce(ct, CAST(1 AS BIGINT))"))))
+          .as("d"))
+    val perDoc = toks.join(broadcast(bw), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("d").cast("long").as("dsir_logw"))
+    // Weights are RELATIVE (the bit-length surrogate skews them negative
+    // overall), so the acceptance flag compares each document to the
+    // corpus mean — integer-exactly, as logw·N > Σlogw, avoiding a float
+    // division whose rounding could flip boundary docs cross-engine.
+    // Production DSIR resamples proportionally to exp(weight); the
+    // above-mean flag is the deterministic gate-able proxy.
+    val tot = perDoc.agg(sum("dsir_logw").cast("long").as("tw"),
+      count(lit(1)).as("nd"))
+    perDoc.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_toks"), col("dsir_logw"),
+        (col("dsir_logw") * col("nd") > col("tw")).as("keep"))
+  }
+
   /** Language-ID confusion matrix: labeled lang × heuristic prediction. */
   def langIdConfusion(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -316,6 +410,8 @@ object TextQueries {
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "quality_lm_score" -> qualityLmScore,
+    "lm_buckets" -> lmBuckets,
+    "dsir_weights" -> dsirWeights,
     "lang_id_confusion" -> langIdConfusion,
     "doc_fingerprint" -> docFingerprint,
     "vocab_topk" -> vocabTopk,
@@ -330,6 +426,19 @@ object TextQueries {
 
   /** SQL literal list of [[stopwords]] — shared with composed oracles. */
   val stopListSql: String = stopList
+
+  /** Shared oracle CTE chain for the unigram LM surprisal (train counts,
+    * top-K vocab, per-token bit-length surprisal) — used verbatim by the
+    * `quality_lm_score` and `lm_buckets` oracles so the model definition
+    * cannot drift between them. Expects [[wordsCte]] in scope. */
+  val lmSurpCte: String =
+    s"""t AS (SELECT doc_id, unnest(w) AS tok FROM w),
+       |c AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+       |n AS (SELECT sum(c)::BIGINT AS n FROM c),
+       |v AS (SELECT tok, c FROM c ORDER BY c DESC, tok ASC LIMIT $LmVocabK),
+       |sc AS (SELECT t.doc_id,
+       |    length(bin((SELECT n FROM n) // coalesce(v.c, 1))) AS surp
+       |  FROM t LEFT JOIN v USING (tok))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "cooccur_topk" ->
@@ -405,20 +514,50 @@ object TextQueries {
           |       ELSE 'low' END AS quality
           |FROM w""".stripMargin),
     "quality_lm_score" ->
-      (s"WITH $wordsCte,\n" +
-        s"""t AS (SELECT doc_id, unnest(w) AS tok FROM w),
-          |c AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
-          |n AS (SELECT sum(c)::BIGINT AS n FROM c),
-          |v AS (SELECT tok, c FROM c ORDER BY c DESC, tok ASC LIMIT $LmVocabK),
-          |sc AS (SELECT t.doc_id,
-          |    length(bin((SELECT n FROM n) // coalesce(v.c, 1))) AS surp
-          |  FROM t LEFT JOIN v USING (tok))
-          |SELECT doc_id, count(*) AS n_toks,
+      (s"WITH $wordsCte,\n$lmSurpCte\n" +
+        """SELECT doc_id, count(*) AS n_toks,
           |  round(avg(surp), 4) AS lm_score,
           |  CASE WHEN round(avg(surp), 4) <= 6.0 THEN 'natural'
           |       WHEN round(avg(surp), 4) <= 12.0 THEN 'mixed'
           |       ELSE 'synthetic' END AS grade
           |FROM sc GROUP BY doc_id""".stripMargin),
+    // the oracle states the rank with the plain per-language window; the
+    // Spark side computes the same rank decomposed (see lmBuckets)
+    "lm_buckets" ->
+      (s"WITH $wordsCte,\n$lmSurpCte,\n" +
+        """sc2 AS (SELECT doc_id, round(avg(surp), 4) AS lm_score
+          |        FROM sc GROUP BY doc_id),
+          |j AS (SELECT d.doc_id, d.lang, s.lm_score
+          |      FROM documents d JOIN sc2 s USING (doc_id)),
+          |ln AS (SELECT lang, count(*) AS n FROM j GROUP BY 1),
+          |rk AS (SELECT j.*, row_number() OVER (
+          |         PARTITION BY lang ORDER BY lm_score ASC, doc_id ASC) AS rk
+          |       FROM j)
+          |SELECT rk.doc_id, rk.lang, rk.lm_score, rk.rk AS rk,
+          |  CASE ((rk.rk - 1) * 3) // ln.n WHEN 0 THEN 'head'
+          |       WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+          |FROM rk JOIN ln USING (lang)""".stripMargin),
+    "dsir_weights" ->
+      (s"WITH $wordsCte,\n" +
+        s"""t AS (SELECT doc_id, lang,
+          |    ('0x' || substr(sha256(tok), 1, 8))::BIGINT % $DsirBuckets AS b
+          |  FROM (SELECT doc_id, lang, unnest(w) AS tok FROM w)),
+          |r AS (SELECT b, count(*) AS cr FROM t GROUP BY 1),
+          |nr AS (SELECT sum(cr)::BIGINT AS n FROM r),
+          |tg AS (SELECT b, count(*) AS ct FROM t
+          |       WHERE lang = '$DsirTargetLang' GROUP BY 1),
+          |nt AS (SELECT sum(ct)::BIGINT AS n FROM tg),
+          |bw AS (SELECT r.b,
+          |    length(bin((SELECT n FROM nr) // r.cr)) -
+          |    length(bin((SELECT n FROM nt) // coalesce(tg.ct, 1))) AS d
+          |  FROM r LEFT JOIN tg USING (b)),
+          |pd AS (SELECT doc_id, count(*) AS n_toks, sum(d)::BIGINT AS dsir_logw
+          |       FROM t JOIN bw USING (b) GROUP BY doc_id),
+          |tot AS (SELECT sum(dsir_logw)::BIGINT AS tw, count(*)::BIGINT AS nd
+          |        FROM pd)
+          |SELECT doc_id, n_toks, dsir_logw,
+          |  dsir_logw * (SELECT nd FROM tot) > (SELECT tw FROM tot) AS keep
+          |FROM pd""".stripMargin),
     "lang_id_confusion" ->
       (s"WITH $wordsCte\n" +
         """SELECT lang,

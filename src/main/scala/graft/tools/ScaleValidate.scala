@@ -22,7 +22,7 @@ object ScaleValidate {
       "cross_doc_ngrams", "doc_repetition", "winnow_fingerprints")),
     ("doc-proportional", "shuffle ∝ docs: ≈F×", Seq(
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-      "dedup_clusters", "dedup_apply")),
+      "dedup_clusters", "dedup_apply", "lm_buckets")),
     ("projection", "shuffle ≈ 0 at any scale", Seq(
       "text_quality", "quality_gopher", "doc_fingerprint",
       "embed_quantize", "train_split")),
@@ -31,7 +31,7 @@ object ScaleValidate {
     ("broadcast-side", "shuffle ∝ corpus partials, broadcast fixed: ≤F×", Seq(
       "decontaminate", "decontam_bloom", "ann_cosine_topk",
       "ann_batch_topk", "ivf_topk", "dedup_embedding_cosine",
-      "quality_lm_score")),
+      "quality_lm_score", "dsir_weights")),
     ("bounded-candidates", "pairs df-capped: ≈F× (dup pairs ∝ docs)", Seq(
       "dedup_shingle_jaccard", "source_overlap")),
     // Relational / storm families (facts ×F, dims fixed — ScaleGen's
