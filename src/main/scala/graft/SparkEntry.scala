@@ -5,7 +5,7 @@ import graft.functions.{BottomK, CountMin, Kmv}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,
   RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
-import graft.sim.{Ivf, SimilarityQueries}
+import graft.sim.{Ivf, SemDedup, SimilarityQueries}
 import graft.storm.StormQueries
 import graft.text.{Bpe, Drift, Sampling, TextQueries, Winnow}
 
@@ -42,6 +42,7 @@ object SparkEntry {
       (Bloom.queries, Bloom.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (Ivf.queries, Ivf.oracles),
+      (SemDedup.queries, SemDedup.oracles),
       (Multimodal.queries, Multimodal.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -115,12 +115,20 @@ object Ivf {
     * shared verbatim with the oracle SQL, and the arithmetic (left-to-
     * right dot, one division) has a single evaluation order — both
     * engines produce the same bits. */
-  private def cellExpr(centers: Array[Array[Double]]): Column = {
+  /** Per-centroid assignment scores (‖c_j‖² − 2·(x·c_j)/‖x‖) over the
+    * `embedding` column — shared by [[cellExpr]] and [[SemDedup]] (whose
+    * keeper rank is the winning score: within a fixed cell, a HIGHER
+    * score is a LOWER centroid cosine). */
+  private[sim] def centroidScores(centers: Array[Array[Double]]): Array[Column] = {
     val xn = sqrt(dot(col("embedding"), col("embedding")))
-    val scores = centers.map { c =>
+    centers.map { c =>
       val c2 = c.map(x => x * x).sum
       lit(c2) - lit(2.0) * dot(col("embedding"), array(c.map(lit).toSeq: _*)) / xn
     }
+  }
+
+  private def cellExpr(centers: Array[Array[Double]]): Column = {
+    val scores = centroidScores(centers)
     val m = least(scores.toSeq: _*)
     scores.zipWithIndex.tail
       .foldLeft(when(scores(0) === m, 0)) { case (acc, (sc, j)) =>
@@ -236,7 +244,7 @@ object Ivf {
 
   /** Shortest round-trip decimal form — DuckDB's correctly-rounded parse
     * recovers the exact double the Spark plan uses via `lit`. */
-  private def fmtD(d: Double): String = java.lang.Double.toString(d)
+  private[sim] def fmtD(d: Double): String = java.lang.Double.toString(d)
 
   /** Post-training oracle for `ivf_topk`: the trained centroids (and the
     * driver-picked probe cells) inlined as literals; assignment = the same
