@@ -34,6 +34,8 @@ object ScaleValidate {
       "quality_lm_score", "dsir_weights")),
     ("bounded-candidates", "pairs df-capped: ≈F× (dup pairs ∝ docs)", Seq(
       "dedup_shingle_jaccard", "source_overlap")),
+    ("semantic-dedup", "cell self-join: shuffle ∝ vectors (pairs stay in-join): ≈F×", Seq(
+      "semdedup")),
     // Relational / storm families (facts ×F, dims fixed — ScaleGen's
     // star-schema growth shape):
     ("scan-agg", "map-side complete: partials ∝ partitions×groups: ≪F×", Seq(
