@@ -7,7 +7,7 @@ import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,
   RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
 import graft.sim.{Ivf, SemDedup, SimilarityQueries}
 import graft.storm.StormQueries
-import graft.text.{Bpe, Drift, Sampling, TextQueries, Winnow}
+import graft.text.{Bpe, Drift, Sampling, TextQueries, Unigram, Winnow}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -31,6 +31,7 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (Sampling.queries, Sampling.oracles),
       (Bpe.queries, Bpe.oracles),
+      (Unigram.queries, Unigram.oracles),
       (Drift.queries, Drift.oracles),
       (Winnow.queries, Winnow.oracles),
       (BottomK.queries, BottomK.oracles),

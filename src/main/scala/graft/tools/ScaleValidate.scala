@@ -27,7 +27,7 @@ object ScaleValidate {
       "text_quality", "quality_gopher", "doc_fingerprint",
       "embed_quantize", "train_split")),
     ("vocab-bounded", "shuffle ∝ vocab/partials: ≪F×", Seq(
-      "cms_heavy_hitters", "vocab_topk", "bpe_pairs")),
+      "cms_heavy_hitters", "vocab_topk", "bpe_pairs", "unigram_encode")),
     ("broadcast-side", "shuffle ∝ corpus partials, broadcast fixed: ≤F×", Seq(
       "decontaminate", "decontam_bloom", "ann_cosine_topk",
       "ann_batch_topk", "ivf_topk", "dedup_embedding_cosine",
