@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: the self-join shuffles on `cell` only; with NLists ∝
   * corpus size (the paper runs k = 50k on LAION) cells stay
   * constant-sized and the within-cell quadratic is O(N·cellsize), not
-  * O(N²). The dominated set is vanishingly small next to the corpus, so
-  * it re-joins broadcast. Reference test surface: the reference has no
+  * O(N²). The dominated set re-joins UNhinted: it is duplicate-count
+  * sized, which a heavily-duplicated crawl can push toward corpus
+  * size, so AQE picks broadcast only when the measured size allows.
+  * Reference test surface: the reference has no
   * embedding-space dedup — this extends `internal/` dedup semantics
   * (SURVEY.md §2.6 J4 dedup family) to the embedding column, next to
   * `dedup_embedding_cosine`'s LSH pair finder.
@@ -61,7 +63,11 @@ object SemDedup {
               col("y.vec_id") < col("x.vec_id"))),
         "left_semi")
       .select(col("vec_id"), lit(false).as("keep"))
-    a.join(broadcast(dominated), Seq("vec_id"), "left")
+    // NOT broadcast-hinted: the dominated set is duplicate-count sized,
+    // which on a heavily-duplicated crawl can approach the corpus — let
+    // AQE convert to broadcast at runtime when it measures small, and
+    // fall back to a shuffle join on vec_id when it doesn't.
+    a.join(dominated, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         round(col("m"), 4).as("cent_score"),
         coalesce(col("keep"), lit(true)).as("keep"))
