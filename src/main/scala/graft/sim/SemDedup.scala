@@ -52,6 +52,11 @@ object SemDedup {
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     val (assigned, centers) = Ivf.assignments(s, dir)
     synchronized { lastOracle = Some(oracleSql(centers)) }
+    // m is re-evaluated on each of the three plan branches (x side, y
+    // side, output) over the cached assignment — a deliberate trade:
+    // NLists dot products per vector ×3 is constant per-row work,
+    // negligible next to the within-cell pairwise cosines, and caching
+    // the projection would double-buffer the corpus for it.
     val a = assigned.select(col("vec_id"), col("embedding"), col("cell"),
       least(Ivf.centroidScores(centers).toSeq: _*).as("m"))
     val dominated = a.as("x").join(a.as("y"),

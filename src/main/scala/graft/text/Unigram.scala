@@ -138,22 +138,39 @@ object Unigram {
     withCosts(refreshed)
   }
 
+  /** Train end-to-end and return the final piece-cost table, sorted by
+    * piece. EXECUTES the training (this is the one vocab-sized driver
+    * collect — the merge-literal precedent); the word-count and seed
+    * relations are cached for the duration so the corpus is scanned
+    * once, and unpersisted before returning. Shared verbatim by the
+    * gate query and the spec so the two can never train different
+    * models. */
+  def trainedCosts(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    val words = distinctWords(Tables.parallel(s, dir, "documents")).cache()
+    val seed = seedFreqs(words).cache()
+    try
+      emRound(words, seed, withCosts(seed)).orderBy("p").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    finally { seed.unpersist(); words.unpersist() }
+  }
+
   /** Gate query: per-source fertility of the trained unigram tokenizer —
     * (n_words, chars_before, tokens_after), directly comparable with
-    * [[Bpe.bpeEncode]]'s columns on the same corpus. Trains seed →
-    * segment → re-estimate/prune → segment; the final per-word token
-    * count comes from the tie-free value DP and joins (broadcast,
+    * [[Bpe.bpeEncode]]'s columns on the same corpus. Training runs once
+    * in [[trainedCosts]]; the returned APPLY plan references only the
+    * collected piece literals (a local relation, like [[Ivf]]'s
+    * centroid literals), so it rescans the corpus exactly twice — the
+    * distinct-word relation for segmentation and the per-source word
+    * counts — instead of replaying the training DAG. The final per-word
+    * token count comes from the tie-free value DP and joins (broadcast,
     * vocab-sized) onto the per-source word counts. */
   def unigramEncode(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallel(s, dir, "documents")
-    val words = distinctWords(docs)
-    val seed = seedFreqs(words)
-    val finalCosts = emRound(words, seed, withCosts(seed))
-    // vocab-sized driver collect, for the post-training oracle only
-    val pieceLits = finalCosts.orderBy("p").collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+    import s.implicits._
+    val pieceLits = trainedCosts(s, dir)
     synchronized { lastOracle = Some(oracleSql(pieceLits)) }
-    val segmented = edgeLists(words, finalCosts)
+    val litCosts = pieceLits.toDF("p", "c")
+    val docs = Tables.parallel(s, dir, "documents")
+    val segmented = edgeLists(distinctWords(docs), litCosts)
       .withColumn("best", dpBest)
       .select(col("t"),
         expr("element_at(best, char_length(t) + 1).k").as("k"))
@@ -165,14 +182,6 @@ object Unigram {
         sum(col("n_occ")).cast("long").as("n_words"),
         sum(col("n_occ") * length(col("t"))).cast("long").as("chars_before"),
         sum(col("n_occ") * col("k")).cast("long").as("tokens_after"))
-  }
-
-  /** Final piece table, for specs: (piece, cost). */
-  def trainedCosts(s: SparkSession, dir: String): Seq[(String, Long)] = {
-    val words = distinctWords(Tables.parallel(s, dir, "documents"))
-    val seed = seedFreqs(words)
-    emRound(words, seed, withCosts(seed)).orderBy("p").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -198,13 +207,13 @@ object Unigram {
        |        FROM documents),
        |voc AS (SELECT source, t, count(*) AS n_occ FROM occ GROUP BY source, t),
        |w AS (SELECT DISTINCT t FROM voc),
+       |pos AS (SELECT t, unnest(range(1, length(t) + 1)) AS e FROM w),
        |cand AS (
-       |  SELECT t, i AS e, l, substr(t, i - l + 1, l) AS sub
-       |  FROM w, range(1, 129) r(i), range(1, $MaxPiece + 1) rl(l)
-       |  WHERE i <= length(t) AND l <= i),
+       |  SELECT t, e, unnest(range(1, least($MaxPiece, e) + 1)) AS l
+       |  FROM pos),
        |edge AS (
        |  SELECT c1.t, list([c1.e::BIGINT, c1.l::BIGINT, p.c::BIGINT]) AS edges
-       |  FROM cand c1 JOIN pieces p ON c1.sub = p.p
+       |  FROM cand c1 JOIN pieces p ON substr(c1.t, c1.e - c1.l + 1, c1.l) = p.p
        |  GROUP BY c1.t),
        |dp AS (
        |  SELECT t,

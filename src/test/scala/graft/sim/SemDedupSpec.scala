@@ -64,7 +64,7 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
-  test("every dropped vector has a KEPT duplicate in its cell (coverage)") {
+  test("dropped vectors are justified: a duplicate exists and the cell keeps a survivor") {
     import spark.implicits._
     val out = SemDedup.semDedup(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") ->
@@ -75,11 +75,11 @@ class SemDedupSpec extends AnyFunSuite {
     val byCell = out.toSeq.groupBy(_._2._1)
     out.foreach { case (id, (cell, keep)) =>
       if (!keep) {
-        // the survivor of a duplicate chain is reachable transitively:
-        // at minimum some same-cell KEPT vector must be a duplicate of
-        // SOMETHING — here we assert the direct form that holds for the
-        // dominance rule: a dropped vector has at least one same-cell
-        // duplicate (kept or not), and its cell keeps >= 1 vector
+        // On a duplicate CHAIN the dominating neighbor may itself be
+        // dropped (its own dominator survives transitively), so the
+        // strongest direct guarantee the dominance rule gives is: a
+        // dropped vector has >= 1 same-cell duplicate, and its cell
+        // keeps >= 1 vector (local maxima always survive).
         val dups = byCell(cell).count { case (oid, _) =>
           oid != id && cos(embs(id), embs(oid)) > SemDedup.Epsilon
         }
