@@ -7,17 +7,29 @@ import org.apache.spark.sql.functions._
   * (TESTDATA.md): region nation customer supplier part orders lineitem
   * events documents embeddings — one parquet per table under the sf dir.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as a
-  * nanosecond long (legacy conf) and floor-convert to microseconds, which is
-  * exactly what DuckDB's `epoch_us` sees — so oracle comparisons agree.
+  * `events.ts` has shipped in two physical layouts across driver testdata
+  * generations: parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+  * rejects ([PARQUET_TYPE_ILLEGAL]) so we read it as a nanosecond long
+  * (legacy conf) and floor-convert to microseconds; and plain
+  * timestamp[us] (isAdjustedToUTC=false), which arrives as TIMESTAMP_NTZ.
+  * We dispatch on the read type and normalize both to session-zone
+  * TimestampType micros (session TZ is UTC everywhere), which is exactly
+  * what DuckDB's `epoch_us` sees — so oracle comparisons agree in either
+  * layout.
   */
 object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
