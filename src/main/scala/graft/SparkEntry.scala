@@ -1,13 +1,14 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.dedup.{Bloom, ConnectedComponents, DedupQueries, SubstringDedup}
-import graft.functions.{BottomK, CountMin, Kmv}
+import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,
   RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
 import graft.sim.{Ivf, SemDedup, SimilarityQueries}
 import graft.storm.StormQueries
-import graft.text.{Bpe, Drift, Sampling, TextQueries, Unigram, Winnow}
+import graft.text.{Bpe, Drift, Retrieval, Sampling, TextQueries, Unigram,
+  Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -32,6 +33,9 @@ object SparkEntry {
       (Sampling.queries, Sampling.oracles),
       (Bpe.queries, Bpe.oracles),
       (Unigram.queries, Unigram.oracles),
+      (WordPiece.queries, WordPiece.oracles),
+      (Retrieval.queries, Retrieval.oracles),
+      (Hll.queries, Hll.oracles),
       (Drift.queries, Drift.oracles),
       (Winnow.queries, Winnow.oracles),
       (BottomK.queries, BottomK.oracles),

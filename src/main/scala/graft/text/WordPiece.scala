@@ -1,0 +1,176 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WordPiece subword tokenizer (Schuster & Nakajima 2012; the BERT
+  * tokenizer family) — third member of the tokenizer trio next to [[Bpe]]
+  * (count-argmax merges, merge-replay apply) and [[Unigram]] (Viterbi over
+  * a pruned seed vocabulary). WordPiece differs on BOTH halves of the
+  * loop:
+  *
+  *  - '''training''' picks the merge maximizing the LIKELIHOOD ratio
+  *    count(ab) / (count(a)·count(b)) — the pair whose join most improves
+  *    a unigram LM of the symbol stream — rather than raw count(ab);
+  *  - '''apply''' is greedy longest-match-first (maximal munch) against
+  *    the final piece vocabulary, NOT a replay of the merge sequence.
+  *
+  * Both halves run on the word-frequency relation ([[Bpe.symbolizeWeighted]]
+  * — vocab-sized, provably identical statistics to per-occurrence rows).
+  * Each training round is two small aggregations (pair counts + unigram
+  * counts) and a 1-row driver collect; the apply side compiles the trained
+  * pieces into a per-length literal CASE chain inside one `aggregate` fold
+  * — pure codegen-able Catalyst, no UDF, vocab-sized input. The oracle is
+  * built AFTER training ([[Bpe]]/Ivf pattern): the same maximal-munch fold
+  * as a DuckDB `list_reduce` with the piece literals inlined — integer
+  * position/count arithmetic only, so the gate is exact hash equality.
+  *
+  * The `##` continuation marking of BERT vocabularies is presentation: it
+  * distinguishes word-initial from word-internal pieces in the emitted
+  * token STRINGS. The gate emits fertility totals (token counts), which
+  * the marking cannot change; single characters are always in-vocab, so
+  * the UNK fallback tokenizes unknown characters one-by-one.
+  */
+object WordPiece {
+
+  /** Merges trained (and applied) by [[wordpieceEncode]]. */
+  val KMerges = 8
+
+  /** Train `k` likelihood-scored merges over a weighted `(sym, w)` corpus.
+    * Per round: adjacent-pair counts and unigram symbol counts (two
+    * aggregations), score = n_ab / (n_a · n_b) in double (exact ratio of
+    * longs — deterministic), argmax with (score desc, a asc, b asc)
+    * tie-break, then [[Bpe.applyMerge]]'s greedy fold rewrites the rows.
+    * Returns the merged piece strings in training order. */
+  def trainPieces(symbolized: DataFrame, k: Int): Seq[String] = {
+    var syms = symbolized.select(col("sym"), col("w")).cache()
+    val pieces = Seq.newBuilder[String]
+    try {
+      for (_ <- 0 until k) {
+        val pairs = syms
+          .filter(size(col("sym")) >= 2)
+          .select(col("w"), explode(expr(
+            """transform(sequence(1, size(sym) - 1),
+              |  i -> struct(element_at(sym, i) AS a,
+              |              element_at(sym, i + 1) AS b))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("w")).as("n_ab"))
+        val units = syms
+          .select(col("w"), explode(col("sym")).as("u"))
+          .groupBy("u").agg(sum(col("w")).as("n_u"))
+        val top = pairs
+          .join(broadcast(units.select(col("u").as("a"), col("n_u").as("n_a"))), "a")
+          .join(broadcast(units.select(col("u").as("b"), col("n_u").as("n_b"))), "b")
+          .withColumn("score",
+            col("n_ab").cast("double") /
+              (col("n_a").cast("double") * col("n_b").cast("double")))
+          .orderBy(desc("score"), asc("a"), asc("b"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) return pieces.result()
+        val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
+        pieces += (a + b)
+        val next = syms.select(Bpe.applyMerge(a, b).as("sym"), col("w")).cache()
+        next.count() // materialize before dropping the parent cache
+        syms.unpersist()
+        syms = next
+      }
+      pieces.result()
+    } finally syms.unpersist()
+  }
+
+  private def q(v: String) = "'" + v.replace("'", "''") + "'"
+
+  /** Maximal-munch token count of word column `t` against the trained
+    * pieces, as one `aggregate` fold: `char_length(t)` steps of
+    * `(pos, cnt)` state; each step tries piece lengths longest-first
+    * (per-length literal IN lists) and falls back to a single character
+    * (every char is in-vocab; unknown chars become 1 token each). Steps
+    * after `pos` passes the end are identity. */
+  def munchCount(pieces: Seq[String]): Column = {
+    val byLen = pieces.distinct.filter(_.length >= 2)
+      .groupBy(_.length).toSeq.sortBy(-_._1)
+    val arms = byLen.map { case (len, ps) =>
+      val inList = ps.sorted.map(q).mkString(", ")
+      s"""WHEN acc.pos + ${len - 1} <= char_length(t)
+         |  AND substring(t, acc.pos, $len) IN ($inList)
+         |THEN named_struct('pos', acc.pos + $len, 'cnt', acc.cnt + 1)"""
+        .stripMargin
+    }.mkString("\n")
+    expr(
+      s"""aggregate(sequence(1, char_length(t)),
+         |  named_struct('pos', 1, 'cnt', 0),
+         |  (acc, i) -> CASE
+         |    WHEN acc.pos > char_length(t) THEN acc
+         |    $arms
+         |    ELSE named_struct('pos', acc.pos + 1, 'cnt', acc.cnt + 1) END,
+         |  acc -> acc.cnt)""".stripMargin)
+  }
+
+  /** Gate query: train [[KMerges]] likelihood merges, tokenize the corpus
+    * vocabulary by maximal munch, and emit per-source fertility totals in
+    * the same shape as `bpe_encode`/`unigram_encode` so the three
+    * tokenizers compare column-for-column. */
+  def wordpieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(s, dir, "documents")
+    val pieces = trainPieces(Bpe.symbolizeWeighted(docs), KMerges)
+    synchronized { lastEncodeOracle = Some(encodeOracleSql(pieces)) }
+    docs
+      .select(col("source"), explode(TextQueries.words(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("n_occ"))
+      .withColumn("cnt", munchCount(pieces))
+      .groupBy("source").agg(
+        sum(col("n_occ")).cast("long").as("n_words"),
+        sum(col("n_occ") * length(col("t"))).cast("long").as("chars_before"),
+        sum(col("n_occ") * col("cnt")).cast("long").as("tokens_after"))
+  }
+
+  // Post-training oracle (Bpe pattern): exists only once the pieces are
+  // trained; Verify runs queries before dumping oracle SQL.
+  private var lastEncodeOracle: Option[String] = None
+
+  /** DuckDB twin of [[munchCount]]: `list_reduce` over a prepended-seed
+    * list (DuckDB's reduce takes the first element as the accumulator, so
+    * the seed `[1, 0]` rides in front of `char_length(t)` dummy elements
+    * — same trick as the `bpe_encode` oracle), with the identical
+    * per-length CASE chain over `[pos, cnt]` integer state. */
+  private def encodeOracleSql(pieces: Seq[String]): String = {
+    val byLen = pieces.distinct.filter(_.length >= 2)
+      .groupBy(_.length).toSeq.sortBy(-_._1)
+    val arms = byLen.map { case (len, ps) =>
+      val inList = ps.sorted.map(q).mkString(", ")
+      s"""WHEN acc[1] + ${len - 1} <= length(t)
+         |  AND substr(t, acc[1], $len) IN ($inList)
+         |THEN [acc[1] + $len, acc[2] + 1]""".stripMargin
+    }.mkString("\n")
+    s"""WITH occ AS (SELECT source,
+       |          unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+       |            AS t
+       |        FROM documents),
+       |voc AS (SELECT source, t, count(*) AS n_occ FROM occ GROUP BY source, t),
+       |enc AS (SELECT source, t, n_occ,
+       |  list_reduce(
+       |    list_prepend([1, 0],
+       |      list_transform(range(1, length(t) + 1), i -> [0, 0])),
+       |    (acc, x) -> CASE
+       |      WHEN acc[1] > length(t) THEN acc
+       |      $arms
+       |      ELSE [acc[1] + 1, acc[2] + 1] END)[2] AS cnt
+       |  FROM voc)
+       |SELECT source, sum(n_occ)::BIGINT AS n_words,
+       |  sum(n_occ * length(t))::BIGINT AS chars_before,
+       |  sum(n_occ * cnt)::BIGINT AS tokens_after
+       |FROM enc GROUP BY source""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wordpiece_encode" -> wordpieceEncode)
+
+  def oracles: Map[String, String] =
+    synchronized(lastEncodeOracle) match {
+      case Some(sql) => Map("wordpiece_encode" -> sql)
+      case None => Map.empty
+    }
+}
