@@ -42,6 +42,31 @@ object Retrieval {
   def bm25TopK(s: SparkSession, dir: String): DataFrame =
     bm25(Tables.parallel(s, dir, "documents"))
 
+  /** Corpus statistics a scorer needs: per-term document frequencies,
+    * document count, total document length. [[bm25]] computes them
+    * inline; [[graft.streaming.StreamBm25]] freezes them. */
+  final case class CorpusStats(df: Map[String, Long], nDocs: Long, sumDl: Long)
+
+  /** Train (collect) the frozen stats [[graft.streaming.StreamBm25]]
+    * scores against — the same relations [[bm25]] broadcasts inline. */
+  def trainStats(docs: DataFrame): CorpusStats = {
+    val d = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("dl", size(col("w")))
+    val Array(st) = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("sum_dl")).collect()
+    val dfRows = d
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .filter(col("t").isin(QueryTerms: _*))
+      .select(col("doc_id"), col("t")).distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .collect()
+    CorpusStats(
+      dfRows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      st.getLong(0), st.getLong(1))
+  }
+
   /** Core ranking over any `(doc_id, text)` relation — the gate query
     * binds it to the `documents` table; specs feed hand-built corpora. */
   def bm25(docs: DataFrame): DataFrame = {
