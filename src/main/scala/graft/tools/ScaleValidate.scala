@@ -27,7 +27,11 @@ object ScaleValidate {
       "text_quality", "quality_gopher", "doc_fingerprint",
       "embed_quantize", "train_split")),
     ("vocab-bounded", "shuffle ∝ vocab/partials: ≪F×", Seq(
-      "cms_heavy_hitters", "vocab_topk", "bpe_pairs", "unigram_encode")),
+      "cms_heavy_hitters", "vocab_topk", "bpe_pairs", "unigram_encode",
+      "wordpiece_encode")),
+    ("matching-token-bounded",
+      "tf shuffle ∝ query-term matches (base-replica-only terms): ≈flat", Seq(
+      "bm25_topk")),
     ("broadcast-side", "shuffle ∝ corpus partials, broadcast fixed: ≤F×", Seq(
       "decontaminate", "decontam_bloom", "ann_cosine_topk",
       "ann_batch_topk", "ivf_topk", "dedup_embedding_cosine",
@@ -58,7 +62,7 @@ object ScaleValidate {
     ("storm-chain", "enrichment is a projection; rollups ∝ groups: ≪F×", Seq(
       "storm_enrich", "storm_severity_counts")),
     ("exact-distinct", "countDistinct partials ∝ distinct (key,id): ≈F×", Seq(
-      "storm_bucket_counts")))
+      "storm_bucket_counts", "hll_distinct")))
 
   def main(rawArgs: Array[String]): Unit = {
     // --no-broadcast pins every stats-decided join to shuffle strategy —
