@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.Tables
-import graft.text.TextQueries.{trigrams, trigramsSql, words}
+import graft.text.TextQueries.trigramsSql
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -44,10 +44,7 @@ object Hll {
     * the HLL++ estimate folded into a within-3σ flag. One scan; the two
     * aggregates share the exploded shingle relation. */
   def hllDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.parallel(s, dir, "documents")
-      .withColumn("w", words(col("text")))
-      .filter(size(col("w")) >= 3)
-      .select(col("source"), explode(trigrams(col("w"))).as("sg"))
+    graft.text.TextQueries.sourceTrigrams(Tables.parallel(s, dir, "documents"))
       .groupBy("source")
       .agg(
         countDistinct(col("sg")).as("n_exact"),

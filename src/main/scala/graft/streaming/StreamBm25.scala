@@ -30,17 +30,14 @@ object StreamBm25 {
     * pivot's schema: (doc_id, dl, s_&lt;term&gt;…, score). */
   def scoreOverStream(docs: DataFrame, stats: Retrieval.CorpusStats): DataFrame = {
     require(stats.nDocs > 0, "empty training corpus")
-    val avgdl = lit(stats.sumDl).cast("double") / lit(stats.nDocs)
     def termScore(t: String): Column = {
       val tf = size(filter(col("w"), x => x === t)).cast("long")
       stats.df.get(t) match {
         case None => lit(0.0) // term absent from the training corpus
         case Some(dfT) =>
-          val idf = (lit(stats.nDocs) - lit(dfT) + lit(0.5)) / (lit(dfT) + lit(0.5))
-          val norm = lit(Retrieval.K1) *
-            (lit(1 - Retrieval.B) + (lit(Retrieval.B) * col("dl")) / avgdl)
           when(tf > 0,
-            (idf * (tf * lit(Retrieval.K1 + 1))) / (tf + norm))
+            Retrieval.scoreExpr(tf, lit(dfT), col("dl"),
+              lit(stats.nDocs), lit(stats.sumDl)))
             .otherwise(lit(0.0))
       }
     }

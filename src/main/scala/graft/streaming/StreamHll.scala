@@ -27,10 +27,7 @@ object StreamHll {
     * stream. Complete mode: the tiny per-source result is re-emitted
     * each trigger. */
   def distinctOverStream(docs: DataFrame, rsd: Double): DataFrame =
-    docs
-      .withColumn("w", TextQueries.words(col("text")))
-      .filter(size(col("w")) >= 3)
-      .select(col("source"), explode(TextQueries.trigrams(col("w"))).as("sg"))
+    TextQueries.sourceTrigrams(docs)
       .groupBy("source")
       .agg(approx_count_distinct(col("sg"), rsd).as("n_hll"))
 

@@ -66,16 +66,11 @@ object Bpe {
   private def charSplit: Column = expr(
     "transform(sequence(1, char_length(t)), i -> substring(t, i, 1))")
 
-  /** Quote a data-derived symbol for inlining into SQL text — apostrophes
-    * in a natural-language corpus would otherwise crash the round (or
-    * worse, let data inject expressions). */
-  private def q(v: String) = "'" + v.replace("'", "''") + "'"
-
   /** One greedy left-to-right application of merge (a, b) → ab over a
     * `sym: array<string>` column — the standard BPE application order, so
     * "aaa" under merge (a, a) becomes ["aa", "a"]. */
   def applyMerge(a: String, b: String): Column = {
-    val (qa, qb, qm) = (q(a), q(b), q(a + b))
+    val (qa, qb, qm) = (SqlLit.spark(a), SqlLit.spark(b), SqlLit.spark(a + b))
     expr(
       s"""aggregate(sym, cast(array() AS array<string>),
          |  (acc, x) -> CASE WHEN size(acc) > 0
@@ -98,28 +93,41 @@ object Bpe {
     val merges = Seq.newBuilder[((String, String), Long)]
     try {
       for (_ <- 0 until k) {
-        val top = syms
-          .filter(size(col("sym")) >= 2)
-          .select(col("w"), explode(expr(
-            """transform(sequence(1, size(sym) - 1),
-              |  i -> struct(element_at(sym, i) AS a,
-              |              element_at(sym, i + 1) AS b))""".stripMargin))
-            .as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("w")).as("n"))
-          .orderBy(desc("n"), asc("a"), asc("b"))
+        val top = weightedPairs(syms)
+          .orderBy(desc("n_ab"), asc("a"), asc("b"))
           .limit(1)
           .collect()
         if (top.isEmpty) return merges.result()
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += (((a, b), n))
-        val next = syms.select(applyMerge(a, b).as("sym"), col("w")).cache()
-        next.count() // materialize before dropping the parent cache
-        syms.unpersist()
-        syms = next
+        syms = mergeRound(syms, a, b)
       }
       merges.result()
     } finally syms.unpersist()
+  }
+
+  /** Weighted adjacent-pair counts of the current symbolization — the
+    * per-round statistic BOTH merge trainers ([[trainMerges]] count
+    * argmax, [[WordPiece.trainPieces]] likelihood argmax) aggregate. */
+  private[text] def weightedPairs(syms: DataFrame): DataFrame =
+    syms
+      .filter(size(col("sym")) >= 2)
+      .select(col("w"), explode(expr(
+        """transform(sequence(1, size(sym) - 1),
+          |  i -> struct(element_at(sym, i) AS a,
+          |              element_at(sym, i + 1) AS b))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("w")).as("n_ab"))
+
+  /** Apply merge (a, b), materialize the rewritten cache BEFORE dropping
+    * the parent's (the fold references it), return the new relation —
+    * the per-round cache discipline shared by both trainers. */
+  private[text] def mergeRound(syms: DataFrame, a: String, b: String): DataFrame = {
+    val next = syms.select(applyMerge(a, b).as("sym"), col("w")).cache()
+    next.count()
+    syms.unpersist()
+    next
   }
 
   /** Merges trained (and applied) by [[bpeEncode]]. */
@@ -162,7 +170,7 @@ object Bpe {
     * with the first element, which matches the fold's empty-acc step). */
   private def encodeOracleSql(merges: Seq[(String, String)]): String = {
     val steps = merges.zipWithIndex.map { case ((a, b), i) =>
-      val (qa, qb, qm) = (q(a), q(b), q(a + b))
+      val (qa, qb, qm) = (SqlLit.duck(a), SqlLit.duck(b), SqlLit.duck(a + b))
       s"""s${i + 1} AS (SELECT source, t, n_occ,
          |  list_reduce(list_transform(sym, s -> [s]),
          |    (acc, x) -> CASE WHEN acc[-1] = $qa AND x[1] = $qb

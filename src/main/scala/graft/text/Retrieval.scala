@@ -47,6 +47,19 @@ object Retrieval {
     * inline; [[graft.streaming.StreamBm25]] freezes them. */
   final case class CorpusStats(df: Map[String, Long], nDocs: Long, sumDl: Long)
 
+  /** THE BM25 score expression — the single tree both the batch pivot
+    * (join/aggregate Columns) and the frozen-stats streaming scorer
+    * (literal Columns) instantiate, so their doubles are bit-identical
+    * by construction, not by manual mirroring. Mirrors the oracle SQL
+    * operation-for-operation; see [[oracles]]. */
+  def scoreExpr(tf: Column, df: Column, dl: Column,
+                nDocs: Column, sumDl: Column): Column = {
+    val avgdl = sumDl.cast("double") / nDocs
+    val idf = (nDocs - df + lit(0.5)) / (df + lit(0.5))
+    val norm = lit(K1) * (lit(1 - B) + (lit(B) * dl) / avgdl)
+    (idf * (tf * lit(K1 + 1))) / (tf + norm)
+  }
+
   /** Train (collect) the frozen stats [[graft.streaming.StreamBm25]]
     * scores against — the same relations [[bm25]] broadcasts inline. */
   def trainStats(docs: DataFrame): CorpusStats = {
@@ -56,6 +69,9 @@ object Retrieval {
     val Array(st) = d.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).cast("long").as("sum_dl")).collect()
+    // sum() over zero rows is null — fail here with the clean message,
+    // not an opaque NPE at getLong
+    require(st.getLong(0) > 0, "empty training corpus")
     val dfRows = d
       .select(col("doc_id"), explode(col("w")).as("t"))
       .filter(col("t").isin(QueryTerms: _*))
@@ -83,16 +99,11 @@ object Retrieval {
       .groupBy("doc_id", "dl", "t")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-    // Expression trees mirror the oracle SQL exactly (same parse shape)
-    // so every double is bit-identical: idf = (N - df + 0.5)/(df + 0.5),
-    // norm = k1·((1 - b) + (b·dl)/avgdl), s = (idf·(tf·(k1+1)))/(tf + norm).
-    val avgdl = col("sum_dl").cast("double") / col("n_docs")
-    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-    val norm = lit(K1) * (lit(1 - B) + (lit(B) * col("dl")) / avgdl)
     val scored = tf
       .join(broadcast(df), "t")
       .crossJoin(broadcast(stats))
-      .withColumn("s", (idf * (col("tf") * lit(K1 + 1))) / (col("tf") + norm))
+      .withColumn("s", scoreExpr(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("sum_dl")))
     def termCol(t: String): Column =
       coalesce(max(when(col("t") === t, col("s"))), lit(0.0)).as(s"s_$t")
     val aggCols = max(col("dl")).cast("long").as("dl") +: QueryTerms.map(termCol)

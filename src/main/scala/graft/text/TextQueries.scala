@@ -35,6 +35,15 @@ object TextQueries {
       i => concat_ws(" ", element_at(w, i),
         element_at(w, i + 1), element_at(w, i + 2)))
 
+  /** Per-source exploded trigram relation of a (source, text) relation —
+    * shared by the batch HLL gate, its streaming twin, and their parity
+    * spec so the sketch inputs can never drift (the same no-drift
+    * contract [[trigrams]] itself carries for the dedup shingles). */
+  def sourceTrigrams(docs: DataFrame): DataFrame =
+    docs.withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(trigrams(col("w"))).as("sg"))
+
   /** SQL twin of [[trigrams]] over a word-list column named `w`. */
   val trigramsSql: String =
     "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"

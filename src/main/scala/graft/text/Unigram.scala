@@ -189,7 +189,7 @@ object Unigram {
 
   private var lastOracle: Option[String] = None
 
-  private def q(v: String) = "'" + v.replace("'", "''") + "'"
+  private def q(v: String) = SqlLit.duck(v)
 
   /** Post-training oracle: the trained piece costs inlined as literals;
     * the same value DP as [[dpBest]] as a `list_reduce` over positions

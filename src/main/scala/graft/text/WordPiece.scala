@@ -48,19 +48,10 @@ object WordPiece {
     val pieces = Seq.newBuilder[String]
     try {
       for (_ <- 0 until k) {
-        val pairs = syms
-          .filter(size(col("sym")) >= 2)
-          .select(col("w"), explode(expr(
-            """transform(sequence(1, size(sym) - 1),
-              |  i -> struct(element_at(sym, i) AS a,
-              |              element_at(sym, i + 1) AS b))""".stripMargin))
-            .as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("w")).as("n_ab"))
         val units = syms
           .select(col("w"), explode(col("sym")).as("u"))
           .groupBy("u").agg(sum(col("w")).as("n_u"))
-        val top = pairs
+        val top = Bpe.weightedPairs(syms)
           .join(broadcast(units.select(col("u").as("a"), col("n_u").as("n_a"))), "a")
           .join(broadcast(units.select(col("u").as("b"), col("n_u").as("n_b"))), "b")
           .withColumn("score",
@@ -72,16 +63,11 @@ object WordPiece {
         if (top.isEmpty) return pieces.result()
         val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
         pieces += (a + b)
-        val next = syms.select(Bpe.applyMerge(a, b).as("sym"), col("w")).cache()
-        next.count() // materialize before dropping the parent cache
-        syms.unpersist()
-        syms = next
+        syms = Bpe.mergeRound(syms, a, b)
       }
       pieces.result()
     } finally syms.unpersist()
   }
-
-  private def q(v: String) = "'" + v.replace("'", "''") + "'"
 
   /** Maximal-munch token count of word column `t` against the trained
     * pieces, as one `aggregate` fold: `char_length(t)` steps of
@@ -93,7 +79,7 @@ object WordPiece {
     val byLen = pieces.distinct.filter(_.length >= 2)
       .groupBy(_.length).toSeq.sortBy(-_._1)
     val arms = byLen.map { case (len, ps) =>
-      val inList = ps.sorted.map(q).mkString(", ")
+      val inList = ps.sorted.map(SqlLit.spark).mkString(", ")
       s"""WHEN acc.pos + ${len - 1} <= char_length(t)
          |  AND substring(t, acc.pos, $len) IN ($inList)
          |THEN named_struct('pos', acc.pos + $len, 'cnt', acc.cnt + 1)"""
@@ -140,7 +126,7 @@ object WordPiece {
     val byLen = pieces.distinct.filter(_.length >= 2)
       .groupBy(_.length).toSeq.sortBy(-_._1)
     val arms = byLen.map { case (len, ps) =>
-      val inList = ps.sorted.map(q).mkString(", ")
+      val inList = ps.sorted.map(SqlLit.duck).mkString(", ")
       s"""WHEN acc[1] + ${len - 1} <= length(t)
          |  AND substr(t, acc[1], $len) IN ($inList)
          |THEN [acc[1] + $len, acc[2] + 1]""".stripMargin

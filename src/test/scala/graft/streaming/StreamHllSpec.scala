@@ -38,10 +38,7 @@ class StreamHllSpec extends AnyFunSuite {
       val streamed = spark.table("hll_stream")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-      val batch = graft.Tables(spark, sf, "documents")
-        .withColumn("w", TextQueries.words(col("text")))
-        .filter(size(col("w")) >= 3)
-        .select(col("source"), explode(TextQueries.trigrams(col("w"))).as("sg"))
+      val batch = TextQueries.sourceTrigrams(graft.Tables(spark, sf, "documents"))
         .groupBy("source")
         .agg(approx_count_distinct(col("sg"), Hll.Rsd).as("n_hll"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -22,6 +22,17 @@ class WordPieceSpec extends AnyFunSuite {
       "cdab" -> 2, "a" -> 1))
   }
 
+  test("pieces containing backslashes survive Spark literal inlining") {
+    import spark.implicits._
+    // Spark's SQL parser consumes backslash escapes inside literals;
+    // SqlLit.spark must double them or 'a\b' IN-lists match "a<BS>b"
+    val out = Seq("a\\bc", "xa\\b")
+      .toDF("t")
+      .withColumn("cnt", WordPiece.munchCount(Seq("a\\b")))
+      .as[(String, Int)].collect().toMap
+    assert(out == Map("a\\bc" -> 2, "xa\\b" -> 2))
+  }
+
   test("training maximizes likelihood ratio, not raw pair count") {
     import spark.implicits._
     // 'ab' pair count 4 but score 4/(4*4)=0.25; 'cd' count 2, score
