@@ -69,31 +69,34 @@ object WordPiece {
     } finally syms.unpersist()
   }
 
-  /** Maximal-munch token count of word column `t` against the trained
-    * pieces, as one `aggregate` fold: `char_length(t)` steps of
+  /** SQL-text form of the maximal-munch fold over the word expression
+    * `word` (a column name or a lambda variable — the nesting
+    * [[graft.streaming.StreamTokenize]] needs): `char_length` steps of
     * `(pos, cnt)` state; each step tries piece lengths longest-first
     * (per-length literal IN lists) and falls back to a single character
     * (every char is in-vocab; unknown chars become 1 token each). Steps
     * after `pos` passes the end are identity. */
-  def munchCount(pieces: Seq[String]): Column = {
+  private[graft] def munchSql(pieces: Seq[String], word: String): String = {
     val byLen = pieces.distinct.filter(_.length >= 2)
       .groupBy(_.length).toSeq.sortBy(-_._1)
     val arms = byLen.map { case (len, ps) =>
       val inList = ps.sorted.map(SqlLit.spark).mkString(", ")
-      s"""WHEN acc.pos + ${len - 1} <= char_length(t)
-         |  AND substring(t, acc.pos, $len) IN ($inList)
+      s"""WHEN acc.pos + ${len - 1} <= char_length($word)
+         |  AND substring($word, acc.pos, $len) IN ($inList)
          |THEN named_struct('pos', acc.pos + $len, 'cnt', acc.cnt + 1)"""
         .stripMargin
     }.mkString("\n")
-    expr(
-      s"""aggregate(sequence(1, char_length(t)),
-         |  named_struct('pos', 1, 'cnt', 0),
-         |  (acc, i) -> CASE
-         |    WHEN acc.pos > char_length(t) THEN acc
-         |    $arms
-         |    ELSE named_struct('pos', acc.pos + 1, 'cnt', acc.cnt + 1) END,
-         |  acc -> acc.cnt)""".stripMargin)
+    s"""aggregate(sequence(1, char_length($word)),
+       |  named_struct('pos', 1, 'cnt', 0),
+       |  (acc, i) -> CASE
+       |    WHEN acc.pos > char_length($word) THEN acc
+       |    $arms
+       |    ELSE named_struct('pos', acc.pos + 1, 'cnt', acc.cnt + 1) END,
+       |  acc -> acc.cnt)""".stripMargin
   }
+
+  /** Maximal-munch token count of word column `t` — see [[munchSql]]. */
+  def munchCount(pieces: Seq[String]): Column = expr(munchSql(pieces, "t"))
 
   /** Gate query: train [[KMerges]] likelihood merges, tokenize the corpus
     * vocabulary by maximal munch, and emit per-source fertility totals in
