@@ -266,6 +266,43 @@ object DedupQueries {
       .filter(col("n_overlap") >= DecontamMinOverlap)
   }
 
+  /** The REPORT side of decontamination — per EVAL document, how
+    * compromised is it: total distinct shingles, how many occur anywhere
+    * in the training corpus, the contamination fraction, and how many
+    * corpus documents cross the [[DecontamMinOverlap]] flag line (with
+    * the worst overlap). [[decontaminate]] answers "which training docs
+    * do I drop"; this answers "which benchmarks can I still trust" — the
+    * eval-integrity view a contamination audit actually reports. Same
+    * scale shape: the eval side is broadcast everywhere, the corpus
+    * streams through one scan, and every aggregate is keyed by the tiny
+    * eval_id domain. */
+  def decontamReport(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val eval = sh.filter(col("doc_id") < DecontamEvalDocs)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val corpus = sh.filter(col("doc_id") >= DecontamEvalDocs)
+    val totals = eval.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
+    val matched = corpus.join(broadcast(eval), "s")
+    val hits = matched
+      .select(col("eval_id"), col("s")).distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("n_hit"))
+    val flagged = matched
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= DecontamMinOverlap)
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_flagged"), max("n_overlap").as("max_overlap"))
+    totals
+      .join(hits, Seq("eval_id"), "left")
+      .join(flagged, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_grams"), 4)
+          .as("contam_frac"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("max_overlap"), lit(0L)).as("max_overlap"))
+  }
+
   // ---------------------------------------------------- cross-doc n-grams
   /** Cross-document duplication profile — per document, the fraction of its
     * distinct 3-gram shingles that also appear in at least one other
@@ -353,6 +390,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "decontaminate" -> decontaminate,
+    "decontam_report" -> decontamReport,
     "cross_doc_ngrams" -> crossDocNgrams,
     "source_overlap" -> sourceOverlap)
 
@@ -474,6 +512,27 @@ object DedupQueries {
           |WHERE e.doc_id < $DecontamEvalDocs AND c.doc_id >= $DecontamEvalDocs
           |GROUP BY 1, 2
           |HAVING count(*) >= $DecontamMinOverlap""".stripMargin),
+    "decontam_report" ->
+      (s"WITH $shinglesCte,\n" +
+        s"""e AS (SELECT doc_id AS eval_id, s FROM sh
+          |       WHERE doc_id < $DecontamEvalDocs),
+          |c AS (SELECT doc_id, s FROM sh WHERE doc_id >= $DecontamEvalDocs),
+          |t AS (SELECT eval_id, count(*) AS n_grams FROM e GROUP BY 1),
+          |h AS (SELECT eval_id, count(DISTINCT s) AS n_hit
+          |      FROM e JOIN c USING (s) GROUP BY 1),
+          |f0 AS (SELECT c.doc_id, e.eval_id, count(*) AS n_overlap
+          |       FROM c JOIN e USING (s) GROUP BY 1, 2
+          |       HAVING count(*) >= $DecontamMinOverlap),
+          |f AS (SELECT eval_id, count(*) AS n_flagged,
+          |        max(n_overlap) AS max_overlap
+          |      FROM f0 GROUP BY 1)
+          |SELECT t.eval_id, n_grams,
+          |  coalesce(n_hit, 0)::BIGINT AS n_hit,
+          |  round(coalesce(n_hit, 0) * 1.0 / n_grams, 4) AS contam_frac,
+          |  coalesce(n_flagged, 0)::BIGINT AS n_flagged,
+          |  coalesce(max_overlap, 0)::BIGINT AS max_overlap
+          |FROM t LEFT JOIN h USING (eval_id) LEFT JOIN f USING (eval_id)"""
+          .stripMargin),
     "dedup_minhash_lsh" ->
       (s"WITH $lshPairsCte\n" +
         s"""SELECT p.a_id, p.b_id,
