@@ -52,6 +52,15 @@ object SemDedup {
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     val (assigned, centers) = Ivf.assignments(s, dir)
     synchronized { lastOracle = Some(oracleSql(centers)) }
+    verdicts(assigned, centers, Epsilon)
+  }
+
+  /** Dedup verdicts at an explicit threshold — the ε dial
+    * (`SemDedupDialSpec` proves kept-count monotone in ε; the gate query
+    * binds [[Epsilon]]). */
+  private[graft] def verdicts(assigned: DataFrame,
+                              centers: Array[Array[Double]],
+                              eps: Double): DataFrame = {
     // m is re-evaluated on each of the three plan branches (x side, y
     // side, output) over the cached assignment — a deliberate trade:
     // NLists dot products per vector ×3 is constant per-row work,
@@ -62,7 +71,7 @@ object SemDedup {
     val dominated = a.as("x").join(a.as("y"),
         col("x.cell") === col("y.cell") &&
           col("x.vec_id") =!= col("y.vec_id") &&
-          cosine(col("x.embedding"), col("y.embedding")) > lit(Epsilon) &&
+          cosine(col("x.embedding"), col("y.embedding")) > lit(eps) &&
           (col("y.m") > col("x.m") ||
             (col("y.m") === col("x.m") &&
               col("y.vec_id") < col("x.vec_id"))),

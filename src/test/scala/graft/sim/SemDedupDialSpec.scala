@@ -1,0 +1,29 @@
+package graft.sim
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ε dial of semantic dedup: raising the duplicate threshold can
+  * only shrink the dominated set (cos > ε is a stricter predicate), so
+  * the kept count is non-decreasing in ε — the dedup-rate/recall trade
+  * the paper sweeps, proven monotone here on the planted corpus. */
+class SemDedupDialSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("kept count is monotone non-decreasing in epsilon") {
+    val (assigned, centers) = Ivf.assignments(spark, sf)
+    val kept = Seq(0.2, 0.35, 0.5, 0.65).map { eps =>
+      eps -> SemDedup.verdicts(assigned, centers, eps)
+        .filter(col("keep")).count()
+    }
+    kept.sliding(2).foreach { case Seq((e1, k1), (e2, k2)) =>
+      assert(k1 <= k2, s"kept dropped from $k1 (eps=$e1) to $k2 (eps=$e2)")
+    }
+    // the dial actually moves on this corpus: strictest < loosest
+    assert(kept.head._2 < kept.last._2)
+    // above the planted structure's max cosine everything survives
+    assert(kept.last._2 == assigned.count())
+  }
+}
