@@ -7,8 +7,8 @@ import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,
   RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
 import graft.sim.{Ivf, SemDedup, SimilarityQueries}
 import graft.storm.StormQueries
-import graft.text.{Bpe, Drift, Retrieval, Sampling, TextQueries, Unigram,
-  Winnow, WordPiece}
+import graft.text.{BigramLm, Bpe, Drift, Retrieval, Sampling, TextQueries,
+  Unigram, Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -33,6 +33,7 @@ object SparkEntry {
       (Sampling.queries, Sampling.oracles),
       (Bpe.queries, Bpe.oracles),
       (Unigram.queries, Unigram.oracles),
+      (BigramLm.queries, BigramLm.oracles),
       (WordPiece.queries, WordPiece.oracles),
       (Retrieval.queries, Retrieval.oracles),
       (Hll.queries, Hll.oracles),
