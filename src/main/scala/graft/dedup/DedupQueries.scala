@@ -191,9 +191,18 @@ object DedupQueries {
     * [[dedupMinhashLsh]] and the [[graft.tools.LshProbe]] diagnostics so
     * the probe can never describe a bucketing the pipeline no longer
     * runs. */
-  def bands(mh: DataFrame): DataFrame = {
-    val bandCols = (0 until NumBands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+  def bands(mh: DataFrame): DataFrame = bandsAt(mh, NumBands, RowsPerBand)
+
+  /** Banding at an explicit (bands × rows) split of the signature — the
+    * LSH sensitivity dial. Consecutive row grouping means every coarser
+    * banding is a union of adjacent finer bands, so candidate sets are
+    * provably NESTED as rows-per-band grows (`LshDialSpec`): a (b, 2r)
+    * band match implies both of its (2b, r) halves match. */
+  def bandsAt(mh: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame = {
+    require(nBands * rowsPerBand <= NumPerms,
+      s"banding $nBands×$rowsPerBand exceeds $NumPerms permutations")
+    val bandCols = (0 until nBands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"),
         substring(sha2(concat_ws(",", rows: _*), 256), 1, 16).as("bh"))
     }
@@ -201,15 +210,19 @@ object DedupQueries {
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
   }
 
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = prunedShingles(s, dir)
-    val mh = minhashSignatures(sh).localCheckpoint(true)
-    val bandsDf = bands(mh)
-    val cands = bandsDf.as("x").join(bandsDf.as("y"),
+  /** Candidate pairs of a banded relation — the bucket equi-join shared
+    * by the gate pipeline and the dial spec. */
+  def candidatePairs(bandsDf: DataFrame): DataFrame =
+    bandsDf.as("x").join(bandsDf.as("y"),
       col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = prunedShingles(s, dir)
+    val mh = minhashSignatures(sh).localCheckpoint(true)
+    val cands = candidatePairs(bands(mh))
 
     // Verification is bounded to LSH candidates (the whole point of banding:
     // at scale the full shingle self-join is quadratic, the candidate set
