@@ -35,7 +35,8 @@ object ScaleValidate {
     ("broadcast-side", "shuffle ∝ corpus partials, broadcast fixed: ≤F×", Seq(
       "decontaminate", "decontam_bloom", "ann_cosine_topk",
       "ann_batch_topk", "ivf_topk", "dedup_embedding_cosine",
-      "quality_lm_score", "dsir_weights")),
+      "quality_lm_score", "dsir_weights", "quality_bigram_score",
+      "decontam_report")),
     ("bounded-candidates", "pairs df-capped: ≈F× (dup pairs ∝ docs)", Seq(
       "dedup_shingle_jaccard", "source_overlap")),
     ("semantic-dedup", "cell self-join: shuffle ∝ vectors (pairs stay in-join): ≈F×", Seq(
