@@ -268,15 +268,25 @@ object DedupQueries {
   val DecontamEvalDocs = 20L
   val DecontamMinOverlap = 5L
 
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val eval = sh.filter(col("doc_id") < DecontamEvalDocs)
-      .select(col("doc_id").as("eval_id"), col("s"))
-    val corpus = sh.filter(col("doc_id") >= DecontamEvalDocs)
-    corpus.join(broadcast(eval), "s")
+  /** THE eval/corpus split — single definition shared by the drop-list
+    * query and the integrity report so they can never disagree on who
+    * the eval set is. */
+  private def evalCorpusSplit(sh: DataFrame): (DataFrame, DataFrame) = (
+    sh.filter(col("doc_id") < DecontamEvalDocs)
+      .select(col("doc_id").as("eval_id"), col("s")),
+    sh.filter(col("doc_id") >= DecontamEvalDocs))
+
+  /** Threshold pairs from the matched (corpus doc, eval doc, shingle)
+    * relation — the overlap rule, stated once. */
+  private def contamPairs(matched: DataFrame): DataFrame =
+    matched
       .groupBy("doc_id", "eval_id")
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= DecontamMinOverlap)
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val (eval, corpus) = evalCorpusSplit(shingles(s, dir))
+    contamPairs(corpus.join(broadcast(eval), "s"))
   }
 
   /** The REPORT side of decontamination — per EVAL document, how
@@ -285,24 +295,20 @@ object DedupQueries {
     * corpus documents cross the [[DecontamMinOverlap]] flag line (with
     * the worst overlap). [[decontaminate]] answers "which training docs
     * do I drop"; this answers "which benchmarks can I still trust" — the
-    * eval-integrity view a contamination audit actually reports. Same
-    * scale shape: the eval side is broadcast everywhere, the corpus
-    * streams through one scan, and every aggregate is keyed by the tiny
-    * eval_id domain. */
+    * eval-integrity view a contamination audit actually reports. Scale
+    * shape: the eval side is broadcast, and the match-sized relation is
+    * checkpointed ONCE so both report branches (hit counting, flag
+    * regrouping via the same [[contamPairs]] rule as the drop-list
+    * query) read it without re-scanning the corpus; every aggregate is
+    * keyed by the tiny eval_id domain. */
   def decontamReport(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val eval = sh.filter(col("doc_id") < DecontamEvalDocs)
-      .select(col("doc_id").as("eval_id"), col("s"))
-    val corpus = sh.filter(col("doc_id") >= DecontamEvalDocs)
+    val (eval, corpus) = evalCorpusSplit(shingles(s, dir))
     val totals = eval.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
-    val matched = corpus.join(broadcast(eval), "s")
+    val matched = corpus.join(broadcast(eval), "s").localCheckpoint(true)
     val hits = matched
       .select(col("eval_id"), col("s")).distinct()
       .groupBy("eval_id").agg(count(lit(1)).as("n_hit"))
-    val flagged = matched
-      .groupBy(col("doc_id"), col("eval_id"))
-      .agg(count(lit(1)).as("n_overlap"))
-      .filter(col("n_overlap") >= DecontamMinOverlap)
+    val flagged = contamPairs(matched)
       .groupBy("eval_id")
       .agg(count(lit(1)).as("n_flagged"), max("n_overlap").as("max_overlap"))
     totals

@@ -48,21 +48,54 @@ object BigramLm {
   def qualityBigramScore(s: SparkSession, dir: String): DataFrame =
     scored(Tables(s, dir, "documents"), BigramK)
 
-  /** Core scorer over any `(doc_id, text)` relation at an explicit model
-    * size — the gate binds the `documents` table and [[BigramK]]; the
-    * spec shrinks `k` so the backoff path is provable on a hand corpus. */
-  def scored(docs: DataFrame, k: Int): DataFrame = {
-    val tr = docs
+  /** Per-document transition stream of a `(doc_id, text)` relation. */
+  def transitions(docs: DataFrame): DataFrame =
+    docs
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(pairsExpr).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** Top-`k` transition model `(w1, w2, c2, c1)` of a transition stream.
+    * c1 and the [[trainModel]] total are DERIVED from the pair counts
+    * (c1(w1) = Σ_w2 c2, T = Σ c2) instead of re-aggregating the
+    * transition explode, so training costs one corpus scan, not three. */
+  def modelDf(tr: DataFrame, k: Int): DataFrame = {
     val c2 = tr.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = tr.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val model = c2.join(c1, "w1")
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    c2.join(c1, "w1")
       .orderBy(desc("c2"), asc("w1"), asc("w2"))
       .limit(k)
-    val total = tr.agg(count(lit(1)).as("t"))
+  }
+
+  /** Freeze a model for [[graft.streaming.StreamBigram]]: the SAME
+    * relations [[scored]] plans, collected — (model map, transition
+    * total) — so batch and stream can never train differently. */
+  def trainModel(docs: DataFrame, k: Int): (Map[(String, String), (Long, Long)], Long) = {
+    val tr = transitions(docs)
+    val c2 = tr.groupBy("w1", "w2").agg(count(lit(1)).as("c2")).cache()
+    try {
+      val trow = c2.agg(sum(col("c2"))).collect()(0)
+      // sum over zero rows is null — empty corpus trains an empty model
+      if (trow.isNullAt(0)) return (Map.empty, 0L)
+      val t = trow.getLong(0)
+      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      val model = c2.join(c1, "w1")
+        .orderBy(desc("c2"), asc("w1"), asc("w2")).limit(k)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      (model, t)
+    } finally c2.unpersist()
+  }
+
+  /** Core scorer over any `(doc_id, text)` relation at an explicit model
+    * size — the gate binds the `documents` table and [[BigramK]]; the
+    * spec shrinks `k` so the backoff path is provable on a hand corpus. */
+  def scored(docs: DataFrame, k: Int): DataFrame = {
+    val tr = transitions(docs)
+    val model = modelDf(tr, k)
+    val total = tr.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .agg(sum(col("c2")).as("t"))
     tr.join(broadcast(model), Seq("w1", "w2"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),

@@ -12,11 +12,40 @@ package graft.text
   */
 object SqlLit {
 
-  /** Literal for Spark `expr(...)` fragments. */
+  /** Literal for Spark `expr(...)` fragments. Control characters are
+    * backslash-escaped: every inlining call site assembles its SQL with
+    * `stripMargin`, which would otherwise eat a data newline's leading
+    * `  |` — the literal must never span lines. */
   def spark(v: String): String =
-    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    "'" + v.flatMap {
+      case '\\' => "\\\\"
+      case '\'' => "\\'"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c => c.toString
+    } + "'"
 
-  /** Literal for DuckDB oracle SQL. */
-  def duck(v: String): String =
-    "'" + v.replace("'", "''") + "'"
+  /** Literal for DuckDB oracle SQL. Standard `''` literals have no
+    * escape for control characters (a raw newline is legal but falls
+    * into the same `stripMargin` trap), so values containing any are
+    * emitted as a `'seg' || chr(n) || 'seg'` concatenation — an
+    * expression, valid everywhere these literals are inlined
+    * (IN-lists, CASE comparisons, VALUES rows). */
+  def duck(v: String): String = {
+    def quote(s: String) = "'" + s.replace("'", "''") + "'"
+    if (!v.exists(_ < ' ')) quote(v)
+    else {
+      val parts = Seq.newBuilder[String]
+      val buf = new StringBuilder
+      v.foreach { c =>
+        if (c < ' ') {
+          if (buf.nonEmpty) { parts += quote(buf.toString); buf.clear() }
+          parts += s"chr(${c.toInt})"
+        } else buf.append(c)
+      }
+      if (buf.nonEmpty) parts += quote(buf.toString)
+      "(" + parts.result().mkString(" || ") + ")"
+    }
+  }
 }

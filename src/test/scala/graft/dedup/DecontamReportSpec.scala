@@ -24,12 +24,17 @@ class DecontamReportSpec extends AnyFunSuite {
         (r.getAs[Long]("n_flagged"), r.getAs[Long]("max_overlap"))).toMap
     assert(got == pairs)
     // internal consistency: hits bounded by totals, frac in [0, 1],
-    // every eval doc present exactly once
+    // and EVERY shingled eval doc present exactly once (an empty report
+    // must fail, not vacuously pass)
     assert(report.filter(col("n_hit") > col("n_grams")).count() == 0)
     assert(report.filter(col("contam_frac") < 0 || col("contam_frac") > 1)
       .count() == 0)
-    assert(report.count() ==
-      report.select("eval_id").distinct().count())
+    val expectedEvalDocs = DedupQueries.shingles(spark, sf)
+      .filter(col("doc_id") < DedupQueries.DecontamEvalDocs)
+      .select("doc_id").distinct().count()
+    assert(expectedEvalDocs > 0)
+    assert(report.count() == expectedEvalDocs)
+    assert(report.select("eval_id").distinct().count() == expectedEvalDocs)
     report.unpersist()
   }
 }

@@ -18,22 +18,10 @@ class StreamBigramSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
-    // freeze the model exactly as the batch query trains it
-    val tr = graft.Tables(spark, sf, "documents")
-      .withColumn("w", TextQueries.words(col("text")))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(w) - 1),
-          |  i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"""
-          .stripMargin)).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c2 = tr.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = tr.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val model = c2.join(c1, "w1")
-      .orderBy(desc("c2"), asc("w1"), asc("w2")).limit(BigramLm.BigramK)
-      .collect().map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3))).toMap
-    val t = tr.count()
+    // freeze the model through the SAME builder the batch query plans
+    val (model, t) = BigramLm.trainModel(
+      graft.Tables(spark, sf, "documents"), BigramLm.BigramK)
+    assert(model.nonEmpty && t > 0)
 
     val docs = graft.Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()

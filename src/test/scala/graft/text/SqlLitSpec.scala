@@ -24,7 +24,10 @@ class SqlLitSpec extends AnyFunSuite {
     "1 + 1",           // must stay a string, not evaluate
     "x'); DROP TABLE t; --",
     "percent%_underscore",
-    "unié中文")
+    "unié中文",
+    "line1\nline2",        // raw newline — the stripMargin assembly trap
+    "a\n  |b",             // newline + margin marker: stripMargin bait
+    "cr\rtab\tmix")
 
   test("spark literals round-trip hostile strings") {
     import spark.implicits._
@@ -34,6 +37,28 @@ class SqlLitSpec extends AnyFunSuite {
         .as[String].head()
       assert(got == v, s"round-trip broke: ${v.toList} -> ${got.toList}")
     }
+  }
+
+  test("spark literals survive stripMargin assembly") {
+    import spark.implicits._
+    // the real inlining shape: literal interpolated into a stripMargin
+    // block — control chars must be escaped or the margin strip corrupts
+    hostile.foreach { v =>
+      val sql = s"""CASE WHEN 1 = 1
+                   |  THEN ${SqlLit.spark(v)}
+                   |  ELSE 'x' END""".stripMargin
+      val got = Seq(1).toDF("z").select(expr(sql).as("s")).as[String].head()
+      assert(got == v, s"stripMargin corrupted: ${v.toList} -> ${got.toList}")
+    }
+  }
+
+  test("duck literals never span lines") {
+    hostile.foreach { v =>
+      val l = SqlLit.duck(v)
+      assert(!l.exists(_ < ' '), s"control char leaked into SQL text: $l")
+    }
+    assert(SqlLit.duck("a\nb") == "('a' || chr(10) || 'b')")
+    assert(SqlLit.duck("\n") == "(chr(10))")
   }
 
   test("spark literals survive inside IN-lists") {
