@@ -32,6 +32,14 @@ class BigramLmSpec extends AnyFunSuite {
     assert(uni((1L, "a")) == uni((2L, "a")) && uni((1L, "b")) == uni((2L, "b")))
   }
 
+  test("model rides a broadcast join; no cartesian sneaks in") {
+    val plan = BigramLm.qualityBigramScore(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("gate query populates both seen and backoff paths") {
     val r = BigramLm.qualityBigramScore(spark, "/root/testdata/sf0.001").cache()
     assert(r.count() > 0)
