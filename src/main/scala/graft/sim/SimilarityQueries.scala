@@ -173,6 +173,39 @@ object SimilarityQueries {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Top neighbors kept per vector in the kNN graph. */
+  val KnnK = 5
+
+  /** Corpus×corpus kNN GRAPH over the LSH buckets — the all-vectors
+    * neighbor structure that graph clustering, kNN-propagated quality
+    * labels, and SemDeDup-style analyses consume. Unlike the `ann_*`
+    * queries (a broadcast QUERY side against the corpus), this is a
+    * bucket equi-SELF-join: every vector probes only its own sign
+    * bucket, so pair work is Σ n_b² over bucket sizes — bounded by the
+    * bucket histogram (`ann_lsh_buckets`), never N². Per-vector top-k
+    * ranks inside the window (partial+final WindowGroupLimit), ties
+    * broken by neighbor id; vectors alone in their bucket emit no rows
+    * (the honest LSH recall regime — widen with Hamming-probe buckets
+    * exactly as `ann_lsh_multiprobe` does for queries). */
+  def knnGraphLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+        lshBucket(col("embedding"), Dim).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select(col("a_id"), col("rk").cast("long").as("rk"),
+        col("b_id"), round(col("cos"), 4).as("cosine"))
+  }
+
   /** Int8 scalar quantization round-trip — the 4× compression step an
     * embedding store applies before indexing at scale. Per vector:
     * min/max range, codes `q_i = round((x_i - mn) / scale)` with
@@ -214,6 +247,7 @@ object SimilarityQueries {
     "ann_lsh_topk" -> annLshTopk,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "knn_graph_lsh" -> knnGraphLsh,
     "embed_quantize" -> embedQuantize)
 
   // ------------------------------------------------------------- oracles
@@ -282,6 +316,20 @@ object SimilarityQueries {
         |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT a_id, b_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
         |FROM p WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.4""".stripMargin,
+    "knn_graph_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |    ${sqlBucket("embedding")} AS bucket FROM embeddings),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    ${sqlDot("a.embedding", "b.embedding")} AS dp,
+        |    ${sqlDot("a.embedding", "a.embedding")} AS na,
+        |    ${sqlDot("b.embedding", "b.embedding")} AS nb
+        |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (SELECT a_id, b_id, dp / (sqrt(na) * sqrt(nb)) AS cos,
+        |    row_number() OVER (PARTITION BY a_id
+        |      ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, b_id ASC) AS rk
+        |  FROM p)
+        |SELECT a_id, rk::BIGINT AS rk, b_id, round(cos, 4) AS cosine
+        |FROM r WHERE rk <= $KnnK""".stripMargin,
     "ann_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT vec_id, label,
