@@ -41,6 +41,8 @@ object ScaleValidate {
       "dedup_shingle_jaccard", "source_overlap")),
     ("semantic-dedup", "cell self-join: shuffle ∝ vectors (pairs stay in-join): ≈F×", Seq(
       "semdedup")),
+    ("knn-graph", "bucket self-join: shuffle ∝ vectors; in-join pairs ∝ Σn_b² (fixture planes fixed → occupancy ∝F; production grows planes to pin occupancy)", Seq(
+      "knn_graph_lsh")),
     // Relational / storm families (facts ×F, dims fixed — ScaleGen's
     // star-schema growth shape):
     ("scan-agg", "map-side complete: partials ∝ partitions×groups: ≪F×", Seq(
