@@ -4,19 +4,22 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing for a training-data pipeline: media payloads
-  * as opaque `binary` columns with typed metadata, decoded/feature-extracted
-  * per partition (the batch shape a real codec wants: initialize the decoder
+/** Multimodal-column pipeline for training data: media payloads as opaque
+  * `binary` columns with typed metadata, decoded and feature-extracted per
+  * partition (the batch shape a real codec wants: initialize the decoder
   * once per partition, stream records through it — the Scala analog of a
   * Pandas-UDF `mapInPandas` stage).
   *
-  * ── DECODER IS A STUB ──
-  * This container ships no image/audio codecs, so [[StubDecoder]] computes a
-  * deterministic fake "decode" from the raw bytes (dimensions from byte
-  * length, a 16-bin byte histogram standing in for pixel statistics). The
-  * Spark-side plumbing — binary column, typed Dataset, partition-batched
-  * extraction, nested metadata schema — is the real, tested part; swap
-  * [[StubDecoder.decode]] for a codec call to productionize.
+  * The decode is REAL JDK codec work (no external dependency):
+  *   - image  → PNG, decoded through `javax.imageio.ImageIO`
+  *   - audio  → WAV PCM 8-bit mono, parsed through `javax.sound.sampled`
+  *   - video  → GFV1 (length-prefixed PNG frames + duration header),
+  *              each frame decoded through ImageIO
+  *
+  * Fixtures are synthesized from `documents.text` with analytically-known
+  * pixels/samples (see [[MediaCodec]]), so the DuckDB oracle verifies the
+  * actual decoded values by recomputing the analytic function — the gate
+  * checks real codec round-trips without DuckDB owning a codec.
   */
 object Multimodal {
 
@@ -28,127 +31,155 @@ object Multimodal {
   final case class MediaFeatures(
       id: Long, kind: String, meta: MediaMeta, histogram: Array[Long])
 
-  /** Deterministic fake decoder (see class doc). One instance per partition
-    * mirrors real decoder lifecycle (expensive init, cheap per-record). */
-  final class StubDecoder {
-    def decode(kind: String, bytes: Array[Byte]): MediaMeta = {
-      val n = bytes.length
-      val width = if (kind == "audio") 0 else 64 + n % 640
-      val height = if (kind == "audio") 0 else 64 + (n * 7) % 480
-      val duration = if (kind == "image") 0 else 1000 + n % 60000
-      val frames = kind match {
-        case "image" => 1
-        case "audio" => 0
-        case _ => 1 + n % 300
-      }
-      MediaMeta(n, width, height, duration, frames)
-    }
-
-    /** 16-bin histogram over the high nibble of each byte — the stand-in
-      * for per-channel pixel statistics. */
-    def histogram(bytes: Array[Byte]): Array[Long] = {
-      val h = new Array[Long](16)
-      var i = 0
-      while (i < bytes.length) {
-        h((bytes(i) & 0xff) >> 4) += 1
-        i += 1
-      }
-      h
-    }
-
-    /** Unsigned byte sum — seed for the per-frame stub fingerprint. */
-    def byteSum(bytes: Array[Byte]): Long = {
-      var s = 0L
-      var i = 0
-      while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
-      s
-    }
-  }
-
   final case class FrameSample(
       id: Long, kind: String, frame_idx: Long, ts_ms: Long, frame_sig: Long)
 
   final case class ResizePlan(
       id: Long, kind: String, width: Long, height: Long,
-      out_width: Long, out_height: Long, est_bytes: Long)
+      out_width: Long, out_height: Long, est_pixels: Long)
 
-  /** Synthesize a media table from `documents`: payload = UTF-8 bytes of the
-    * text (opaque to everything downstream), kind cycling image/audio/video. */
+  // ── Fixture synthesis parameters (mirrored in the oracle SQL) ──────
+  // Image w×h stays ≤ 39×31 so the oracle's tiled-pixel recomputation is
+  // a ≤1.2k-element list per row; pixel i = text byte (i mod n).
+  val ImgWBase = 8; val ImgWMod = 32   // w = 8 + n % 32
+  val ImgHBase = 8; val ImgHMod = 24   // h = 8 + (n*7) % 24
+  val VideoFrameEdge = 8               // 8×8 frames
+  val VideoFramesMax = 12              // f = 1 + n % 12
+  val VideoDurBase = 1000; val VideoDurMod = 60000
+  val FrameStride = 3                  // sample every 3rd frame
+  /** Production default long-edge cap; the gate binds [[GateResizeMaxEdge]]
+    * so both resize branches are exercised at fixture image sizes. */
+  val ResizeMaxEdge = 224L
+  val GateResizeMaxEdge = 24L
+
+  // Not `private`: Catalyst's generated deserializer needs access.
+  final case class DocRow(id: Long, text: String)
+
+  /** Synthesize the media table from `documents`: kind cycles
+    * image/audio/video by doc_id, payload is a REAL encoded PNG / WAV /
+    * GFV1 container whose pixel/sample values derive from the text.
+    * Encoding happens inside `mapPartitions` — same once-per-partition
+    * lifecycle as the decode stage. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.parallel(spark, dir, "documents")
-      .select(col("doc_id").as("id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("kind"),
-        encode(col("text"), "UTF-8").as("bytes"))
-      .as[MediaRecord]
+      .select(col("doc_id").as("id"), col("text"))
+      .as[DocRow]
+      .mapPartitions { it =>
+        it.map { d =>
+          val t = d.text.getBytes("UTF-8")
+          val n = t.length
+          (d.id % 3) match {
+            case 0 =>
+              val w = ImgWBase + n % ImgWMod
+              val h = ImgHBase + (n * 7) % ImgHMod
+              MediaRecord(d.id, "image",
+                MediaCodec.encodeImage(w, h, i => t(i % n)))
+            case 1 =>
+              MediaRecord(d.id, "audio", MediaCodec.encodeWav(t))
+            case _ =>
+              val f = 1 + n % VideoFramesMax
+              val frames = (0 until f).map { k =>
+                MediaCodec.encodeImage(VideoFrameEdge, VideoFrameEdge,
+                  i => t((i + k) % n))
+              }
+              MediaRecord(d.id, "video",
+                MediaCodec.encodeVideo(VideoDurBase + n % VideoDurMod, frames))
+          }
+        }
+      }
+  }
+
+  /** Per-partition decoder: dispatches a payload to the right JDK codec
+    * and produces typed metadata + a 16-bin value histogram from the
+    * ACTUAL decoded pixels/samples. */
+  final class MediaDecoder {
+    def features(r: MediaRecord): MediaFeatures = r.kind match {
+      case "image" =>
+        val d = MediaCodec.decodeImage(r.bytes)
+        MediaFeatures(r.id, r.kind,
+          MediaMeta(r.bytes.length, d.width, d.height, 0, 1), d.histogram16)
+      case "audio" =>
+        val a = MediaCodec.decodeWav(r.bytes)
+        MediaFeatures(r.id, r.kind,
+          MediaMeta(r.bytes.length, 0, 0, a.durationMs.toInt, 0), a.histogram16)
+      case _ =>
+        val v = MediaCodec.decodeVideo(r.bytes)
+        val hist = new Array[Long](16)
+        v.frames.foreach { f =>
+          val fh = f.histogram16
+          var i = 0
+          while (i < 16) { hist(i) += fh(i); i += 1 }
+        }
+        val (w, h) = v.frames.headOption
+          .map(f => (f.width, f.height)).getOrElse((0, 0))
+        MediaFeatures(r.id, r.kind,
+          MediaMeta(r.bytes.length, w, h, v.durationMs, v.frames.length), hist)
+    }
   }
 
   /** The partition-batched decode/feature-extract stage. */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      val decoder = new StubDecoder // once per partition
-      it.map(r => MediaFeatures(r.id, r.kind,
-        decoder.decode(r.kind, r.bytes), decoder.histogram(r.bytes)))
+      val decoder = new MediaDecoder // once per partition
+      it.map(decoder.features)
     }
   }
 
-  /** Frame sampling — the one-to-many decode stage (video → every
-    * `stride`-th frame with its timestamp and a deterministic stub
-    * fingerprint). Same per-partition decoder lifecycle as
-    * [[extractFeatures]]; the fan-out happens inside the partition
+  /** Frame sampling — the one-to-many decode stage: video → every
+    * `stride`-th REAL decoded frame with its timestamp and the frame's
+    * pixel-sum signature; images emit their single frame; audio (no
+    * frames) emits nothing. The fan-out happens inside the partition
     * iterator, so no shuffle is introduced and downstream operators see
-    * ordinary rows. Audio records (0 frames) emit nothing; images emit
-    * their single frame. */
-  def sampleFrames(ds: Dataset[MediaRecord], stride: Int = 10): Dataset[FrameSample] = {
+    * ordinary rows. */
+  def sampleFrames(ds: Dataset[MediaRecord], stride: Int = FrameStride)
+      : Dataset[FrameSample] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      val decoder = new StubDecoder // once per partition
       it.flatMap { r =>
-        val meta = decoder.decode(r.kind, r.bytes)
-        if (meta.n_frames <= 0) Iterator.empty
-        else {
-          val bs = decoder.byteSum(r.bytes)
-          Iterator.range(0, meta.n_frames, stride).map { f =>
-            FrameSample(r.id, r.kind, f.toLong,
-              f.toLong * meta.duration_ms / meta.n_frames,
-              (bs * 31 + f) % 1000000007L)
-          }
+        r.kind match {
+          case "image" =>
+            val d = MediaCodec.decodeImage(r.bytes)
+            Iterator.single(FrameSample(r.id, r.kind, 0L, 0L, d.pixelSum))
+          case "audio" => Iterator.empty
+          case _ =>
+            val v = MediaCodec.decodeVideo(r.bytes)
+            val f = v.frames.length
+            Iterator.range(0, f, stride).map { k =>
+              FrameSample(r.id, r.kind, k.toLong,
+                k.toLong * v.durationMs / f, v.frames(k).pixelSum)
+            }
         }
       }
     }
   }
 
-  /** Gate query: sampled frames with timestamps + stub fingerprints. */
+  /** Gate query: sampled frames with timestamps + decoded signatures. */
   def mediaFrameSample(s: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaFromDocuments(s, dir)).toDF()
 
-  /** Resize planning — the bounded-resolution normalization step (e.g.
-    * cap the long edge at 224 px before feature extraction). The stub
-    * plans the output geometry from the decoded dimensions with integer
-    * arithmetic: aspect-preserving floor division, byte estimate scaled
-    * by the area ratio. Audio (no geometry) passes through unchanged. A
-    * real implementation swaps the arithmetic for a codec scale call in
-    * the same mapPartitions stage. */
-  val ResizeMaxEdge = 224L
-
-  def planResize(ds: Dataset[MediaRecord]): Dataset[ResizePlan] = {
+  /** Resize planning — bounded-resolution normalization (cap the long
+    * edge before feature extraction): aspect-preserving floor division
+    * over the REAL decoded geometry (image dims from ImageIO, video dims
+    * from the first decoded frame; audio has no geometry and passes
+    * through). A production run binds `maxEdge = ResizeMaxEdge` (224);
+    * the gate binds 24 so both branches fire at fixture sizes. */
+  def planResize(ds: Dataset[MediaRecord], maxEdge: Long = ResizeMaxEdge)
+      : Dataset[ResizePlan] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      val decoder = new StubDecoder // once per partition
+      val decoder = new MediaDecoder // once per partition
       it.map { r =>
-        val m = decoder.decode(r.kind, r.bytes)
+        val m = decoder.features(r).meta
         val (w, h) = (m.width.toLong, m.height.toLong)
-        if (w <= 0 || h <= 0) ResizePlan(r.id, r.kind, w, h, w, h, m.byte_len)
+        if (w <= 0 || h <= 0) ResizePlan(r.id, r.kind, w, h, w, h, w * h)
         else {
           val edge = math.max(w, h)
           val (ow, oh) =
-            if (edge <= ResizeMaxEdge) (w, h)
-            else (w * ResizeMaxEdge / edge, h * ResizeMaxEdge / edge)
-          ResizePlan(r.id, r.kind, w, h, ow, oh,
-            m.byte_len.toLong * (ow * oh) / (w * h))
+            if (edge <= maxEdge) (w, h)
+            else (w * maxEdge / edge, h * maxEdge / edge)
+          ResizePlan(r.id, r.kind, w, h, ow, oh, ow * oh)
         }
       }
     }
@@ -156,15 +187,17 @@ object Multimodal {
 
   /** Gate query: aspect-preserving resize plan per media record. */
   def mediaResize(s: SparkSession, dir: String): DataFrame =
-    planResize(mediaFromDocuments(s, dir)).toDF()
+    planResize(mediaFromDocuments(s, dir), GateResizeMaxEdge).toDF()
 
-  /** Gate query: typed metadata per media record. */
+  /** Gate query: typed metadata per media record (decoded through the
+    * real codecs: ImageIO dims, WAV header duration, GFV1 frame count). */
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaFromDocuments(s, dir))
-      .select(col("id"), col("kind"), col("meta.byte_len"), col("meta.width"),
-        col("meta.height"), col("meta.duration_ms"), col("meta.n_frames"))
+      .select(col("id"), col("kind"), col("meta.width"), col("meta.height"),
+        col("meta.duration_ms"), col("meta.n_frames"))
 
-  /** Gate query: per-kind byte-histogram totals (bin, count). */
+  /** Gate query: per-kind 16-bin decoded-value histogram (bin, count);
+    * zero bins dropped (the oracle's group-by never materializes them). */
   def mediaHistogram(s: SparkSession, dir: String): DataFrame = {
     val feats = extractFeatures(mediaFromDocuments(s, dir))
     feats
@@ -180,83 +213,91 @@ object Multimodal {
     "media_frame_sample" -> mediaFrameSample,
     "media_resize" -> mediaResize)
 
-  // Oracle twins: documents text is ASCII, so byte length == char length and
-  // byte values == character codes — the SQL can reproduce the stub decode
-  // arithmetic exactly.
+  // Oracle twins: documents text is ASCII (byte i == char code i), so the
+  // SQL recomputes the analytic pixel/sample functions the fixtures were
+  // rendered with; matching the Spark output proves the codec round-trip
+  // (encode → real JDK decode) recovered exactly those values.
+  private val kindCase =
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
   val oracles: Map[String, String] = Map(
     "media_meta" ->
-      """WITH m AS (
-        |  SELECT doc_id AS id,
-        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |      ELSE 'video' END AS kind,
-        |    octet_length(encode(text)) AS n
+      s"""WITH m AS (
+        |  SELECT doc_id AS id, $kindCase AS kind, length(text) AS n
         |  FROM documents)
-        |SELECT id, kind, n AS byte_len,
-        |  CASE WHEN kind = 'audio' THEN 0 ELSE 64 + n % 640 END AS width,
-        |  CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (n * 7) % 480 END AS height,
-        |  CASE WHEN kind = 'image' THEN 0 ELSE 1000 + n % 60000 END AS duration_ms,
+        |SELECT id, kind,
+        |  CASE kind WHEN 'image' THEN 8 + n % 32 WHEN 'video' THEN 8
+        |    ELSE 0 END AS width,
+        |  CASE kind WHEN 'image' THEN 8 + (n * 7) % 24 WHEN 'video' THEN 8
+        |    ELSE 0 END AS height,
+        |  CASE kind WHEN 'image' THEN 0 WHEN 'audio' THEN n // 8
+        |    ELSE 1000 + n % 60000 END AS duration_ms,
         |  CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0
-        |    ELSE 1 + n % 300 END AS n_frames
+        |    ELSE 1 + n % 12 END AS n_frames
         |FROM m""".stripMargin,
+    "media_histogram" ->
+      s"""WITH m AS (
+        |  SELECT $kindCase AS kind, text, length(text) AS n
+        |  FROM documents),
+        |vals AS (
+        |  SELECT kind, unnest(
+        |    CASE kind
+        |      WHEN 'image' THEN
+        |        list_transform(range(0, (8 + n % 32) * (8 + (n * 7) % 24)),
+        |          i -> ord(substr(text, ((i % n) + 1)::INT, 1)))
+        |      WHEN 'audio' THEN
+        |        list_transform(range(0, n),
+        |          i -> ord(substr(text, (i + 1)::INT, 1)))
+        |      ELSE
+        |        flatten(list_transform(range(0, 1 + n % 12),
+        |          k -> list_transform(range(0, 64),
+        |            i -> ord(substr(text, (((i + k) % n) + 1)::INT, 1)))))
+        |    END) AS v
+        |  FROM m)
+        |SELECT kind, v // 16 AS bin, count(*)::BIGINT AS total
+        |FROM vals GROUP BY kind, bin""".stripMargin,
+    "media_frame_sample" ->
+      s"""WITH m AS (
+        |  SELECT doc_id AS id, $kindCase AS kind, text, length(text) AS n
+        |  FROM documents),
+        |img AS (
+        |  SELECT id, kind, 0::BIGINT AS frame_idx, 0::BIGINT AS ts_ms,
+        |    list_sum(list_transform(range(0, (8 + n % 32) * (8 + (n * 7) % 24)),
+        |      i -> ord(substr(text, ((i % n) + 1)::INT, 1))))::BIGINT AS frame_sig
+        |  FROM m WHERE kind = 'image'),
+        |vid AS (
+        |  SELECT id, kind, text, n, 1 + n % 12 AS f, 1000 + n % 60000 AS dur,
+        |    unnest(range(0, 1 + n % 12, 3)) AS frame_idx
+        |  FROM m WHERE kind = 'video'),
+        |vid2 AS (
+        |  SELECT id, kind, frame_idx, (frame_idx * dur) // f AS ts_ms,
+        |    list_sum(list_transform(range(0, 64),
+        |      i -> ord(substr(text, (((i + frame_idx) % n) + 1)::INT, 1))))::BIGINT
+        |      AS frame_sig
+        |  FROM vid)
+        |SELECT id, kind, frame_idx, ts_ms, frame_sig FROM img
+        |UNION ALL
+        |SELECT id, kind, frame_idx, ts_ms, frame_sig FROM vid2""".stripMargin,
     "media_resize" ->
-      """WITH m AS (
-        |  SELECT doc_id AS id,
-        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |      ELSE 'video' END AS kind,
-        |    octet_length(encode(text)) AS n
+      s"""WITH m AS (
+        |  SELECT doc_id AS id, $kindCase AS kind, length(text) AS n
         |  FROM documents),
         |g AS (
-        |  SELECT id, kind, n,
-        |    (CASE WHEN kind = 'audio' THEN 0 ELSE 64 + n % 640 END)::BIGINT
-        |      AS width,
-        |    (CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (n * 7) % 480 END)::BIGINT
-        |      AS height
+        |  SELECT id, kind,
+        |    (CASE kind WHEN 'image' THEN 8 + n % 32 WHEN 'video' THEN 8
+        |       ELSE 0 END)::BIGINT AS width,
+        |    (CASE kind WHEN 'image' THEN 8 + (n * 7) % 24 WHEN 'video' THEN 8
+        |       ELSE 0 END)::BIGINT AS height
         |  FROM m),
-        |p AS (
-        |  SELECT id, kind, n, width, height,
-        |    greatest(width, height) AS edge
-        |  FROM g)
+        |p AS (SELECT *, greatest(width, height) AS edge FROM g)
         |SELECT id, kind, width, height,
-        |  CASE WHEN width <= 0 OR height <= 0 OR edge <= 224 THEN width
-        |       ELSE width * 224 // edge END AS out_width,
-        |  CASE WHEN width <= 0 OR height <= 0 OR edge <= 224 THEN height
-        |       ELSE height * 224 // edge END AS out_height,
-        |  CASE WHEN width <= 0 OR height <= 0 THEN n
-        |       WHEN edge <= 224 THEN n
-        |       ELSE n * ((width * 224 // edge) * (height * 224 // edge))
-        |            // (width * height) END AS est_bytes
-        |FROM p""".stripMargin,
-    "media_frame_sample" ->
-      """WITH m AS (
-        |  SELECT doc_id AS id,
-        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |      ELSE 'video' END AS kind,
-        |    octet_length(encode(text)) AS n,
-        |    list_sum(list_transform(range(1, length(text) + 1),
-        |      i -> ord(substr(text, i, 1))))::BIGINT AS byte_sum
-        |  FROM documents),
-        |f AS (
-        |  SELECT id, kind, byte_sum,
-        |    CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0
-        |      ELSE 1 + n % 300 END AS n_frames,
-        |    CASE WHEN kind = 'image' THEN 0 ELSE 1000 + n % 60000 END
-        |      AS duration_ms
-        |  FROM m),
-        |s AS (
-        |  SELECT id, kind, n_frames, duration_ms, byte_sum,
-        |    unnest(range(0, n_frames, 10)) AS frame_idx
-        |  FROM f WHERE n_frames > 0)
-        |SELECT id, kind, frame_idx,
-        |  (frame_idx * duration_ms) // n_frames AS ts_ms,
-        |  (byte_sum * 31 + frame_idx) % 1000000007 AS frame_sig
-        |FROM s""".stripMargin,
-    "media_histogram" ->
-      """WITH chars AS (
-        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |           ELSE 'video' END AS kind,
-        |    unnest(list_transform(range(1, length(text) + 1),
-        |      i -> ord(substr(text, i, 1)) // 16)) AS bin
-        |  FROM documents)
-        |SELECT kind, bin, count(*)::BIGINT AS total
-        |FROM chars GROUP BY kind, bin""".stripMargin)
+        |  CASE WHEN width <= 0 OR edge <= 24 THEN width
+        |       ELSE width * 24 // edge END AS out_width,
+        |  CASE WHEN width <= 0 OR edge <= 24 THEN height
+        |       ELSE height * 24 // edge END AS out_height,
+        |  CASE WHEN width <= 0 THEN width * height
+        |       WHEN edge <= 24 THEN width * height
+        |       ELSE (width * 24 // edge) * (height * 24 // edge)
+        |       END AS est_pixels
+        |FROM p""".stripMargin)
 }
