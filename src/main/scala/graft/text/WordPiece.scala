@@ -98,6 +98,56 @@ object WordPiece {
   /** Maximal-munch token count of word column `t` — see [[munchSql]]. */
   def munchCount(pieces: Seq[String]): Column = expr(munchSql(pieces, "t"))
 
+  /** Broadcast-relation twin of [[munchCount]] — the production-vocabulary
+    * apply path. The literal path inlines every trained piece into the
+    * plan (ideal at gate vocab: InSet, codegen); at a 30k-piece BERT-style
+    * vocabulary the plan would embed the whole vocabulary. Here the pieces
+    * arrive as a broadcast-joined RELATION, so plan size depends only on
+    * the MAX piece length:
+    *
+    *  1. explode each distinct word into (pos, candidate-length) windows,
+    *     join `substring(t, pos, len)` against the broadcast piece
+    *     relation, keep per-(word, pos) the LONGEST match — the "jump";
+    *  2. fold over the word once, following jumps (missing pos → single
+    *     char, the always-in-vocab fallback), counting tokens.
+    *
+    * Greedy longest-match-first semantics are identical to the literal
+    * CASE chain (its arms are ordered longest-first, so the taken arm IS
+    * the max matching length). Input `words` must have a string column
+    * `t` (distinct words — the vocab-sized apply relation); returns
+    * `(t, cnt)`. */
+  def munchCountsBroadcast(words: DataFrame, pieces: Seq[String]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val ps = pieces.distinct.filter(_.length >= 2)
+    if (ps.isEmpty)
+      return words.select(col("t"), char_length(col("t")).cast("int").as("cnt"))
+    val maxLen = ps.map(_.length).max
+    val pieceRel = ps.map(p => (p, p.length)).toDF("piece", "piece_len")
+    val cand = words
+      .select(col("t"), explode(sequence(lit(1), char_length(col("t")))).as("pos"))
+      .select(col("t"), col("pos"),
+        explode(sequence(lit(2), lit(maxLen))).as("cand_len"))
+      .filter(col("pos") + col("cand_len") - 1 <= char_length(col("t")))
+      .withColumn("sub", col("t").substr(col("pos"), col("cand_len")))
+    val jumps = cand
+      .join(broadcast(pieceRel),
+        cand("sub") === pieceRel("piece") &&
+          cand("cand_len") === pieceRel("piece_len"))
+      .groupBy("t", "pos").agg(max(col("cand_len")).as("jump"))
+      .groupBy("t").agg(map_from_entries(
+        collect_list(struct(col("pos"), col("jump")))).as("jumps"))
+    words.join(jumps, Seq("t"), "left")
+      .select(col("t"), expr(
+        """aggregate(sequence(1, char_length(t)),
+          |  named_struct('pos', 1, 'cnt', 0),
+          |  (acc, i) -> CASE WHEN acc.pos > char_length(t) THEN acc
+          |    ELSE named_struct(
+          |      'pos', acc.pos + coalesce(try_element_at(jumps, acc.pos), 1),
+          |      'cnt', acc.cnt + 1) END,
+          |  acc -> acc.cnt)""".stripMargin).as("cnt"))
+  }
+
   /** Gate query: train [[KMerges]] likelihood merges, tokenize the corpus
     * vocabulary by maximal munch, and emit per-source fertility totals in
     * the same shape as `bpe_encode`/`unigram_encode` so the three
