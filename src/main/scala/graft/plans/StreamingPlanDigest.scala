@@ -1,0 +1,229 @@
+package graft.plans
+
+import graft.streaming._
+import graft.text.Retrieval
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Plan locks for the STREAMING twins — the `plans.lock` counterpart for
+  * the 15 micro-batch pipelines. The batch lock cannot see them: a lost
+  * `withWatermark` (state grows forever), a `dropDuplicates` that stops
+  * compiling to `StreamingDeduplicate`, or a session/state operator swap
+  * all keep every batch digest green while silently changing streaming
+  * state semantics at scale.
+  *
+  * Each twin runs ONE micro-batch of tiny hand data through a noop sink;
+  * the lock pins the executed physical plan's OPERATOR OUTLINE (node
+  * names only — `StateStoreSave`, `EventTimeWatermark`,
+  * `StreamingSymmetricHashJoin`, `FlatMapGroupsWithState`, … — nothing
+  * data- or run-dependent). `StreamingPlanLockSpec` re-derives all
+  * outlines every test run and diffs against `plans_streaming.lock`;
+  * regenerate intentionally via `runMain graft.plans.StreamingPlanLockMain`.
+  */
+object StreamingPlanDigest {
+
+  val LockPath = "plans_streaming.lock"
+
+  /** Fixture dir for the one twin needing a trained corpus index. */
+  val IndexSfDir = "/root/testdata/sf0.001"
+
+  def outlineOf(p: SparkPlan): String = {
+    def walk(n: SparkPlan, d: Int): Seq[String] =
+      (" " * d + n.nodeName) +: n.children.flatMap(walk(_, d + 1))
+    walk(p, 0).mkString("\n")
+  }
+
+  /** Start → feed one batch → capture the micro-batch physical outline. */
+  private def run(df: DataFrame, mode: OutputMode)(feed: => Unit): String = {
+    val q = df.writeStream.format("noop").outputMode(mode).start()
+    try {
+      feed
+      q.processAllAvailable()
+      val exec =
+        q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+      require(exec != null, "no micro-batch executed")
+      outlineOf(exec.executedPlan)
+    } finally q.stop()
+  }
+
+  /** One outline per streaming twin, sorted by name. Models/stats that
+    * the real twins train are replaced by tiny frozen literals where the
+    * signature allows (the PLAN shape is what's locked, and it does not
+    * depend on model contents) — only the near-dup index is built from
+    * the fixture corpus, as its plan embeds the index DataFrames. */
+  def all(spark: SparkSession): Seq[(String, String)] = {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+
+    def envelope(mem: MemoryStream[String]): DataFrame =
+      mem.toDF()
+        .withColumn("timestamp", to_timestamp(lit("2024-04-26 00:00:00")))
+
+    val ts0 = Timestamp.valueOf("2024-01-01 10:00:00")
+
+    val twins = Seq[(String, () => String)](
+      "storm_transform" -> { () =>
+        val mem = MemoryStream[String]
+        run(StormStream.transform(envelope(mem)), OutputMode.Append()) {
+          mem.addData("x")
+        }
+      },
+      "storm_dedup_watermark" -> { () =>
+        val mem = MemoryStream[String]
+        run(StormStream.dedupByIdWithinWatermark(
+          StormStream.transform(envelope(mem)).filter(!col("parse_error"))),
+          OutputMode.Append()) { mem.addData("x") }
+      },
+      "storm_hourly_severity" -> { () =>
+        val mem = MemoryStream[String]
+        run(StormStream.hourlySeverityCounts(
+          StormStream.transform(envelope(mem))),
+          OutputMode.Update()) { mem.addData("x") }
+      },
+      "event_sessions_mgws" -> { () =>
+        val mem = MemoryStream[EventSessions.Event]
+        run(EventSessions.sessionize(mem.toDS()).toDF(),
+          OutputMode.Update()) {
+          mem.addData(EventSessions.Event(1L, ts0, "click"))
+        }
+      },
+      "session_windows_native" -> { () =>
+        val mem = MemoryStream[(Long, Timestamp, Double)]
+        run(StreamSessionWindows.sessions(
+          mem.toDS().toDF("user_id", "ts", "value")),
+          StreamSessionWindows.outputMode) { mem.addData((1L, ts0, 1.0)) }
+      },
+      "interval_join" -> { () =>
+        val pMem = MemoryStream[(Long, Long, Timestamp)]
+        val cMem = MemoryStream[(Long, Long, Timestamp)]
+        run(StreamIntervalJoin.attributionJoin(
+          pMem.toDS().toDF("purchase_id", "user_id", "ts"),
+          cMem.toDS().toDF("c_event_id", "c_user_id", "c_ts")),
+          OutputMode.Append()) {
+          pMem.addData((1L, 1L, ts0)); cMem.addData((2L, 1L, ts0))
+        }
+      },
+      "near_dup" -> { () =>
+        val mem = MemoryStream[(Long, String)]
+        val idx = StreamNearDup.buildIndex(spark, IndexSfDir)
+        run(StreamNearDup.matchesOverStream(
+          mem.toDS().toDF("doc_id", "text"), idx),
+          StreamNearDup.outputMode) { mem.addData((1L, "a b c d e f")) }
+      },
+      "bm25" -> { () =>
+        val mem = MemoryStream[(Long, String)]
+        run(StreamBm25.scoreOverStream(
+          mem.toDS().toDF("doc_id", "text"),
+          Retrieval.CorpusStats(Map("dup" -> 1L), 2L, 10L)),
+          StreamBm25.outputMode) { mem.addData((1L, "dup text")) }
+      },
+      "hll" -> { () =>
+        val mem = MemoryStream[(String, String)]
+        run(StreamHll.distinctOverStream(
+          mem.toDS().toDF("source", "text"), 0.05),
+          StreamHll.outputMode) { mem.addData(("a", "some text")) }
+      },
+      "kmv" -> { () =>
+        val mem = MemoryStream[StreamKmv.HashEvent]
+        run(StreamKmv.distinctOverStream(mem.toDS()).toDF(),
+          StreamKmv.outputMode) { mem.addData(StreamKmv.HashEvent("a", 7L)) }
+      },
+      "count_min" -> { () =>
+        val mem = MemoryStream[(String, String)]
+        run(StreamCountMin.countersOverStream(
+          mem.toDS().toDF("source", "t")),
+          StreamCountMin.outputMode) { mem.addData(("a", "w1")) }
+      },
+      "tokenize" -> { () =>
+        val mem = MemoryStream[(Long, String, String)]
+        run(StreamTokenize.countsOverStream(
+          mem.toDS().toDF("doc_id", "source", "text"), Seq("th", "he")),
+          StreamTokenize.outputMode) { mem.addData((1L, "a", "the theme")) }
+      },
+      "lm_score" -> { () =>
+        val mem = MemoryStream[(Long, String)]
+        run(StreamLmScore.scoreOverStream(
+          mem.toDS().toDF("doc_id", "text"), Seq(("the", 5L)), 10L),
+          StreamLmScore.outputMode) { mem.addData((1L, "the text")) }
+      },
+      "bigram" -> { () =>
+        val mem = MemoryStream[(Long, String)]
+        run(StreamBigram.scoreOverStream(
+          mem.toDS().toDF("doc_id", "text"),
+          Map(("a", "b") -> (1L, 2L)), 4L),
+          StreamBigram.outputMode) { mem.addData((1L, "a b c")) }
+      },
+      "dsir" -> { () =>
+        val mem = MemoryStream[(Long, String)]
+        run(StreamDsir.scoreOverStream(
+          mem.toDS().toDF("doc_id", "text"), Seq((0L, 1L)), 0L, 10L, 5L),
+          StreamDsir.outputMode) { mem.addData((1L, "some text")) }
+      })
+
+    twins.map { case (n, f) => n -> f() }.sortBy(_._1)
+  }
+
+  // Lock I/O — same minimal JSON subset as PlanDigest (no JSON dep).
+  private def esc(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case c => sb += c; i += 2
+        }
+      } else { sb += s(i); i += 1 }
+    }
+    sb.toString
+  }
+
+  def writeLock(spark: SparkSession, path: String): Unit = {
+    val body = all(spark).map { case (name, outline) =>
+      s"  ${esc(name)}: {\n    ${esc("outline")}: ${esc(outline)}\n  }"
+    }.mkString("{\n", ",\n", "\n}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+  }
+
+  def readLock(path: String): Map[String, String] = {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val entry =
+      "\"([a-z0-9_]+)\":\\s*\\{\\s*\"outline\":\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    entry.findAllMatchIn(txt).map(m => m.group(1) -> unesc(m.group(2))).toMap
+  }
+}
+
+/** Regenerate `plans_streaming.lock` (intentional changes only; the diff
+  * in review is the approval record). Session shape mirrors the test
+  * session so the spec reproduces the outlines. */
+object StreamingPlanLockMain {
+  def main(args: Array[String]): Unit = {
+    val lockPath =
+      if (args.nonEmpty) args(0) else StreamingPlanDigest.LockPath
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-planlock")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    StreamingPlanDigest.writeLock(spark, lockPath)
+    println(s"wrote $lockPath")
+    spark.stop()
+  }
+}
