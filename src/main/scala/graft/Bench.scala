@@ -63,6 +63,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"shuffle_rec":$rec,"sf":"$sfDir"}""")
+    // Short trailer for the driver's stdout-tail parser: the full
+    // per-query JSON above outgrows a bounded tail window (BENCH_r04/
+    // r05 both recorded "parsed": null), so the LAST line is a compact
+    // summary that always fits — same shape, no per-query maps.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${timed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

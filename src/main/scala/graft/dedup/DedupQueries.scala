@@ -311,9 +311,12 @@ object DedupQueries {
     val flagged = contamPairs(matched)
       .groupBy("eval_id")
       .agg(count(lit(1)).as("n_flagged"), max("n_overlap").as("max_overlap"))
+    // hits/flagged are aggregates over the tiny eval_id domain — hint
+    // them broadcast so the two left joins match the documented shape
+    // (without the hint they planned as SortMergeJoin with exchanges).
     totals
-      .join(hits, Seq("eval_id"), "left")
-      .join(flagged, Seq("eval_id"), "left")
+      .join(broadcast(hits), Seq("eval_id"), "left")
+      .join(broadcast(flagged), Seq("eval_id"), "left")
       .select(col("eval_id"), col("n_grams"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         round(coalesce(col("n_hit"), lit(0L)) / col("n_grams"), 4)

@@ -37,7 +37,14 @@ object Hll {
   val Rsd = 0.05
 
   /** Gate tolerance: 3·rsd — ~99.7 % per-group a priori; deterministic
-    * post hoc (verified green at sf0.001/0.01/0.1). */
+    * post hoc (verified green at sf0.001/0.01/0.1). Regen sensitivity,
+    * by design: a driver testdata regeneration redraws every group's
+    * estimate, so with ~60 (source, sf) groups there is a ~16 % chance
+    * per regen that SOME group lands outside 3σ and reddens `ok_hll`
+    * with no code defect — re-run the gate before debugging; the bound
+    * is kept at 3σ because the flag exists to catch estimator drift,
+    * and widening it to 4σ would trade that sensitivity for regen
+    * robustness. */
   val Tol = 3 * Rsd
 
   /** Per-source distinct-trigram cardinality: exact (hash-gated) next to

@@ -33,6 +33,20 @@ object Ivf {
   val NProbe = 4
   val TopK = 5
 
+  /** Target mean cell size the production dial pins: with cells held at
+    * ~T vectors, a probe scans nprobe·T vectors regardless of corpus
+    * size, and SemDeDup's within-cell quadratic stays T² per cell. */
+  val CellTarget = 100L
+
+  /** The cell-count dial: centroids for an N-vector corpus so expected
+    * cell size N/k ≤ [[CellTarget]] (never below the fixture's
+    * [[NLists]]) — the standard `nlist ≈ N/target` IVF sizing. Production
+    * binding: `assignments(s, dir, nListsFor(corpusSize))`; the gate
+    * binds [[NLists]]. Measured cell occupancy at 1×/10×/30× with the
+    * dial applied: `OccupancyProbe` (results in SCALE_VALIDATION.md). */
+  def nListsFor(n: Long, targetCellSize: Long = CellTarget): Int =
+    math.max(NLists, math.ceil(n.toDouble / targetCellSize).toInt)
+
   /** Train the coarse quantizer on a deterministic 1-in-SampleMod subset
     * (`vec_id % SampleMod == 0`): centroids fitted on a uniform sample are
     * statistically identical to full-corpus centroids, and fitting is the
@@ -44,21 +58,23 @@ object Ivf {
   // corpus; a bounded slot avoids pinning stopped sessions/stale dirs and
   // the synchronization avoids concurrent duplicate training)
   private var lastTrained:
-    Option[((SparkSession, String, Long), (DataFrame, Array[Array[Double]]))] =
+    Option[((SparkSession, String, Long, Int), (DataFrame, Array[Array[Double]]))] =
     None
 
   /** Train the coarse quantizer and assign every vector to a cell
-    * (memoized per most-recent (session, dir, source-mtime) — the stamp
-    * invalidates on an in-place data rewrite; the assignment DataFrame is
-    * cached once and unpersisted on eviction). */
-  def assignments(s: SparkSession, dir: String):
+    * (memoized per most-recent (session, dir, source-mtime, nLists) — the
+    * stamp invalidates on an in-place data rewrite; the assignment
+    * DataFrame is cached once and unpersisted on eviction). The gate
+    * binds the fixture constant [[NLists]]; production passes
+    * `nListsFor(corpusSize)` to pin cell occupancy. */
+  def assignments(s: SparkSession, dir: String, nLists: Int = NLists):
       (DataFrame, Array[Array[Double]]) = synchronized {
-    val key = (s, dir, Tables.sourceStamp(dir, "embeddings"))
+    val key = (s, dir, Tables.sourceStamp(dir, "embeddings"), nLists)
     lastTrained match {
       case Some((k, v)) if k == key => v
       case prev =>
         prev.foreach(_._2._1.unpersist())
-        val v = trainAssignments(s, dir)
+        val v = trainAssignments(s, dir, nLists)
         lastTrained = Some((key, v))
         v
     }
@@ -71,7 +87,7 @@ object Ivf {
     lastTrained = None
   }
 
-  private def trainAssignments(s: SparkSession, dir: String):
+  private def trainAssignments(s: SparkSession, dir: String, nLists: Int):
       (DataFrame, Array[Array[Double]]) = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings")
@@ -90,10 +106,10 @@ object Ivf {
     // tiny fixtures can undersample k-means below NLists points — fall back
     // to the full set there; at scale the sample always dominates NLists
     val trainSet =
-      if (sampled.limit(NLists * 4).count() >= NLists * 4L) sampled
+      if (sampled.limit(nLists * 4).count() >= nLists * 4L) sampled
       else features
     val model = new KMeans()
-      .setK(NLists).setSeed(42L).setMaxIter(10)
+      .setK(nLists).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(trainSet)
     val centers = model.clusterCenters.map(_.toArray)

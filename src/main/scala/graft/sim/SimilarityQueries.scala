@@ -46,12 +46,36 @@ object SimilarityQueries {
   }
 
   /** 8-bit LSH sign bucket of an embedding column (dimension `dim`). */
-  def lshBucket(emb: Column, dim: Int): Column = {
-    val chars = (0 until NumPlanes).map { j =>
+  def lshBucket(emb: Column, dim: Int): Column =
+    lshBucket(emb, dim, NumPlanes)
+
+  /** `planes`-bit LSH sign bucket — the occupancy dial's general form:
+    * each extra hyperplane halves expected bucket occupancy. */
+  def lshBucket(emb: Column, dim: Int, planes: Int): Column = {
+    val chars = (0 until planes).map { j =>
       val plane = array((1 to dim).map(i => lit(planeCoef(j, i))): _*)
       when(dot(emb, plane) >= 0, "1").otherwise("0")
     }
     concat(chars: _*)
+  }
+
+  /** Target expected bucket occupancy the production dial pins. With
+    * occupancy held at T, the kNN self-join's pair work Σ n_b² ≈
+    * (N/T)·T² = N·T stays LINEAR in corpus size. */
+  val KnnTargetOccupancy = 8L
+
+  /** The occupancy dial: hyperplane count for an N-vector corpus so that
+    * expected uniform occupancy N/2^P ≤ `targetOccupancy` — P grows by
+    * one per corpus doubling (never below the fixture's [[NumPlanes]],
+    * capped at 30 where the bucket id saturates any realistic corpus).
+    * Production binding: `knnGraphLsh(s, dir, planesFor(corpusSize))`;
+    * the gate binds the fixture constant [[NumPlanes]]. Measured
+    * occupancy at 1×/10×/30× with the dial applied: `OccupancyProbe`
+    * (results in SCALE_VALIDATION.md). */
+  def planesFor(n: Long, targetOccupancy: Long = KnnTargetOccupancy): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(30, math.max(NumPlanes, needed))
   }
 
   private[sim] val Dim = 64
@@ -187,11 +211,17 @@ object SimilarityQueries {
     * broken by neighbor id; vectors alone in their bucket emit no rows
     * (the honest LSH recall regime — widen with Hamming-probe buckets
     * exactly as `ann_lsh_multiprobe` does for queries). */
-  def knnGraphLsh(s: SparkSession, dir: String): DataFrame = {
+  def knnGraphLsh(s: SparkSession, dir: String): DataFrame =
+    knnGraphLsh(s, dir, NumPlanes)
+
+  /** Dialed form: production binds `planes = planesFor(corpusSize)` so
+    * bucket occupancy — and with it the in-join Σ n_b² pair work — stays
+    * pinned as the corpus grows; the gate binds the fixture constant. */
+  def knnGraphLsh(s: SparkSession, dir: String, planes: Int): DataFrame = {
     val e = Tables.parallel(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
-        lshBucket(col("embedding"), Dim).as("bucket"))
+        lshBucket(col("embedding"), Dim, planes).as("bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))
     e.as("a").join(e.as("b"),

@@ -12,10 +12,12 @@ package graft.text
   */
 object SqlLit {
 
-  /** Literal for Spark `expr(...)` fragments. Control characters are
-    * backslash-escaped: every inlining call site assembles its SQL with
-    * `stripMargin`, which would otherwise eat a data newline's leading
-    * `  |` — the literal must never span lines. */
+  /** Literal for Spark `expr(...)` fragments. ALL control characters
+    * (c < 0x20) are backslash-escaped — named escapes for \n \r \t, the
+    * parser's `\uXXXX` form for the rest — matching [[duck]]'s chr()
+    * handling of the full C0 range: every inlining call site assembles
+    * its SQL with `stripMargin`, which would otherwise eat a data
+    * newline's leading `  |` — the literal must never span lines. */
   def spark(v: String): String =
     "'" + v.flatMap {
       case '\\' => "\\\\"
@@ -23,6 +25,7 @@ object SqlLit {
       case '\n' => "\\n"
       case '\r' => "\\r"
       case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "'"
 

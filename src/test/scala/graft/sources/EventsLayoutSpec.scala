@@ -22,16 +22,24 @@ class EventsLayoutSpec extends AnyFunSuite {
     assert(now.schema("ts").dataType == TimestampType)
 
     // synthesize the LEGACY layout from it: ts as nanosecond epoch long
-    val dir = Files.createTempDirectory("events_nanos").toString
-    val legacy = now.withColumn("ts",
-      (unix_micros(col("ts")) * 1000L).as("ts"))
-    legacy.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val dirPath = Files.createTempDirectory("events_nanos")
+    val dir = dirPath.toString
+    try {
+      val legacy = now.withColumn("ts",
+        (unix_micros(col("ts")) * 1000L).as("ts"))
+      legacy.write.mode("overwrite").parquet(s"$dir/events.parquet")
 
-    val back = Tables(spark, dir, "events")
-    assert(back.schema("ts").dataType == TimestampType)
-    val diff = now.select("event_id", "ts")
-      .exceptAll(back.select("event_id", "ts")).count()
-    assert(diff == 0, s"$diff instants diverged between layouts")
-    assert(back.count() == now.count())
+      val back = Tables(spark, dir, "events")
+      assert(back.schema("ts").dataType == TimestampType)
+      val diff = now.select("event_id", "ts")
+        .exceptAll(back.select("event_id", "ts")).count()
+      assert(diff == 0, s"$diff instants diverged between layouts")
+      assert(back.count() == now.count())
+    } finally {
+      // don't leak a parquet copy of events per test run
+      import scala.jdk.CollectionConverters._
+      Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
   }
 }
