@@ -87,6 +87,44 @@ object Ivf {
     lastTrained = None
   }
 
+  /** Production-scale assignment — (vec_id, cell) through the fitted
+    * model's own `transform` (BLAS distance loops) instead of
+    * [[assignments]]' literal-centroid argmin expression. The literal
+    * argmin inlines nLists×dim double literals into one projection: ideal
+    * at the gate's 16 lists (whole-stage codegen, oracle-reproducible
+    * SQL twin), but past a few hundred centroids the generated method
+    * crosses the JVM's 64 KB codegen limit and falls back to per-row
+    * interpreted evaluation (measured: OOM at nLists=600 on a 60k-vector
+    * corpus) — the same literal-vs-relation cliff as the tokenizer apply,
+    * resolved the same way: model data stays out of the plan. Same
+    * nearest-centroid/lowest-index-tie rule; not oracle-expressible, so
+    * the gate keeps the literal path. */
+  def assignmentsMl(s: SparkSession, dir: String, nLists: Int): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val features = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val d = emb.map(_.toDouble)
+        val n = math.sqrt(d.map(x => x * x).sum)
+        (id, Vectors.dense(if (n == 0.0) d else d.map(_ / n)))
+      }
+      .toDF("vec_id", "features")
+      .cache()
+    val sampled = features.filter(pmod(col("vec_id"), lit(SampleMod)) === 0)
+    val trainSet =
+      if (sampled.limit(nLists * 4).count() >= nLists * 4L) sampled
+      else features
+    val model = new KMeans()
+      .setK(nLists).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(trainSet)
+    val out = model.transform(features).select(col("vec_id"), col("cell"))
+      .localCheckpoint(true)
+    features.unpersist()
+    out
+  }
+
   private def trainAssignments(s: SparkSession, dir: String, nLists: Int):
       (DataFrame, Array[Array[Double]]) = {
     import s.implicits._

@@ -40,12 +40,14 @@ object OccupancyProbe {
       }
 
       def ivfStats(nLists: Int): String = {
-        val (assigned, _) = Ivf.assignments(spark, dir, nLists)
+        // the production assignment path: the literal-argmin expression
+        // stops compiling past a few hundred centroid literals (64 KB
+        // codegen limit, then interpreted OOM) — see Ivf.assignmentsMl
+        val assigned = Ivf.assignmentsMl(spark, dir, nLists)
         val r = assigned.groupBy("cell").count()
           .agg(count(lit(1)).as("n_cells"), max("count").as("max_cell"),
             sum(col("count") * col("count")).as("cell_work"))
           .head()
-        Ivf.release() // one-slot memo; free before the next config
         s"nlists=$nLists n_cells=${r.get(0)} max_cell=${r.get(1)} " +
           s"cell_work=${r.get(2)}"
       }

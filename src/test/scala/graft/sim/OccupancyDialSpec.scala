@@ -44,6 +44,20 @@ class OccupancyDialSpec extends AnyFunSuite {
       graft.plans.PlanDigest.digestOf(dialed))
   }
 
+  test("ML-transform assignment agrees with the literal argmin path") {
+    val dir = "/root/testdata/sf0.001"
+    val (literal, _) = Ivf.assignments(spark, dir)
+    val ml = Ivf.assignmentsMl(spark, dir, Ivf.NLists)
+    val joined = literal.select(col("vec_id"), col("cell").as("c_lit"))
+      .join(ml.select(col("vec_id"), col("cell").as("c_ml")), "vec_id")
+    val n = joined.count()
+    val agree = joined.filter(col("c_lit") === col("c_ml")).count()
+    // both compute nearest-centroid/lowest-index; BLAS vs literal double
+    // arithmetic may flip exact ties, so the bound is derived, not exact
+    assert(n > 0 && agree.toDouble / n >= 0.95,
+      s"only $agree/$n assignments agree between ML and literal paths")
+  }
+
   test("more planes never increase max bucket occupancy (refinement)") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.Tables.parallel(spark, dir, "embeddings")
