@@ -82,6 +82,41 @@ object MediaCodec {
     DecodedImage(w, h, px)
   }
 
+  /** 64-bit average-hash (aHash) of a decoded image over an 8×8 block
+    * grid — the classic perceptual near-dup fingerprint: bit `by*8+bx`
+    * is set iff the block's mean pixel exceeds the GLOBAL pixel mean,
+    * compared integer-exactly (`block_sum · w·h > total_sum ·
+    * block_cnt` — no rational arithmetic, so an SQL oracle reproduces
+    * the bits verbatim). Block bounds use the standard `x·8/w` floor
+    * mapping, defined for any geometry (blocks may be empty below 8 px).
+    * Returned as two 32-bit halves in Longs (`hi` = bits 32–63) so
+    * downstream XOR/popcount never touches the BIGINT sign bit. */
+  def aHash(img: DecodedImage): (Long, Long) = {
+    val (w, h) = (img.width, img.height)
+    val bSum = new Array[Long](64)
+    val bCnt = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < img.pixels.length) {
+      val b = ((i / w) * 8 / h) * 8 + ((i % w) * 8 / w)
+      bSum(b) += img.pixels(i)
+      bCnt(b) += 1
+      total += img.pixels(i)
+      i += 1
+    }
+    val n = w.toLong * h
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 64) {
+      if (bSum(b) * n > total * bCnt(b)) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
   // ── Audio (WAV PCM 8-bit unsigned mono via javax.sound) ────────────
 
   /** Canonical fixture format: 8 kHz, 8-bit, mono. 8-bit WAV PCM is

@@ -12,7 +12,18 @@ import org.apache.spark.sql.functions._
   *
   * Result is row-identical to the plain join (verified in SkewJoinSpec);
   * cost is k× replication of the smaller side, so pick k ≈ the skew factor.
-  */
+  *
+  * WHEN TO SALT — measured head-to-head vs AQE on planted-hot-key
+  * corpora (`tools/SkewProbe`, table in SCALE_VALIDATION.md): for
+  * shuffle JOINS on Spark 3.2+, AQE's native skew split is the better
+  * default (its split count adapts to actual partition bytes; a fixed k
+  * under-spreads and loses to salt→partition collisions). The salt
+  * remains the answer for (a) AGGREGATION skew with non-collapsing
+  * partials (collect_list & co — AQE only rewrites join reads, it never
+  * splits an aggregation's partition; two-stage group by (key, salt)
+  * then by key), (b) deterministic task-spread requirements, (c) pre-AQE
+  * engines. count/sum/avg need no salt at any scale: their map-side
+  * partials collapse to one row per key per task. */
 object SkewJoin {
 
   /** Join `skewed` with `other` on `skewed(key) === other(otherKey)`,
