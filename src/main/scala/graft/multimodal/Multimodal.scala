@@ -207,11 +207,66 @@ object Multimodal {
       .filter(col("total") > 0)
   }
 
+  /** Hamming budget for a near-duplicate image pair. Candidates come
+    * from a 4×16-bit band join, so recall is pigeonhole-COMPLETE for
+    * hamming ≤ 3 (4 bands, ≤3 flipped bits → some band untouched) and
+    * LSH-probabilistic above — the same banding recall contract as
+    * MinHash LSH, here over Hamming space. */
+  val MaxPhashHamming = 6
+
+  /** Per-image 64-bit perceptual hash (aHash) from REAL decoded pixels,
+    * as two 32-bit halves (sign-safe for XOR/popcount in both engines).
+    * The near-dup fingerprint an image-dedup pipeline keys on: one
+    * decode + O(pixels) per image, no shuffle. */
+  def mediaPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaFromDocuments(s, dir)
+      .filter(col("kind") === "image")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (hi, lo) = MediaCodec.aHash(MediaCodec.decodeImage(r.bytes))
+          (r.id, hi, lo)
+        }
+      }
+      .toDF("id", "hash_hi", "hash_lo")
+  }
+
+  /** Gate query: near-duplicate image pairs by banded perceptual hash —
+    * the image-space analog of MinHash+verify text dedup. Candidates =
+    * pairs sharing ANY of the 4 16-bit hash bands (equi-join, shuffle ∝
+    * images × 4, never images²); verify = exact Hamming ≤
+    * [[MaxPhashHamming]] via XOR + popcount. The planted text
+    * duplicates render pixel-identical images (hamming 0); near-dup
+    * texts land within the budget. */
+  def mediaPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val ph = mediaPhash(s, dir)
+    def banded(suffix: String) = ph
+      .select(col("id").as(s"id$suffix"),
+        col("hash_hi").as(s"hi$suffix"), col("hash_lo").as(s"lo$suffix"),
+        posexplode(array(
+          col("hash_lo").bitwiseAND(lit(0xffffL)),
+          shiftrightunsigned(col("hash_lo"), 16).bitwiseAND(lit(0xffffL)),
+          col("hash_hi").bitwiseAND(lit(0xffffL)),
+          shiftrightunsigned(col("hash_hi"), 16).bitwiseAND(lit(0xffffL))))
+          .as(Seq(s"band_j$suffix", s"band_v$suffix")))
+    banded("_a").join(banded("_b"),
+        col("band_j_a") === col("band_j_b") &&
+          col("band_v_a") === col("band_v_b") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a").as("a_id"), col("id_b").as("b_id"),
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxPhashHamming)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> mediaMeta,
     "media_histogram" -> mediaHistogram,
     "media_frame_sample" -> mediaFrameSample,
-    "media_resize" -> mediaResize)
+    "media_resize" -> mediaResize,
+    "media_phash" -> mediaPhash,
+    "media_phash_pairs" -> mediaPhashPairs)
 
   // Oracle twins: documents text is ASCII (byte i == char code i), so the
   // SQL recomputes the analytic pixel/sample functions the fixtures were
@@ -219,6 +274,37 @@ object Multimodal {
   // (encode → real JDK decode) recovered exactly those values.
   private val kindCase =
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  // Shared CTE chain recomputing the aHash bits analytically: pixel →
+  // 8×8 block (the same x·8/w floor mapping the decoder uses) → integer-
+  // exact bit (block_sum·w·h > total_sum·block_cnt) → two 32-bit halves.
+  private val phashCtes =
+    """WITH img AS (
+      |  SELECT doc_id AS id, text, length(text) AS n,
+      |    8 + length(text) % 32 AS w, 8 + (length(text) * 7) % 24 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT id, text, n, w, h, unnest(range(0, w * h)) AS i FROM img),
+      |pb AS (
+      |  SELECT id, w, h,
+      |    ord(substr(text, ((i % n) + 1)::INT, 1)) AS v,
+      |    ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS b
+      |  FROM px),
+      |blk AS (
+      |  SELECT id, w, h, b, sum(v)::BIGINT AS bs, count(*)::BIGINT AS bc
+      |  FROM pb GROUP BY id, w, h, b),
+      |tot AS (SELECT id, sum(bs)::BIGINT AS ts FROM blk GROUP BY id),
+      |bits AS (
+      |  SELECT blk.id AS id, b,
+      |    CASE WHEN bs * (w * h) > ts * bc THEN 1 ELSE 0 END AS bit
+      |  FROM blk JOIN tot ON blk.id = tot.id),
+      |hashes AS (
+      |  SELECT id,
+      |    sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32)::INT)
+      |        ELSE 0 END)::BIGINT AS hash_hi,
+      |    sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b::INT)
+      |        ELSE 0 END)::BIGINT AS hash_lo
+      |  FROM bits GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "media_meta" ->
@@ -278,6 +364,28 @@ object Multimodal {
         |SELECT id, kind, frame_idx, ts_ms, frame_sig FROM img
         |UNION ALL
         |SELECT id, kind, frame_idx, ts_ms, frame_sig FROM vid2""".stripMargin,
+    "media_phash" ->
+      s"""$phashCtes
+        |SELECT id, hash_hi, hash_lo FROM hashes""".stripMargin,
+    "media_phash_pairs" ->
+      s"""$phashCtes,
+        |bands AS (
+        |  SELECT id, hash_hi, hash_lo,
+        |    unnest([hash_lo % 65536, (hash_lo // 65536) % 65536,
+        |            hash_hi % 65536, (hash_hi // 65536) % 65536]) AS band_v,
+        |    unnest([0, 1, 2, 3]) AS band_j
+        |  FROM hashes),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+        |    a.hash_hi AS ahi, a.hash_lo AS alo,
+        |    b.hash_hi AS bhi, b.hash_lo AS blo
+        |  FROM bands a JOIN bands b
+        |    ON a.band_j = b.band_j AND a.band_v = b.band_v AND a.id < b.id)
+        |SELECT a_id, b_id,
+        |  bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 6"""
+        .stripMargin,
     "media_resize" ->
       s"""WITH m AS (
         |  SELECT doc_id AS id, $kindCase AS kind, length(text) AS n
