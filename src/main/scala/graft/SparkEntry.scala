@@ -7,8 +7,8 @@ import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,
   RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
 import graft.sim.{Ivf, SemDedup, SimilarityQueries}
 import graft.storm.StormQueries
-import graft.text.{BigramLm, Bpe, Drift, Retrieval, Sampling, TextQueries,
-  Unigram, Winnow, WordPiece}
+import graft.text.{BigramLm, Bpe, Chunking, Drift, Retrieval, Sampling,
+  TextQueries, Unigram, Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -30,6 +30,7 @@ object SparkEntry {
       (Pipeline.queries, Pipeline.oracles),
       (StormQueries.queries, StormQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
+      (Chunking.queries, Chunking.oracles),
       (Sampling.queries, Sampling.oracles),
       (Bpe.queries, Bpe.oracles),
       (Unigram.queries, Unigram.oracles),

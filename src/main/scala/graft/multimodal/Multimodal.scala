@@ -260,8 +260,44 @@ object Multimodal {
       .filter(col("hamming") <= MaxPhashHamming)
   }
 
+  final case class AudioFeatures(
+      id: Long, n_samples: Long, energy: Long, zero_crossings: Long,
+      peak: Long)
+
+  /** Per-clip audio features from the REAL decoded PCM samples — the
+    * signal-level stats an audio-quality filter keys on (silence/clipping
+    * screens, speech-band activity proxies). All integer-exact so the
+    * oracle reproduces them bit-for-bit from the analytic fixture:
+    *   - energy          = Σ (s−128)²   (8-bit unsigned, 128 = midline)
+    *   - zero_crossings  = sign flips across the midline (pitch proxy)
+    *   - peak            = max |s−128|  (clipping screen)
+    * One decode + O(samples) per clip inside the partition iterator; no
+    * shuffle. */
+  def mediaAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaFromDocuments(s, dir)
+      .filter(col("kind") === "audio")
+      .mapPartitions { it =>
+        it.map { r =>
+          val a = MediaCodec.decodeWav(r.bytes)
+          var energy = 0L; var zc = 0L; var peak = 0L
+          var prev = 0; var i = 0
+          while (i < a.samples.length) {
+            val c = a.samples(i) - 128
+            energy += c.toLong * c
+            if (c.abs > peak) peak = c.abs.toLong
+            if (i > 0 && prev * c < 0) zc += 1
+            prev = c; i += 1
+          }
+          AudioFeatures(r.id, a.samples.length.toLong, energy, zc, peak)
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> mediaMeta,
+    "media_audio_features" -> mediaAudioFeatures,
     "media_histogram" -> mediaHistogram,
     "media_frame_sample" -> mediaFrameSample,
     "media_resize" -> mediaResize,
@@ -307,6 +343,22 @@ object Multimodal {
       |  FROM bits GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "media_audio_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, text, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT id, n,
+        |    list_transform(range(0, n),
+        |      i -> ord(substr(text, (i + 1)::INT, 1)) - 128) AS s
+        |  FROM m)
+        |SELECT id, n::BIGINT AS n_samples,
+        |  list_sum(list_transform(s, x -> x * x))::BIGINT AS energy,
+        |  coalesce(list_sum(list_transform(range(1, n),
+        |    i -> CASE WHEN s[i::INT] * s[(i + 1)::INT] < 0
+        |         THEN 1 ELSE 0 END)), 0)::BIGINT AS zero_crossings,
+        |  list_max(list_transform(s, x -> abs(x)))::BIGINT AS peak
+        |FROM s""".stripMargin,
     "media_meta" ->
       s"""WITH m AS (
         |  SELECT doc_id AS id, $kindCase AS kind, length(text) AS n
