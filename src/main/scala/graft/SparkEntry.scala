@@ -7,8 +7,8 @@ import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,
   RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
 import graft.sim.{Ivf, SemDedup, SimilarityQueries}
 import graft.storm.StormQueries
-import graft.text.{BigramLm, Bpe, Chunking, Drift, Retrieval, Sampling,
-  TextQueries, Unigram, Winnow, WordPiece}
+import graft.text.{BigramLm, Bpe, Chunking, Drift, HybridRetrieval,
+  Retrieval, Sampling, TextQueries, Unigram, Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -37,6 +37,7 @@ object SparkEntry {
       (BigramLm.queries, BigramLm.oracles),
       (WordPiece.queries, WordPiece.oracles),
       (Retrieval.queries, Retrieval.oracles),
+      (HybridRetrieval.queries, HybridRetrieval.oracles),
       (Hll.queries, Hll.oracles),
       (Drift.queries, Drift.oracles),
       (Winnow.queries, Winnow.oracles),

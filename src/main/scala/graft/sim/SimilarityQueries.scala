@@ -78,7 +78,7 @@ object SimilarityQueries {
     math.min(30, math.max(NumPlanes, needed))
   }
 
-  private[sim] val Dim = 64
+  private[graft] val Dim = 64
 
   /** Exact cosine top-10 neighbors of vec_id 0 (broadcast query, one scan).
     * The query norm is computed once on the broadcast side, not per row. */
@@ -281,7 +281,7 @@ object SimilarityQueries {
     "embed_quantize" -> embedQuantize)
 
   // ------------------------------------------------------------- oracles
-  private[sim] def sqlDot(a: String, b: String): String =
+  private[graft] def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, $Dim + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
 
   private def sqlPlaneDot(emb: String, j: Int): String =

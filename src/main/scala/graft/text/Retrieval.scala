@@ -83,9 +83,10 @@ object Retrieval {
       st.getLong(0), st.getLong(1))
   }
 
-  /** Core ranking over any `(doc_id, text)` relation — the gate query
-    * binds it to the `documents` table; specs feed hand-built corpora. */
-  def bm25(docs: DataFrame): DataFrame = {
+  /** Scored relation `(doc_id, dl, s_<term>…, total)` with EXACT doubles,
+    * before the top-k cut — the surface [[bm25]] rounds for its gate and
+    * [[HybridRetrieval]] ranks for rank fusion. */
+  def scored(docs: DataFrame): DataFrame = {
     val d = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .withColumn("dl", size(col("w")))
@@ -99,7 +100,7 @@ object Retrieval {
       .groupBy("doc_id", "dl", "t")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-    val scored = tf
+    val sc = tf
       .join(broadcast(df), "t")
       .crossJoin(broadcast(stats))
       .withColumn("s", scoreExpr(col("tf"), col("df"), col("dl"),
@@ -107,51 +108,64 @@ object Retrieval {
     def termCol(t: String): Column =
       coalesce(max(when(col("t") === t, col("s"))), lit(0.0)).as(s"s_$t")
     val aggCols = max(col("dl")).cast("long").as("dl") +: QueryTerms.map(termCol)
-    val pivoted = scored.groupBy("doc_id")
+    val pivoted = sc.groupBy("doc_id")
       .agg(aggCols.head, aggCols.tail: _*)
     val total = QueryTerms.map(t => col(s"s_$t")).reduceLeft(_ + _)
-    pivoted
-      .orderBy(total.desc, col("doc_id").asc)
+    pivoted.withColumn("total", total)
+  }
+
+  /** Core ranking over any `(doc_id, text)` relation — the gate query
+    * binds it to the `documents` table; specs feed hand-built corpora. */
+  def bm25(docs: DataFrame): DataFrame =
+    scored(docs)
+      .orderBy(col("total").desc, col("doc_id").asc)
       .limit(TopK)
       .select(Seq(col("doc_id"), col("dl")) ++
         QueryTerms.map(t => round(col(s"s_$t"), 4).as(s"s_$t")) :+
-        round(total, 4).as("score"): _*)
-  }
+        round(col("total"), 4).as("score"): _*)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> bm25TopK)
 
-  val oracles: Map[String, String] = {
+  /** Shared oracle CTE chain ending in `p(doc_id, dl, s_<term>…)` —
+    * operation-for-operation mirror of [[scored]]; reused by
+    * [[HybridRetrieval.oracles]] for the lexical ranking side. */
+  private[text] val scoredCtes: String = {
     val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
     val termCols = QueryTerms.map(t =>
       s"coalesce(max(CASE WHEN t = '$t' THEN s END), 0.0) AS s_$t")
       .mkString(",\n  ")
-    val totalExpr = QueryTerms.map(t => s"s_$t").mkString(" + ")
+    s"""WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |dd AS (SELECT doc_id, len(w) AS dl, w FROM d),
+      |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
+      |tf AS (
+      |  SELECT doc_id, dl, t, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM dd)
+      |  WHERE t IN ($terms)
+      |  GROUP BY doc_id, dl, t),
+      |idf AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+      |sc AS (
+      |  SELECT doc_id,
+      |    (((n_docs - df) + 0.5e0) / (df + 0.5e0)
+      |      * (tf * ${K1 + 1}e0)) / (tf + ${K1}e0 * ((${1 - B}e0) + (${B}e0 * dl) / (sum_dl::DOUBLE / n_docs))) AS s,
+      |    t, dl
+      |  FROM tf JOIN idf USING (t) CROSS JOIN st),
+      |p AS (
+      |  SELECT doc_id, max(dl) AS dl,
+      |  $termCols
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
+  private[text] val totalExpr = QueryTerms.map(t => s"s_$t").mkString(" + ")
+
+  val oracles: Map[String, String] = {
     val roundCols = QueryTerms.map(t => s"round(s_$t, 4) AS s_$t")
       .mkString(", ")
     Map(
       "bm25_topk" ->
-        s"""WITH d AS (
-          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-          |  FROM documents),
-          |dd AS (SELECT doc_id, len(w) AS dl, w FROM d),
-          |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
-          |tf AS (
-          |  SELECT doc_id, dl, t, count(*) AS tf
-          |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM dd)
-          |  WHERE t IN ($terms)
-          |  GROUP BY doc_id, dl, t),
-          |idf AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-          |sc AS (
-          |  SELECT doc_id,
-          |    (((n_docs - df) + 0.5e0) / (df + 0.5e0)
-          |      * (tf * ${K1 + 1}e0)) / (tf + ${K1}e0 * ((${1 - B}e0) + (${B}e0 * dl) / (sum_dl::DOUBLE / n_docs))) AS s,
-          |    t, dl
-          |  FROM tf JOIN idf USING (t) CROSS JOIN st),
-          |p AS (
-          |  SELECT doc_id, max(dl) AS dl,
-          |  $termCols
-          |  FROM sc GROUP BY doc_id)
+        s"""$scoredCtes
           |SELECT doc_id, dl, $roundCols, round($totalExpr, 4) AS score
           |FROM p ORDER BY $totalExpr DESC, doc_id ASC LIMIT $TopK"""
           .stripMargin)

@@ -25,7 +25,11 @@ object ScaleValidate {
       "dedup_clusters", "dedup_apply", "lm_buckets")),
     ("projection", "shuffle ≈ 0 at any scale", Seq(
       "text_quality", "quality_gopher", "doc_fingerprint",
-      "embed_quantize", "train_split")),
+      "embed_quantize", "train_split", "chunk_documents",
+      "media_audio_features", "media_phash")),
+    ("banded-pairs", "band equi-self-join: shuffle ∝ images × bands ≈F×; " +
+      "in-join pairs ∝ Σn_b² over 16-bit band buckets", Seq(
+      "media_phash_pairs")),
     ("vocab-bounded", "shuffle ∝ vocab/partials: ≪F×", Seq(
       "cms_heavy_hitters", "vocab_topk", "bpe_pairs", "unigram_encode",
       "wordpiece_encode")),
