@@ -232,12 +232,28 @@ object Multimodal {
   }
 
   /** Gate query: near-duplicate image pairs by banded perceptual hash —
-    * the image-space analog of MinHash+verify text dedup. Candidates =
-    * pairs sharing ANY of the 4 16-bit hash bands (equi-join, shuffle ∝
-    * images × 4, never images²); verify = exact Hamming ≤
-    * [[MaxPhashHamming]] via XOR + popcount. The planted text
-    * duplicates render pixel-identical images (hamming 0); near-dup
-    * texts land within the budget. */
+    * the image-space analog of MinHash+verify text dedup, and exactly
+    * the multi-index-hashing decomposition (Norouzi et al. 2012) of
+    * Hamming search: candidates = pairs sharing ANY of the 4 16-bit
+    * hash bands (equi-join), verify = exact Hamming ≤
+    * [[MaxPhashHamming]] via XOR + popcount; 4 bands × ≤3 flipped bits
+    * → pigeonhole-complete recall at radius 3.
+    *
+    * Scale anatomy (measured in SCALE_VALIDATION.md): the join INPUT is
+    * linear (images × 4 bands per side), but the candidate-pair
+    * `distinct` moves Σn_b² over band buckets — at fixed 64-bit/4-band
+    * geometry, occupancy grows ∝ N/2¹⁶, so that half is quadratic. The
+    * production dial (aHash has no more bits to band, unlike the kNN
+    * plane dial): collapse identical hashes FIRST — group by
+    * (hash_hi, hash_lo), band-join the UNIQUE hashes, expand id groups
+    * after verify. Exact-duplicate groups, the dominant mass in a
+    * dedup corpus, then contribute one row to the join instead of
+    * group²; the residual distinct-hash collision term is the
+    * irreducible MIH candidate set. The gate binds the direct id-pair
+    * join (fixture corpus: ~1 MB shuffle), where the collapse would
+    * only add stages. The planted text duplicates render
+    * pixel-identical images (hamming 0); near-dup texts land within
+    * the budget. */
   def mediaPhashPairs(s: SparkSession, dir: String): DataFrame = {
     val ph = mediaPhash(s, dir)
     def banded(suffix: String) = ph

@@ -163,6 +163,12 @@ object StreamingPlanDigest {
         run(StreamDsir.scoreOverStream(
           mem.toDS().toDF("doc_id", "text"), Seq((0L, 1L)), 0L, 10L, 5L),
           StreamDsir.outputMode) { mem.addData((1L, "some text")) }
+      },
+      "chunk" -> { () =>
+        val mem = MemoryStream[(Long, String)]
+        run(StreamChunk.chunksOverStream(
+          mem.toDS().toDF("doc_id", "text")),
+          StreamChunk.outputMode) { mem.addData((1L, "a b c")) }
       })
 
     twins.map { case (n, f) => n -> f() }.sortBy(_._1)

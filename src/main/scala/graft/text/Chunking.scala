@@ -32,10 +32,14 @@ object Chunking {
   /** One row per (doc, window): sliding token windows of
     * [[ChunkTokens]] every [[ChunkStride]], last window clipped at the
     * document end; a document shorter than one window yields exactly one
-    * chunk. Chunk k covers tokens `[k·stride, k·stride + size)`. */
-  def chunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    * chunk. Chunk k covers tokens `[k·stride, k·stride + size)`.
+    *
+    * Works on any `(doc_id, text)` relation, batch OR streaming — the
+    * projection is stateless, so [[graft.streaming.StreamChunk]] reuses
+    * it verbatim and stream ≡ batch holds by construction. */
+  def chunk(docs: DataFrame): DataFrame = {
     val t = ChunkTokens; val st = ChunkStride
-    Tables.parallel(s, dir, "documents")
+    docs
       .select(col("doc_id"), TextQueries.words(col("text")).as("w"))
       .withColumn("n", size(col("w")))
       // last window index: 0 when everything fits in one window, else
@@ -54,6 +58,10 @@ object Chunking {
         array_join(slice(col("w"), col("chunk_idx") * st + 1, lit(t)), " ")
           .as("chunk_text"))
   }
+
+  /** Gate query: [[chunk]] over the `documents` table. */
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    chunk(Tables.parallel(s, dir, "documents"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chunk_documents" -> chunkDocuments)

@@ -35,7 +35,7 @@ object ScaleValidate {
       "wordpiece_encode")),
     ("matching-token-bounded",
       "tf shuffle ∝ query-term matches (base-replica-only terms): ≈flat", Seq(
-      "bm25_topk")),
+      "bm25_topk", "hybrid_rrf_topk")),
     ("broadcast-side", "shuffle ∝ corpus partials, broadcast fixed: ≤F×", Seq(
       "decontaminate", "decontam_bloom", "ann_cosine_topk",
       "ann_batch_topk", "ivf_topk", "dedup_embedding_cosine",
