@@ -254,8 +254,11 @@ object Multimodal {
     * only add stages. The planted text duplicates render
     * pixel-identical images (hamming 0); near-dup texts land within
     * the budget. */
-  def mediaPhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val ph = mediaPhash(s, dir)
+  def mediaPhashPairs(s: SparkSession, dir: String): DataFrame =
+    phashPairs(mediaPhash(s, dir))
+
+  /** Direct pair plan over any `(id, hash_hi, hash_lo)` relation. */
+  def phashPairs(ph: DataFrame): DataFrame = {
     def banded(suffix: String) = ph
       .select(col("id").as(s"id$suffix"),
         col("hash_hi").as(s"hi$suffix"), col("hash_lo").as(s"lo$suffix"),
@@ -274,6 +277,65 @@ object Multimodal {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= MaxPhashHamming)
+  }
+
+  /** The production-scale twin of [[mediaPhashPairs]] — IDENTICAL output,
+    * collapse-first plan: group ids by exact hash, band-join only the
+    * UNIQUE hashes, verify Hamming on hash pairs, then expand id groups
+    * in-row. Exact-duplicate groups (hamming 0 — the dominant mass in a
+    * dedup corpus) contribute ONE row per hash to the band join instead
+    * of group rows, and their pairs never transit the candidate
+    * `distinct`: the quadratic moves from the shuffle into the final
+    * in-row expansion, which is the output size itself. The residual
+    * shuffled term is the multi-index-hashing candidate set over
+    * distinct hashes — the irreducible part at fixed 64-bit geometry.
+    * `MediaPhashGroupedSpec` proves pair-for-pair equality with the
+    * direct plan; the oracle is literally the same SQL. */
+  def mediaPhashPairsGrouped(s: SparkSession, dir: String): DataFrame =
+    phashPairsGrouped(mediaPhash(s, dir))
+
+  /** Collapse-first pair plan over any `(id, hash_hi, hash_lo)` relation. */
+  def phashPairsGrouped(ph: DataFrame): DataFrame = {
+    val groups = ph
+      .groupBy("hash_hi", "hash_lo")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+
+    // hamming-0 pairs: all unordered id pairs within one hash group,
+    // expanded in-row (never shuffled — the group row carries its ids)
+    val intra = groups
+      .select(col("ids"), explode(col("ids")).as("a_id"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        lit(0).as("hamming"))
+
+    // cross-hash candidates: MIH band join over unique hashes only
+    def banded(suffix: String) = groups
+      .select(col("hash_hi").as(s"hi$suffix"),
+        col("hash_lo").as(s"lo$suffix"), col("ids").as(s"ids$suffix"),
+        posexplode(array(
+          col("hash_lo").bitwiseAND(lit(0xffffL)),
+          shiftrightunsigned(col("hash_lo"), 16).bitwiseAND(lit(0xffffL)),
+          col("hash_hi").bitwiseAND(lit(0xffffL)),
+          shiftrightunsigned(col("hash_hi"), 16).bitwiseAND(lit(0xffffL))))
+          .as(Seq(s"band_j$suffix", s"band_v$suffix")))
+    val cross = banded("_a").join(banded("_b"),
+        col("band_j_a") === col("band_j_b") &&
+          col("band_v_a") === col("band_v_b") &&
+          (col("hi_a") < col("hi_b") ||
+            (col("hi_a") === col("hi_b") && col("lo_a") < col("lo_b"))))
+      .select(col("ids_a"), col("ids_b"),
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .as("hamming"))
+      .distinct() // hash pairs, not id pairs — each unordered id pair
+                  // appears exactly once after the expansion below
+      .filter(col("hamming") <= MaxPhashHamming)
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("hamming"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("hamming"))
+
+    intra.unionByName(cross)
   }
 
   final case class AudioFeatures(
@@ -318,7 +380,8 @@ object Multimodal {
     "media_frame_sample" -> mediaFrameSample,
     "media_resize" -> mediaResize,
     "media_phash" -> mediaPhash,
-    "media_phash_pairs" -> mediaPhashPairs)
+    "media_phash_pairs" -> mediaPhashPairs,
+    "media_phash_pairs_grouped" -> mediaPhashPairsGrouped)
 
   // Oracle twins: documents text is ASCII (byte i == char code i), so the
   // SQL recomputes the analytic pixel/sample functions the fixtures were
@@ -357,6 +420,26 @@ object Multimodal {
       |    sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b::INT)
       |        ELSE 0 END)::BIGINT AS hash_lo
       |  FROM bits GROUP BY id)""".stripMargin
+
+  private lazy val phashPairsSql: String =
+    s"""$phashCtes,
+      |bands AS (
+      |  SELECT id, hash_hi, hash_lo,
+      |    unnest([hash_lo % 65536, (hash_lo // 65536) % 65536,
+      |            hash_hi % 65536, (hash_hi // 65536) % 65536]) AS band_v,
+      |    unnest([0, 1, 2, 3]) AS band_j
+      |  FROM hashes),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+      |    a.hash_hi AS ahi, a.hash_lo AS alo,
+      |    b.hash_hi AS bhi, b.hash_lo AS blo
+      |  FROM bands a JOIN bands b
+      |    ON a.band_j = b.band_j AND a.band_v = b.band_v AND a.id < b.id)
+      |SELECT a_id, b_id,
+      |  bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 6"""
+      .stripMargin
 
   val oracles: Map[String, String] = Map(
     "media_audio_features" ->
@@ -435,25 +518,9 @@ object Multimodal {
     "media_phash" ->
       s"""$phashCtes
         |SELECT id, hash_hi, hash_lo FROM hashes""".stripMargin,
-    "media_phash_pairs" ->
-      s"""$phashCtes,
-        |bands AS (
-        |  SELECT id, hash_hi, hash_lo,
-        |    unnest([hash_lo % 65536, (hash_lo // 65536) % 65536,
-        |            hash_hi % 65536, (hash_hi // 65536) % 65536]) AS band_v,
-        |    unnest([0, 1, 2, 3]) AS band_j
-        |  FROM hashes),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
-        |    a.hash_hi AS ahi, a.hash_lo AS alo,
-        |    b.hash_hi AS bhi, b.hash_lo AS blo
-        |  FROM bands a JOIN bands b
-        |    ON a.band_j = b.band_j AND a.band_v = b.band_v AND a.id < b.id)
-        |SELECT a_id, b_id,
-        |  bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS hamming
-        |FROM cand
-        |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 6"""
-        .stripMargin,
+    "media_phash_pairs" -> phashPairsSql,
+    // the grouped twin emits the SAME relation — one oracle, two plans
+    "media_phash_pairs_grouped" -> phashPairsSql,
     "media_resize" ->
       s"""WITH m AS (
         |  SELECT doc_id AS id, $kindCase AS kind, length(text) AS n

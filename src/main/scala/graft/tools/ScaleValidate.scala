@@ -29,7 +29,7 @@ object ScaleValidate {
       "media_audio_features", "media_phash")),
     ("banded-pairs", "band equi-self-join: shuffle ∝ images × bands ≈F×; " +
       "in-join pairs ∝ Σn_b² over 16-bit band buckets", Seq(
-      "media_phash_pairs")),
+      "media_phash_pairs", "media_phash_pairs_grouped")),
     ("vocab-bounded", "shuffle ∝ vocab/partials: ≪F×", Seq(
       "cms_heavy_hitters", "vocab_topk", "bpe_pairs", "unigram_encode",
       "wordpiece_encode")),
