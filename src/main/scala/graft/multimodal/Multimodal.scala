@@ -55,12 +55,39 @@ object Multimodal {
   // Not `private`: Catalyst's generated deserializer needs access.
   final case class DocRow(id: Long, text: String)
 
+  // One-slot memo for the most recent (session, dir, source-stamp):
+  // seven gate queries consume the same encoded media table, and the
+  // PNG/WAV/GFV1 fixture encode is the dominant shared cost — same
+  // bounded-eviction policy as Ivf.assignments / ConnectedComponents.
+  private var lastMedia:
+    Option[((SparkSession, String, Long), Dataset[MediaRecord])] = None
+
+  /** The encoded media table, cached once per corpus (see memo note). */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    synchronized {
+      val key = (spark, dir, Tables.sourceStamp(dir, "documents"))
+      lastMedia match {
+        case Some((k, v)) if k == key => v
+        case prev =>
+          prev.foreach(_._2.unpersist())
+          val v = encodeMedia(spark, dir).cache()
+          lastMedia = Some((key, v))
+          v
+      }
+    }
+
+  /** Drop the memoized media table (tests; corpus switches evict). */
+  def release(): Unit = synchronized {
+    lastMedia.foreach(_._2.unpersist())
+    lastMedia = None
+  }
+
   /** Synthesize the media table from `documents`: kind cycles
     * image/audio/video by doc_id, payload is a REAL encoded PNG / WAV /
     * GFV1 container whose pixel/sample values derive from the text.
     * Encoding happens inside `mapPartitions` — same once-per-partition
     * lifecycle as the decode stage. */
-  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+  private def encodeMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.parallel(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text"))

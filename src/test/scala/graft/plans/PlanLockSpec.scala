@@ -24,6 +24,11 @@ class PlanLockSpec extends AnyFunSuite {
     graft.dedup.DedupQueries.releasePrunedShingles()
     graft.dedup.ConnectedComponents.releaseClusters()
     graft.sim.Ivf.release()
+    // clearCache() above removes the memoized media table's cache entry
+    // while the memo still holds the Dataset — later media plans would
+    // silently lose their InMemoryTableScan; drop the memo so the digest
+    // pass rebuilds cache state exactly as PlanLockMain's fresh session
+    graft.multimodal.Multimodal.release()
   }
 
   test("every gate query's physical plan matches plans.lock") {
