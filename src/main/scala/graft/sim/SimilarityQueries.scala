@@ -288,7 +288,7 @@ object SimilarityQueries {
     s"list_sum(list_transform(range(1, $Dim + 1), i -> $emb[i]::DOUBLE * " +
       s"((('0x' || substr(sha256('${j}_' || i), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)))"
 
-  private def sqlBucket(emb: String): String =
+  private[sim] def sqlBucket(emb: String): String =
     (0 until NumPlanes).map(j =>
       s"(CASE WHEN ${sqlPlaneDot(emb, j)} >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")

@@ -47,6 +47,9 @@ object ScaleValidate {
       "semdedup")),
     ("knn-graph", "bucket self-join: shuffle ∝ vectors; in-join pairs ∝ Σn_b² (fixture planes fixed → occupancy ∝F; production grows planes to pin occupancy)", Seq(
       "knn_graph_lsh")),
+    ("iterative-graph", "knn build + const iterations × (edges join + " +
+      "dst-keyed partials): shuffle ∝ edges ≈F×", Seq(
+      "pagerank_knn")),
     // Relational / storm families (facts ×F, dims fixed — ScaleGen's
     // star-schema growth shape):
     ("scan-agg", "map-side complete: partials ∝ partitions×groups: ≪F×", Seq(
