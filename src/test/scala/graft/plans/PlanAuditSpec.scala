@@ -74,10 +74,16 @@ class PlanAuditSpec extends AnyFunSuite {
   test("frame sampling fans out inside the partition, no generator shuffle") {
     val plan = graft.multimodal.Multimodal
       .mediaFrameSample(spark, sf).queryExecution.executedPlan.toString
-    // the only exchange allowed is Tables.parallel's deliberate round-robin
-    // spread of the single-row-group local parquet before the decode
-    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges <= 1, s"unexpected shuffles in frame sampling:\n$plan")
+    // audit only the stage ABOVE the memoized media cache: execution
+    // reads the InMemoryTableScan — the Exchange printed inside the
+    // InMemoryRelation subtree is the cached build plan (Tables.parallel's
+    // deliberate round-robin spread), paid once at materialization.
+    // Without the cache boundary, allow that one spread exchange.
+    val audited = plan.linesIterator
+      .takeWhile(l => !l.contains("InMemoryRelation")).toSeq
+    val exchanges = audited.count(_.contains("Exchange"))
+    assert(exchanges <= (if (audited.length < plan.linesIterator.length) 0 else 1),
+      s"unexpected shuffles in frame sampling:\n$plan")
   }
 
   test("decontaminate broadcasts the eval side, never shuffles the corpus for it") {
