@@ -166,11 +166,11 @@ object SimilarityQueries {
   def annLshTopk(s: SparkSession, dir: String): DataFrame =
     lshProbeTopk(s, dir, nFlips = 0)
 
-  /** Flip bit `j` (0-based) of an 8-char "01010101" bucket string. */
-  private def flipAt(b: Column, j: Int): Column =
+  /** Flip bit `j` (0-based) of a `planes`-char "0101…" bucket string. */
+  private def flipAt(b: Column, j: Int, planes: Int = NumPlanes): Column =
     concat(substring(b, 1, j),
       when(substring(b, j + 1, 1) === "1", "0").otherwise("1"),
-      substring(b, j + 2, NumPlanes - j - 1))
+      substring(b, j + 2, planes - j - 1))
 
   /** Multi-probe LSH top-k: probe the query's bucket plus every bucket at
     * Hamming distance 1 (9 probes for 8 planes) — the standard
@@ -217,15 +217,39 @@ object SimilarityQueries {
   /** Dialed form: production binds `planes = planesFor(corpusSize)` so
     * bucket occupancy — and with it the in-join Σ n_b² pair work — stays
     * pinned as the corpus grows; the gate binds the fixture constant. */
-  def knnGraphLsh(s: SparkSession, dir: String, planes: Int): DataFrame = {
+  def knnGraphLsh(s: SparkSession, dir: String, planes: Int): DataFrame =
+    knnGraph(s, dir, planes, multiprobe = false)
+
+  /** Recall-widened kNN graph: each vector's candidate set is its own
+    * bucket PLUS every bucket at Hamming distance 1 (the probe dial from
+    * [[annLshMultiprobe]], applied to the whole graph build) — recovers
+    * neighbors that fall just across one hyperplane, the main recall
+    * loss of sign-LSH bucketing. Candidate work grows by ×(planes+1)
+    * per vector, still Σ n_b²-bounded per probe; per-vector top-K
+    * cosine lists dominate the single-probe graph's element-wise
+    * (candidate superset — spec'd). */
+  def knnGraphMultiprobe(s: SparkSession, dir: String): DataFrame =
+    knnGraph(s, dir, NumPlanes, multiprobe = true)
+
+  private def knnGraph(s: SparkSession, dir: String, planes: Int,
+                       multiprobe: Boolean): DataFrame = {
     val e = Tables.parallel(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
         lshBucket(col("embedding"), Dim, planes).as("bucket"))
+    // probe relation: the vector's bucket, plus its Hamming-1 buckets
+    // when multiprobing (probes are distinct, so no pair matches twice)
+    val a =
+      if (!multiprobe) e.select(col("vec_id"), col("embedding"),
+        col("nrm"), col("bucket").as("probe"))
+      else e.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array(col("bucket") +:
+          (0 until planes).map(j => flipAt(col("bucket"), j, planes)): _*))
+          .as("probe"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") &&
+    a.as("a").join(e.as("b"),
+        col("a.probe") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         (dot(col("a.embedding"), col("b.embedding")) /
@@ -278,6 +302,7 @@ object SimilarityQueries {
     "ann_lsh_multiprobe" -> annLshMultiprobe,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "knn_graph_lsh" -> knnGraphLsh,
+    "knn_graph_multiprobe" -> knnGraphMultiprobe,
     "embed_quantize" -> embedQuantize)
 
   // ------------------------------------------------------------- oracles
@@ -346,6 +371,27 @@ object SimilarityQueries {
         |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT a_id, b_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
         |FROM p WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.4""".stripMargin,
+    "knn_graph_multiprobe" -> {
+      val flips = (0 until NumPlanes).map(j =>
+        s"substr(bucket, 1, $j) || (CASE WHEN substr(bucket, ${j + 1}, 1) = '1' " +
+          s"THEN '0' ELSE '1' END) || substr(bucket, ${j + 2}, ${NumPlanes - j - 1})")
+      val probeList = ("bucket" +: flips).mkString(",\n    ")
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |    ${sqlBucket("embedding")} AS bucket FROM embeddings),
+        |pr AS (SELECT vec_id, embedding, unnest([
+        |    $probeList]) AS probe FROM b),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    ${sqlDot("a.embedding", "b.embedding")} AS dp,
+        |    ${sqlDot("a.embedding", "a.embedding")} AS na,
+        |    ${sqlDot("b.embedding", "b.embedding")} AS nb
+        |  FROM pr a JOIN b b ON a.probe = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (SELECT a_id, b_id, dp / (sqrt(na) * sqrt(nb)) AS cos,
+        |    row_number() OVER (PARTITION BY a_id
+        |      ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, b_id ASC) AS rk
+        |  FROM p)
+        |SELECT a_id, rk::BIGINT AS rk, b_id, round(cos, 4) AS cosine
+        |FROM r WHERE rk <= $KnnK""".stripMargin
+    },
     "knn_graph_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding,
         |    ${sqlBucket("embedding")} AS bucket FROM embeddings),

@@ -46,7 +46,7 @@ object ScaleValidate {
     ("semantic-dedup", "cell self-join: shuffle ∝ vectors (pairs stay in-join): ≈F×", Seq(
       "semdedup")),
     ("knn-graph", "bucket self-join: shuffle ∝ vectors; in-join pairs ∝ Σn_b² (fixture planes fixed → occupancy ∝F; production grows planes to pin occupancy)", Seq(
-      "knn_graph_lsh")),
+      "knn_graph_lsh", "knn_graph_multiprobe")),
     ("iterative-graph", "knn build + const iterations × (edges join + " +
       "dst-keyed partials): shuffle ∝ edges ≈F×", Seq(
       "pagerank_knn")),

@@ -38,4 +38,37 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(g.filter(col("a_id") === col("b_id")).count() == 0)
     g.unpersist()
   }
+
+  test("multiprobe graph dominates the single-probe graph element-wise") {
+    def byVector(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1)
+        .map { case (a, es) => a -> es.sortBy(_._2).map(e => (e._3, e._4)) }
+
+    val single = byVector(SimilarityQueries.knnGraphLsh(spark, sf))
+    val multi = byVector(SimilarityQueries.knnGraphMultiprobe(spark, sf))
+
+    // every vector with single-probe neighbors keeps at least that many
+    // (candidate superset), and the r-th neighbor's cosine never drops
+    assert(single.keySet.subsetOf(multi.keySet))
+    single.foreach { case (a, sEdges) =>
+      val mEdges = multi(a)
+      assert(mEdges.length >= sEdges.length, s"vector $a lost degree")
+      sEdges.zip(mEdges).zipWithIndex.foreach {
+        case (((_, sCos), (_, mCos)), r) =>
+          assert(mCos >= sCos, s"vector $a rank ${r + 1} cosine dropped")
+      }
+    }
+    // the probe widening must actually add candidates somewhere: some
+    // vector gains an edge or improves a neighbor (guaranteed whenever
+    // any vector has an under-filled bucket and a Hamming-1 neighbor —
+    // if the corpora ever degenerate to identical graphs the dial is
+    // inert and the spec should say so)
+    val grew = single.exists { case (a, sE) =>
+      multi(a).length > sE.length ||
+        sE.zip(multi(a)).exists { case ((_, s), (_, m)) => m > s }
+    } || multi.keySet.size > single.keySet.size
+    assert(grew, "multiprobe changed nothing — probe dial inert on fixture")
+  }
 }
