@@ -169,6 +169,15 @@ object StreamingPlanDigest {
         run(StreamChunk.chunksOverStream(
           mem.toDS().toDF("doc_id", "text")),
           StreamChunk.outputMode) { mem.addData((1L, "a b c")) }
+      },
+      "media" -> { () =>
+        val mem = MemoryStream[graft.multimodal.Multimodal.MediaRecord]
+        run(StreamMedia.featuresOverStream(mem.toDS()),
+          StreamMedia.outputMode) {
+          mem.addData(graft.multimodal.Multimodal.MediaRecord(
+            1L, "audio", graft.multimodal.MediaCodec.encodeWav(
+              Array[Byte](1, 2, 3))))
+        }
       })
 
     twins.map { case (n, f) => n -> f() }.sortBy(_._1)
