@@ -5,7 +5,8 @@ import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,
   RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
-import graft.sim.{Ivf, PageRank, SemDedup, SimilarityQueries}
+import graft.sim.{Ivf, PageRank, SemDedup, SemanticDecontam,
+  SimilarityQueries}
 import graft.storm.StormQueries
 import graft.text.{BigramLm, Bpe, Chunking, Drift, HybridRetrieval,
   Retrieval, Sampling, TextQueries, Unigram, Winnow, WordPiece}
@@ -52,6 +53,7 @@ object SparkEntry {
       (Ivf.queries, Ivf.oracles),
       (SemDedup.queries, SemDedup.oracles),
       (PageRank.queries, PageRank.oracles),
+      (SemanticDecontam.queries, SemanticDecontam.oracles),
       (Multimodal.queries, Multimodal.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
