@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.dedup.{Bloom, ConnectedComponents, DedupQueries, SubstringDedup}
+import graft.dedup.{Bloom, ConnectedComponents, DedupQueries, PrefixJoin,
+  SnapshotDedup, SubstringDedup}
 import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,
@@ -47,6 +48,8 @@ object SparkEntry {
       (CountMin.queries, CountMin.oracles),
       (ZOrder.queries, ZOrder.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
+      (PrefixJoin.queries, PrefixJoin.oracles),
+      (SnapshotDedup.queries, SnapshotDedup.oracles),
       (SubstringDedup.queries, SubstringDedup.oracles),
       (Bloom.queries, Bloom.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),

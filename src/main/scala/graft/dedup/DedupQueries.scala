@@ -435,7 +435,7 @@ object DedupQueries {
         |          JOIN sizes sb ON sb.doc_id = b_id
         |          WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5)""".stripMargin)
 
-  private val minhashSelect: String = {
+  private[dedup] val minhashSelect: String = {
     val mins = (0 until NumPerms).map(j =>
       s"min((h * ${PermA(j)} + ${PermB(j)}) % $MinhashPrime) AS h$j")
       .mkString(",\n    ")
@@ -448,7 +448,7 @@ object DedupQueries {
        |  GROUP BY doc_id)""".stripMargin
   }
 
-  private val bandsSql: String = {
+  private[dedup] val bandsSql: String = {
     val bandRows = (0 until NumBands).map { b =>
       val rows = (0 until RowsPerBand)
         .map(r => s"h${b * RowsPerBand + r}").mkString(" || ',' || ")
