@@ -100,6 +100,11 @@ object PrefixJoin {
     * `common = |sa ∩ sb|` computed in-row. Never re-expands a candidate
     * into per-shingle rows. */
   def verify(cands: DataFrame, sh: DataFrame): DataFrame = {
+    // Declarative on purpose, no materialization: in the shuffle regime
+    // the planner's ReuseExchange serves both join sides from one
+    // aggregation (measured — 50.5M records either way at 30×), and in
+    // the broadcast regime rebuilding the per-side broadcast is cheaper
+    // than an eager localCheckpoint (measured +1.8 s at sf0.1).
     val ds = docSets(sh)
     cands
       .join(ds.select(col("doc_id").as("a_id"), col("ss").as("sa"),
