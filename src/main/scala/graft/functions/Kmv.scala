@@ -97,8 +97,65 @@ object Kmv {
             element_at(col("sk"), K).cast("double")), 4).as("est_distinct"))
   }
 
+  // ------------------------------------------- KMV set operations
+  /** Sketch-tier SOURCE OVERLAP — the scale path beside the exact
+    * `source_overlap` join (theta-sketch set operations over the same
+    * KMV minima, Bar-Yossef et al. 2002 / DataSketches theta): the
+    * exact query joins every cross-source shingle occurrence (linear
+    * but corpus-sized); this one ships K=[[K]] longs per source and
+    * answers every pairwise overlap from the sketches alone.
+    *
+    * Estimators, per unordered source pair (a < b), with U = the K
+    * smallest of the merged minima:
+    *  - union: exact `|U|` while unsaturated (both sketches are then
+    *    complete sets), else `(K−1)·2³² / U₍K₎` — [[estimate]] applied
+    *    to the merged sketch;
+    *  - Jaccard: `|{h ∈ U : h ∈ A ∧ h ∈ B}| / |U|` — U is a uniform
+    *    K-sample of the union, membership in both sketches marks the
+    *    intersection within it;
+    *  - shared: `J_est × union_est`.
+    * Every input is a deterministic sha256-derived hash and every step
+    * is integer or a replayed IEEE expression, so DuckDB reproduces
+    * the estimates bit-exactly — the sketch stays inside the
+    * hash-equality gate (same argument as [[kmvDistinct]]).
+    *
+    * Scale shape: one partial-aggregated sketch pass ∝ tokens, then a
+    * sources² pair expansion over K-long arrays — sources are a
+    * FIXED-cardinality dimension (20 here; hundreds in production), so
+    * the pair stage is corpus-independent. The exact twin stays the
+    * gate's cross-check; at 100 TB one runs the sketches. */
+  def sourceOverlapKmv(s: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new KmvAgg(K), Encoders.scalaLong)
+    val sk = Tables.parallel(s, dir, "documents")
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(trigrams(col("w"))).as("sg"))
+      .groupBy("source")
+      .agg(kmv(hex32(col("sg"))).as("sk"))
+    val u = slice(array_sort(array_union(col("a.sk"), col("b.sk"))), 1, K)
+    val pairs = sk.as("a").join(sk.as("b"),
+      col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"), u.as("u"))
+      .withColumn("n_u", size(col("u")))
+      .withColumn("in_both", size(filter(col("u"),
+        h => array_contains(col("ska"), h) &&
+          array_contains(col("skb"), h))))
+      .withColumn("est_union",
+        when(col("n_u") < K, col("n_u").cast("double"))
+          .otherwise(lit((K - 1) * HashRange) /
+            element_at(col("u"), K).cast("double")))
+    pairs.select(col("src_a"), col("src_b"),
+      round(col("est_union"), 4).as("est_union"),
+      round(col("in_both").cast("double") / col("n_u"), 4)
+        .as("est_jaccard"),
+      round(col("in_both").cast("double") / col("n_u") * col("est_union"),
+        4).as("est_shared"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kmv_distinct" -> kmvDistinct)
+    "kmv_distinct" -> kmvDistinct,
+    "source_overlap_kmv" -> sourceOverlapKmv)
 
   val oracles: Map[String, String] = Map(
     "kmv_distinct" ->
@@ -123,5 +180,35 @@ object Kmv {
         |  round(CASE WHEN k.n_kept < $K THEN k.n_kept::DOUBLE
         |        ELSE ${(K - 1) * 4294967296.0} / k.hk_k END, 4)
         |    AS est_distinct
-        |FROM e JOIN k USING (source)""".stripMargin)
+        |FROM e JOIN k USING (source)""".stripMargin,
+    "source_overlap_kmv" ->
+      s"""WITH t AS (
+        |  SELECT source, unnest($trigramsSql) AS sg
+        |  FROM (SELECT source, list_filter(string_split(text, ' '),
+        |                x -> x <> '') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |h AS (SELECT DISTINCT source,
+        |        ('0x' || substr(sha256(sg), 1, 8))::BIGINT AS hk
+        |      FROM t),
+        |r AS (SELECT source, hk, row_number() OVER (
+        |        PARTITION BY source ORDER BY hk) AS rk
+        |      FROM h),
+        |s AS (SELECT source, list(hk ORDER BY hk ASC) AS sk
+        |      FROM r WHERE rk <= $K GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        a.sk AS ska, b.sk AS skb,
+        |        list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:$K] AS u
+        |      FROM s a JOIN s b ON a.source < b.source),
+        |q AS (SELECT src_a, src_b, len(u) AS n_u,
+        |        len(list_filter(u, x -> list_contains(ska, x)
+        |          AND list_contains(skb, x))) AS in_both,
+        |        CASE WHEN len(u) < $K THEN len(u)::DOUBLE
+        |          ELSE ${(K - 1) * 4294967296.0} / u[$K]::DOUBLE END
+        |          AS est_union
+        |      FROM p)
+        |SELECT src_a, src_b, round(est_union, 4) AS est_union,
+        |  round(in_both::DOUBLE / n_u, 4) AS est_jaccard,
+        |  round(in_both::DOUBLE / n_u * est_union, 4) AS est_shared
+        |FROM q""".stripMargin)
 }

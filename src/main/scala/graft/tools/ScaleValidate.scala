@@ -20,6 +20,9 @@ object ScaleValidate {
     ("linear-token", "shuffle ∝ tokens: ≈F×", Seq(
       "dedup_substring", "kmv_distinct", "term_rarity_topk",
       "cross_doc_ngrams", "doc_repetition", "winnow_fingerprints")),
+    ("sketch-setop", "KMV partials: shuffle ∝ sources × K longs ≪F×; " +
+      "pair stage over sources² sketches, corpus-independent", Seq(
+      "source_overlap_kmv")),
     ("doc-proportional", "shuffle ∝ docs: ≈F×", Seq(
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
       "dedup_clusters", "dedup_apply", "lm_buckets")),
