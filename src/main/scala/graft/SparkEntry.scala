@@ -6,7 +6,7 @@ import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,
   RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
-import graft.sim.{Ivf, PageRank, SemDedup, SemanticDecontam,
+import graft.sim.{Ivf, KnnGraphIvf, PageRank, SemDedup, SemanticDecontam,
   SimilarityQueries}
 import graft.storm.StormQueries
 import graft.text.{BigramLm, Bpe, Chunking, Drift, HybridRetrieval,
@@ -54,6 +54,7 @@ object SparkEntry {
       (Bloom.queries, Bloom.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (Ivf.queries, Ivf.oracles),
+      (KnnGraphIvf.queries, KnnGraphIvf.oracles),
       (SemDedup.queries, SemDedup.oracles),
       (PageRank.queries, PageRank.oracles),
       (SemanticDecontam.queries, SemanticDecontam.oracles),

@@ -69,11 +69,16 @@ object RecallProbe {
         recallOf(SimilarityQueries.knnGraphLsh(spark, dir), brute)
       val (m, mV, mN) =
         recallOf(SimilarityQueries.knnGraphMultiprobe(spark, dir), brute)
+      val (iv, ivV, ivN) =
+        recallOf(graft.sim.KnnGraphIvf.knnGraphIvf(spark, dir), brute)
       brute.unpersist()
       println(f"""{"dir":"$dir","k":${SimilarityQueries.KnnK},""" +
         f""""recall_single":$s%.4f,"recall_multiprobe":$m%.4f,""" +
+        f""""recall_ivf":$iv%.4f,""" +
         f""""cos04_single":$sV%.4f,"cos04_multiprobe":$mV%.4f,""" +
-        f""""cos095_single":$sN%.4f,"cos095_multiprobe":$mN%.4f}""")
+        f""""cos04_ivf":$ivV%.4f,""" +
+        f""""cos095_single":$sN%.4f,"cos095_multiprobe":$mN%.4f,""" +
+        f""""cos095_ivf":$ivN%.4f}""")
     }
     spark.stop()
   }

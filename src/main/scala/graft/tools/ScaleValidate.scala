@@ -56,6 +56,9 @@ object ScaleValidate {
       "semdedup")),
     ("knn-graph", "bucket self-join: shuffle ∝ vectors; in-join pairs ∝ Σn_b² (fixture planes fixed → occupancy ∝F; production grows planes to pin occupancy)", Seq(
       "knn_graph_lsh", "knn_graph_multiprobe")),
+    ("knn-graph-ivf", "cell self-join: shuffle ∝ vectors; in-join pairs " +
+      "∝ Σn_cell², pinned by the shared nListsFor dial (fixture NLists " +
+      "fixed → occupancy ∝F)", Seq("knn_graph_ivf")),
     ("iterative-graph", "knn build + const iterations × (edges join + " +
       "dst-keyed partials): shuffle ∝ edges ≈F×", Seq(
       "pagerank_knn")),
