@@ -6,8 +6,8 @@ import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,
   RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
-import graft.sim.{Ivf, KnnGraphIvf, PageRank, SemDedup, SemanticDecontam,
-  SimilarityQueries}
+import graft.sim.{EmbeddingDrift, Ivf, KnnGraphIvf, PageRank, SemDedup,
+  SemanticDecontam, SimilarityQueries}
 import graft.storm.StormQueries
 import graft.text.{BigramLm, Bpe, Chunking, Drift, HybridRetrieval,
   Retrieval, Sampling, TextQueries, Unigram, Winnow, WordPiece}
@@ -55,6 +55,7 @@ object SparkEntry {
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (Ivf.queries, Ivf.oracles),
       (KnnGraphIvf.queries, KnnGraphIvf.oracles),
+      (EmbeddingDrift.queries, EmbeddingDrift.oracles),
       (SemDedup.queries, SemDedup.oracles),
       (PageRank.queries, PageRank.oracles),
       (SemanticDecontam.queries, SemanticDecontam.oracles),

@@ -1,0 +1,114 @@
+package graft.sim
+
+import graft.Tables
+import graft.sim.SimilarityQueries.{dot, sqlDot}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space drift monitor — the vector-side sibling of the text
+  * `source_drift` pass: between two snapshots, did a label's embedding
+  * DISTRIBUTION move (new encoder version, upstream content shift,
+  * collapsed region)? Statistics per label: the cosine between the two
+  * snapshots' centroids (1.0 = no directional drift) and each
+  * snapshot's mean vector norm (scale drift — e.g. an un-normalized
+  * batch sneaking in). Snapshots are the deterministic halves
+  * `vec_id % 2` (the same stand-in discipline `source_drift` and the
+  * decontamination operators use); a real `snapshot` column is a
+  * one-line input change.
+  *
+  * Exactness across engines is the interesting part: a distributed
+  * float SUM is order-dependent (IEEE addition is not associative), so
+  * a naive centroid would hash-mismatch any oracle. The centroid sums
+  * therefore run in FIXED-POINT: each coordinate is scaled to
+  * `round(x · 2²⁴)` (exact — a float has 24 significand bits, and the
+  * product is correctly rounded identically in both engines) and summed
+  * as integers, which IS associative; cosine is computed from the
+  * integer sum vectors at the end (scale-invariant, so the 2²⁴ factor
+  * cancels), and mean norms divide integer sums once at the output.
+  * The same trick `pagerank_knn` uses to keep a float fixed-point
+  * iteration hash-exact. At gate scale the sums stay far below 2⁶³
+  * (coordinate sums ≤ n·2²⁴); a 100 TB run lifts them to decimal(38,0)
+  * exactly as `source_drift` documents for its cross-products.
+  *
+  * Scale shape: one posexplode → (label, half, dim) integer partials
+  * (map-side combined, bounded by labels × 2 × dim per partition —
+  * dimension-bounded, not corpus-bounded), one labels×2-row array
+  * rebuild, one per-label join. No corpus-sized state anywhere.
+  */
+object EmbeddingDrift {
+
+  /** Fixed-point scale: 2²⁴ — one unit per float significand step at
+    * |x| < 1 (embeddings are ~L2-normalized). */
+  val Q = 1L << 24
+
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, dir, "embeddings")
+      .withColumn("h", (col("vec_id") % 2).cast("int"))
+      .withColumn("d", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("q",
+        transform(col("d"), x => round(x * Q, 0).cast("long")))
+      .withColumn("nq",
+        round(sqrt(dot(col("d"), col("d"))) * Q, 0).cast("long"))
+
+    val sums = e.select(col("label"), col("h"),
+        posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy("label", "h", "dim")
+      .agg(sum("qv").as("sq"))
+    val cent = sums.groupBy("label", "h")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("sq")))),
+        x => x.getField("sq").cast("double")).as("c"))
+    val stats = e.groupBy("label", "h")
+      .agg(count(lit(1)).as("n"), sum("nq").as("snq"))
+
+    val side = cent.join(stats, Seq("label", "h"))
+    def half(i: Int) = side.filter(col("h") === i)
+      .select(col("label"), col("c").as(s"c$i"), col("n").as(s"n$i"),
+        col("snq").as(s"s$i"))
+    half(0).join(half(1), "label")
+      .select(col("label"), col("n0"), col("n1"),
+        round(dot(col("c0"), col("c1")) /
+          (sqrt(dot(col("c0"), col("c0"))) *
+            sqrt(dot(col("c1"), col("c1")))), 4).as("centroid_cos"),
+        round(col("s0").cast("double") / (col("n0") * Q).cast("double"), 4)
+          .as("mean_norm_0"),
+        round(col("s1").cast("double") / (col("n1") * Q).cast("double"), 4)
+          .as("mean_norm_1"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_drift" -> embeddingDrift)
+
+  val oracles: Map[String, String] = Map(
+    "embedding_drift" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, (vec_id % 2)::INT AS h,
+        |    list_transform(embedding, x -> x::DOUBLE) AS d
+        |  FROM embeddings),
+        |qv AS (SELECT label, h,
+        |    list_transform(d, x -> round(x * ${Q}.0)::BIGINT) AS q,
+        |    round(sqrt(${sqlDot("d", "d")}) * ${Q}.0)::BIGINT AS nq
+        |  FROM e),
+        |d1 AS (SELECT label, h, unnest(list_transform(
+        |    range(1, len(q) + 1), i -> {'dim': i, 'v': q[i]})) AS u
+        |  FROM qv),
+        |sums AS (SELECT label, h, u.dim AS dim, sum(u.v)::BIGINT AS sq
+        |  FROM d1 GROUP BY 1, 2, 3),
+        |cent AS (SELECT label, h, list(sq::DOUBLE ORDER BY dim) AS c
+        |  FROM sums GROUP BY 1, 2),
+        |stats AS (SELECT label, h, count(*) AS n, sum(nq)::BIGINT AS snq
+        |  FROM qv GROUP BY 1, 2),
+        |side AS (SELECT cent.label, cent.h, c, n, snq
+        |  FROM cent JOIN stats ON cent.label = stats.label
+        |    AND cent.h = stats.h),
+        |j AS (SELECT a.label, a.c AS c0, b.c AS c1, a.n AS n0, b.n AS n1,
+        |    a.snq AS s0, b.snq AS s1
+        |  FROM side a JOIN side b ON a.label = b.label
+        |  WHERE a.h = 0 AND b.h = 1)
+        |SELECT label, n0, n1,
+        |  round((${sqlDot("c0", "c1")}) /
+        |    (sqrt(${sqlDot("c0", "c0")}) * sqrt(${sqlDot("c1", "c1")})), 4)
+        |    AS centroid_cos,
+        |  round(s0::DOUBLE / (n0 * $Q)::DOUBLE, 4) AS mean_norm_0,
+        |  round(s1::DOUBLE / (n1 * $Q)::DOUBLE, 4) AS mean_norm_1
+        |FROM j""".stripMargin)
+}

@@ -23,6 +23,8 @@ object ScaleValidate {
     ("sketch-setop", "KMV partials: shuffle ∝ sources × K longs ≪F×; " +
       "pair stage over sources² sketches, corpus-independent", Seq(
       "source_overlap_kmv")),
+    ("fixed-point-centroid", "integer partials ∝ labels × 2 × dim per " +
+      "partition, corpus-independent ≪F×", Seq("embedding_drift")),
     ("doc-proportional", "shuffle ∝ docs: ≈F×", Seq(
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
       "dedup_clusters", "dedup_apply", "lm_buckets")),
