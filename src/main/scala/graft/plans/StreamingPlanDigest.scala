@@ -170,6 +170,13 @@ object StreamingPlanDigest {
           mem.toDS().toDF("doc_id", "text")),
           StreamChunk.outputMode) { mem.addData((1L, "a b c")) }
       },
+      "drift" -> { () =>
+        val mem = MemoryStream[StreamDrift.VecEvent]
+        run(StreamDrift.sumsOverStream(mem.toDS()).toDF(),
+          StreamDrift.outputMode) {
+          mem.addData(StreamDrift.VecEvent(1, 0, Array(1L, 2L), 3L))
+        }
+      },
       "media" -> { () =>
         val mem = MemoryStream[graft.multimodal.Multimodal.MediaRecord]
         run(StreamMedia.featuresOverStream(mem.toDS()),

@@ -41,14 +41,20 @@ object EmbeddingDrift {
     * |x| < 1 (embeddings are ~L2-normalized). */
   val Q = 1L << 24
 
+  /** The per-vector fixed-point projections — single definitions shared
+    * with the streaming twin ([[graft.streaming.StreamDrift]]) so the
+    * two surfaces cannot drift on quantization. */
+  def qCol(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(d, x => round(x * Q, 0).cast("long"))
+  def nqCol(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sqrt(dot(d, d)) * Q, 0).cast("long")
+
   def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.parallel(s, dir, "embeddings")
       .withColumn("h", (col("vec_id") % 2).cast("int"))
       .withColumn("d", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("q",
-        transform(col("d"), x => round(x * Q, 0).cast("long")))
-      .withColumn("nq",
-        round(sqrt(dot(col("d"), col("d"))) * Q, 0).cast("long"))
+      .withColumn("q", qCol(col("d")))
+      .withColumn("nq", nqCol(col("d")))
 
     val sums = e.select(col("label"), col("h"),
         posexplode(col("q")).as(Seq("dim", "qv")))
