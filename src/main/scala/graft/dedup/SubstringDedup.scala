@@ -100,9 +100,56 @@ object SubstringDedup {
         (col("n_tokens") - col("n_covered")).as("n_after"))
   }
 
+  /** Substring-based eval decontamination — the GPT-3-appendix /
+    * Lee et al. §6 discipline: a training document is contaminated if it
+    * shares a VERBATIM run of ≥ [[SubstrK]] tokens with any benchmark
+    * document (any such run contains a k-gram, so the rolling-fingerprint
+    * relation finds exactly the affected docs — same argument as
+    * [[dedupSubstring]]). Stricter than the shingle-overlap rule
+    * (`decontaminate`, ≥5 separate trigrams): ONE verbatim run flags.
+    * Per (corpus doc, eval doc): distinct shared k-grams, and the
+    * corpus doc's token positions covered by them (what an excision
+    * pass would remove — overlapping runs never double-count).
+    *
+    * Scale shape: eval side is tiny by construction → broadcast; the
+    * corpus gram stream joins it in one pass, and every aggregate is
+    * keyed by (doc, eval) pairs that actually matched — the same
+    * broadcast-side-fixed family as `decontaminate`/`decontam_bloom`. */
+  def decontamSubstring(s: SparkSession, dir: String): DataFrame = {
+    val gp = Tables.parallel(s, dir, "documents")
+      .select(col("doc_id"), TextQueries.words(col("text")).as("w"))
+      .filter(size(col("w")) >= SubstrK)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${SubstrK - 1}),
+           |  i -> struct(i AS i,
+           |              array_join(slice(w, i, $SubstrK), ' ') AS g))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), hex60(col("p.g")).as("gh"))
+    val eval = gp.filter(col("doc_id") < DedupQueries.DecontamEvalDocs)
+      .select(col("doc_id").as("eval_id"), col("gh")).distinct()
+    val corpus = gp.filter(col("doc_id") >= DedupQueries.DecontamEvalDocs)
+    val hits = corpus.join(broadcast(eval), "gh")
+    // Two single-distinct aggregations joined on the (tiny) matched-pair
+    // keys, NOT one agg with two countDistincts: Spark's
+    // RewriteDistinctAggregates assigns its Expand gids in an order that
+    // follows session-history expression IDs, so the dual-distinct plan
+    // STRING is nondeterministic (same results) and would flap the plan
+    // lock. Both relations here are contamination-sized.
+    val shared = hits.select("doc_id", "eval_id", "gh").distinct()
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+    val covered = hits.select(col("doc_id"), col("eval_id"),
+        explode(sequence(col("i"), col("i") + (SubstrK - 1))).as("pos"))
+      .distinct()
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_covered"))
+    shared.join(covered, Seq("doc_id", "eval_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring" -> dedupSubstring,
-    "dedup_substring_excise" -> dedupSubstringExcise)
+    "dedup_substring_excise" -> dedupSubstringExcise,
+    "decontam_substring" -> decontamSubstring)
 
   val oracles: Map[String, String] = Map(
     "dedup_substring" ->
@@ -138,5 +185,26 @@ object SubstringDedup {
         |        FROM gp JOIN dup USING (gh))
         |SELECT doc_id, n_tokens, count(*) AS n_covered,
         |  n_tokens - count(*) AS n_after
-        |FROM cov GROUP BY doc_id, n_tokens""".stripMargin)
+        |FROM cov GROUP BY doc_id, n_tokens""".stripMargin,
+    "decontam_substring" ->
+      s"""WITH wd AS (SELECT doc_id,
+        |              list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |            FROM documents),
+        |gp AS (SELECT doc_id, i,
+        |         ('0x' || substr(sha256(array_to_string(w[i:i+${SubstrK - 1}], ' ')),
+        |                         1, 15))::BIGINT AS gh
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${SubstrK - 2}))
+        |               AS i
+        |             FROM wd WHERE len(w) >= $SubstrK)),
+        |e AS (SELECT DISTINCT doc_id AS eval_id, gh FROM gp
+        |      WHERE doc_id < ${DedupQueries.DecontamEvalDocs}),
+        |c AS (SELECT doc_id, i, gh FROM gp
+        |      WHERE doc_id >= ${DedupQueries.DecontamEvalDocs}),
+        |hits AS (SELECT c.doc_id, e.eval_id, c.gh,
+        |           unnest(range(c.i, c.i + $SubstrK)) AS pos
+        |         FROM c JOIN e USING (gh))
+        |SELECT doc_id, eval_id,
+        |  count(DISTINCT gh) AS n_shared_grams,
+        |  count(DISTINCT pos) AS n_covered
+        |FROM hits GROUP BY doc_id, eval_id""".stripMargin)
 }

@@ -45,7 +45,7 @@ object ScaleValidate {
       "decontaminate", "decontam_bloom", "ann_cosine_topk",
       "ann_batch_topk", "ivf_topk", "dedup_embedding_cosine",
       "quality_lm_score", "dsir_weights", "quality_bigram_score",
-      "decontam_report", "decontam_semantic")),
+      "decontam_report", "decontam_semantic", "decontam_substring")),
     ("bounded-candidates", "pairs df-capped: ≈F× (dup pairs ∝ docs)", Seq(
       "dedup_shingle_jaccard", "source_overlap")),
     ("prefix-filtered", "t=0.8 prefix join: shuffle ∝ tokens + candidates " +
