@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.dedup.{Bloom, ConnectedComponents, DedupQueries, PrefixJoin,
-  SnapshotDedup, SubstringDedup}
+  SnapshotDedup, SubstringDedup} // KnnGraphIvf registers semantic_clusters
 import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,

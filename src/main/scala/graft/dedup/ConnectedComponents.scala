@@ -28,6 +28,25 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Eagerly materialize one iteration's result AND sever its ESTIMATED
+    * STATISTICS lineage — the fix for a measured driver-side blow-up:
+    * `localCheckpoint` truncates the plan, but the resulting LogicalRDD
+    * inherits the origin plan's estimated `sizeInBytes` (originStats),
+    * so a loop whose round-r plan joins round-(r−1)'s output three ways
+    * snowballs the estimate ~cubically per round. Past ~12 rounds the
+    * BigInt stats arithmetic itself — Toom-Cook multiplies on 10⁸-bit
+    * integers inside JoinSelection/AQE reOptimize — becomes the driver
+    * bottleneck: measured ×4–5 wall growth PER ROUND on a diameter-15
+    * component graph (0.4 s → 228 s by round 14) while the actual data
+    * stayed at a few thousand rows. Rebuilding the DataFrame from the
+    * checkpointed row RDD yields a leaf with fresh default stats:
+    * constant-cost rounds at any diameter. Values round-trip exactly
+    * (long columns). */
+  private def materializeFresh(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Component label (min reachable node id) for every node appearing in
     * `edges` (columns `src`, `dst`). Returns (`id`, `comp`).
     *
@@ -53,10 +72,9 @@ object ConnectedComponents {
     // jump-start: seed each label with min(id, min neighbor) — the init
     // aggregation does round 1's neighbor-min for free, so short
     // components (the near-dup norm) converge one round earlier
-    var labels = bidir.groupBy(col("src").as("id"))
+    var labels = materializeFresh(bidir.groupBy(col("src").as("id"))
       .agg(min("dst").as("mn"))
-      .select(col("id"), least(col("id"), col("mn")).as("comp"))
-      .localCheckpoint(true)
+      .select(col("id"), least(col("id"), col("mn")).as("comp")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
@@ -70,14 +88,13 @@ object ConnectedComponents {
       val viaLabel = labels.as("l")
         .join(labels.as("m"), col("l.comp") === col("m.id"))
         .select(col("l.id").as("id"), col("m.comp").as("comp_of_comp"))
-      val next = labels
+      val next = materializeFresh(labels
         .join(neighborMin, Seq("id"), "left")
         .join(viaLabel, Seq("id"), "left")
         .select(col("id"), least(
             col("comp"),
             coalesce(col("neighbor_comp"), col("comp")),
-            coalesce(col("comp_of_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+            coalesce(col("comp_of_comp"), col("comp"))).as("comp")))
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
@@ -166,9 +183,9 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // checkpoint per round: O(1) lineage, same policy as the
-      // pointer-doubling loop
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      // materialize per round: O(1) lineage AND O(1) stats, same policy
+      // as the pointer-doubling loop (see materializeFresh)
+      e = materializeFresh(smallStar(largeStar(e)))
       val s = stamp(e)
       converged = s == prev
       prev = s

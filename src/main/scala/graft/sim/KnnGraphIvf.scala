@@ -97,14 +97,57 @@ object KnnGraphIvf {
        |FROM r WHERE rk <= $KnnK""".stripMargin
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_graph_ivf" -> knnGraphIvf)
+  /** Semantic clusters — the cluster-and-curate consumer of the
+    * embedding near-dup tier: run distributed connected components
+    * ([[graft.dedup.ConnectedComponents.connectedComponents]] — the
+    * proven min-label machinery the text dedup tier uses) over the
+    * VERIFIED embedding near-dup pairs (`dedup_embedding_cosine`: LSH
+    * bucket candidates, exact cosine ≥ 0.4 verify), and report each
+    * cluster (id = min member) with its member count and span. A
+    * curation pass samples per cluster instead of per vector,
+    * de-weighting dense semantic regions. Built on the verified-pair
+    * relation, not thresholded kNN edges: the pair set is the complete
+    * in-bucket ≥0.4 band (and on this corpus no pair reaches the
+    * higher bands — max pairwise cosine ≈ 0.48 — so a 0.95-style cut
+    * would gate on an empty relation). Oracle: recursive-CTE
+    * transitive closure over the same pair SQL, the `dedup_clusters`
+    * pattern. */
+  def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = SimilarityQueries.dedupEmbeddingCosine(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    graft.dedup.ConnectedComponents.connectedComponents(edges)
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max("id").as("max_member"))
+  }
 
-  /** Dynamic in the `ivf_topk` pattern: present once the quantizer has
-    * trained (Verify runs queries before dumping oracle SQL). */
-  def oracles: Map[String, String] =
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph_ivf" -> knnGraphIvf,
+    "semantic_clusters" -> semanticClusters)
+
+  private val clustersOracleSql: String = {
+    // the pair SQL keeps its own WITH chain — legal as a nested subquery
+    val pairSql = SimilarityQueries.oracles("dedup_embedding_cosine")
+    s"""WITH RECURSIVE pairs AS ($pairSql),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r2.a, e.dst FROM reach r2 JOIN edges e ON e.src = r2.b),
+       |comp AS (SELECT a AS id, min(b) AS cluster_id
+       |         FROM reach GROUP BY a)
+       |SELECT cluster_id, count(*) AS n_members, max(id) AS max_member
+       |FROM comp GROUP BY cluster_id""".stripMargin
+  }
+
+  /** knn_graph_ivf's oracle is dynamic in the `ivf_topk` pattern
+    * (present once the quantizer has trained — Verify runs queries
+    * before dumping oracle SQL); the clusters oracle is static. */
+  def oracles: Map[String, String] = {
+    val base = Map("semantic_clusters" -> clustersOracleSql)
     synchronized(lastOracle) match {
-      case Some(sql) => Map("knn_graph_ivf" -> sql)
-      case None => Map.empty
+      case Some(sql) => base + ("knn_graph_ivf" -> sql)
+      case None => base
     }
+  }
 }

@@ -61,6 +61,9 @@ object ScaleValidate {
     ("knn-graph-ivf", "cell self-join: shuffle ∝ vectors; in-join pairs " +
       "∝ Σn_cell², pinned by the shared nListsFor dial (fixture NLists " +
       "fixed → occupancy ∝F)", Seq("knn_graph_ivf")),
+    ("embedding-cluster", "verified pairs ∝ planted dups ≈F×; CC rounds " +
+      "∝ component diameter (tiny), per-round shuffle ∝ edges", Seq(
+      "semantic_clusters")),
     ("iterative-graph", "knn build + const iterations × (edges join + " +
       "dst-keyed partials): shuffle ∝ edges ≈F×", Seq(
       "pagerank_knn")),
