@@ -6,11 +6,13 @@ import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,
   RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
-import graft.sim.{EmbeddingDrift, Ivf, KnnGraphIvf, PageRank, SemDedup,
-  SemanticDecontam, SimilarityQueries}
+import graft.sim.{EmbeddingDrift, GraphStats, Ivf, KnnGraphIvf, LabelProp,
+  PageRank, SemDedup, SemanticDecontam, SimilarityQueries}
+import graft.sources.FormatSources
 import graft.storm.StormQueries
 import graft.text.{BigramLm, Bpe, Chunking, Drift, HybridRetrieval,
-  Retrieval, Sampling, TextQueries, Unigram, Winnow, WordPiece}
+  QualityClassifier, Retrieval, Sampling, TextQueries, Unigram, Winnow,
+  WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -31,7 +33,9 @@ object SparkEntry {
       (ConnectedComponents.queries, ConnectedComponents.oracles),
       (Pipeline.queries, Pipeline.oracles),
       (StormQueries.queries, StormQueries.oracles),
+      (FormatSources.queries, FormatSources.oracles),
       (TextQueries.queries, TextQueries.oracles),
+      (QualityClassifier.queries, QualityClassifier.oracles),
       (Chunking.queries, Chunking.oracles),
       (Sampling.queries, Sampling.oracles),
       (Bpe.queries, Bpe.oracles),
@@ -58,6 +62,8 @@ object SparkEntry {
       (EmbeddingDrift.queries, EmbeddingDrift.oracles),
       (SemDedup.queries, SemDedup.oracles),
       (PageRank.queries, PageRank.oracles),
+      (GraphStats.queries, GraphStats.oracles),
+      (LabelProp.queries, LabelProp.oracles),
       (SemanticDecontam.queries, SemanticDecontam.oracles),
       (Multimodal.queries, Multimodal.oracles))
 

@@ -177,6 +177,13 @@ object StreamingPlanDigest {
           mem.addData(StreamDrift.VecEvent(1, 0, Array(1L, 2L), 3L))
         }
       },
+      "classifier" -> { () =>
+        val mem = MemoryStream[(Long, String)]
+        run(StreamClassifier.scoreOverStream(
+          mem.toDS().toDF("doc_id", "text"),
+          Array(0.1, 0.01, 0.0, 0.0, 0.0, 0.0)),
+          StreamClassifier.outputMode) { mem.addData((1L, "some words")) }
+      },
       "media" -> { () =>
         val mem = MemoryStream[graft.multimodal.Multimodal.MediaRecord]
         run(StreamMedia.featuresOverStream(mem.toDS()),

@@ -1,0 +1,122 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structural statistics of the corpus kNN graph — the curation signals a
+  * pipeline reads off the neighbor structure before acting on it:
+  * mutual-degree tells how connected each vector is (hubs ≈ template/
+  * boilerplate regions, isolates ≈ novel content), triangle counts and the
+  * local clustering coefficient (Watts & Strogatz 1998) tell how CLIQUEY a
+  * neighborhood is — dense triangles around a node mean a tight
+  * near-duplicate community (SemDeDup-style redundancy), high degree with
+  * few triangles means a hub bridging unrelated content.
+  *
+  * Graph: the MUTUAL kNN graph — an undirected edge (u,v) exists iff u
+  * ranks v in its top-K AND v ranks u (the standard symmetrization that
+  * kills asymmetric hub edges). Built from [[SimilarityQueries.knnGraphLsh]]
+  * so the neighbor definition cannot drift from the `knn_graph_lsh` gate.
+  *
+  * Scale shape at 100 TB: out-degree is ≤ K by construction, so mutual
+  * degree is ≤ K too; the edge list is ≤ K·N rows and the triangle join's
+  * wedge relation is Σ deg² ≤ K²·N — every stage is LINEAR in corpus size
+  * at fixed K (contrast with triangle counting on an unbounded-degree
+  * graph, which needs degree-ordered orientation to tame hubs; kNN gives
+  * that bound for free). Joins shuffle on node ids — no broadcast needed,
+  * no skew beyond bucket occupancy, which the LSH plane dial already pins.
+  */
+object GraphStats {
+
+  /** Undirected mutual-kNN edges (u < v), one row per edge. */
+  def mutualEdges(s: SparkSession, dir: String): DataFrame = {
+    val k = SimilarityQueries.knnGraphLsh(s, dir).select("a_id", "b_id")
+    k.as("f").join(k.as("r"),
+        col("f.a_id") === col("r.b_id") && col("f.b_id") === col("r.a_id"))
+      .filter(col("f.a_id") < col("f.b_id"))
+      .select(col("f.a_id").as("u"), col("f.b_id").as("v"))
+  }
+
+  /** Per-node mutual degree, triangle count, and local clustering
+    * coefficient 2T/(d(d−1)) (exact-integer inputs, one rounded division). */
+  def triangleStats(s: SparkSession, dir: String): DataFrame = {
+    val e = mutualEdges(s, dir).localCheckpoint(true) // read 4× below
+    // wedges u<v<w sharing v, closed by the (u,w) edge
+    val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      .join(e.as("e3"), col("x") === col("e3.u") && col("z") === col("e3.v"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 4))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** Mutual-degree histogram — the one-glance connectivity profile
+    * (isolated vectors appear under degree 0 via the left side). */
+  def degreeHist(s: SparkSession, dir: String): DataFrame = {
+    val ids = graft.Tables(s, dir, "embeddings").select(col("vec_id").as("node"))
+    val deg = mutualEdges(s, dir)
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    ids.join(deg, Seq("node"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_triangle_stats" -> triangleStats,
+    "knn_degree_hist" -> degreeHist)
+
+  /** Shared oracle CTE: the knn_graph_lsh ranking (verbatim semantics)
+    * symmetrized to mutual undirected edges — shared with [[LabelProp]]
+    * so the two gates bind the same graph definition. */
+  private[sim] def edgesCteSql: String = edgesCte
+
+  private val edgesCte =
+    s"""b AS (SELECT vec_id, embedding,
+       |    ${SimilarityQueries.sqlBucket("embedding")} AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${SimilarityQueries.sqlDot("a.embedding", "b.embedding")} AS dp,
+       |    ${SimilarityQueries.sqlDot("a.embedding", "a.embedding")} AS na,
+       |    ${SimilarityQueries.sqlDot("b.embedding", "b.embedding")} AS nb
+       |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |k AS (SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, b_id ASC) AS rk
+       |    FROM p) WHERE rk <= ${SimilarityQueries.KnnK}),
+       |e AS (SELECT f.a_id AS u, f.b_id AS v
+       |  FROM k f JOIN k r ON f.a_id = r.b_id AND f.b_id = r.a_id
+       |  WHERE f.a_id < f.b_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "knn_triangle_stats" ->
+      s"""WITH $edgesCte,
+         |tri AS (SELECT unnest([x, y, z]) AS node FROM (
+         |    SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |    FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |    JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)),
+         |tc AS (SELECT node, count(*) AS n_triangles FROM tri GROUP BY node),
+         |deg AS (SELECT node, count(*) AS degree FROM (
+         |    SELECT unnest([u, v]) AS node FROM e) GROUP BY node)
+         |SELECT deg.node, deg.degree,
+         |  coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+         |  CASE WHEN deg.degree >= 2 THEN
+         |    round(2.0 * coalesce(tc.n_triangles, 0)
+         |          / (deg.degree * (deg.degree - 1)), 4)
+         |  ELSE 0.0 END AS clustering
+         |FROM deg LEFT JOIN tc USING (node)""".stripMargin,
+    "knn_degree_hist" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT node, count(*) AS degree FROM (
+         |    SELECT unnest([u, v]) AS node FROM e) GROUP BY node)
+         |SELECT coalesce(deg.degree, 0)::BIGINT AS degree,
+         |  count(*) AS n_nodes
+         |FROM embeddings i LEFT JOIN deg ON i.vec_id = deg.node
+         |GROUP BY 1""".stripMargin)
+}

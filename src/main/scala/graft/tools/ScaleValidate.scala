@@ -67,6 +67,18 @@ object ScaleValidate {
     ("iterative-graph", "knn build + const iterations × (edges join + " +
       "dst-keyed partials): shuffle ∝ edges ≈F×", Seq(
       "pagerank_knn")),
+    ("mutual-knn-stats", "mutual edges ≤ K·N, wedge join Σdeg² ≤ K²·N " +
+      "(degree capped at K by construction): ≈F×", Seq(
+      "knn_triangle_stats", "knn_degree_hist")),
+    ("label-prop", "const rounds × (edges⋈labels + (node,label) " +
+      "partials), frontier shrinks monotonically: ∝ edges ≈F×", Seq(
+      "label_prop_knn", "label_prop_confusion")),
+    ("moment-agg", "normal-equation moments: 28 doubles per partition, " +
+      "corpus-independent ≪F×; scoring a projection", Seq(
+      "quality_classifier", "classifier_eval")),
+    ("format-roundtrip", "one-time parallel format rewrite (no shuffle) + " +
+      "rollup partials ∝ sources ≪F×", Seq(
+      "source_orc", "source_jsonl")),
     // Relational / storm families (facts ×F, dims fixed — ScaleGen's
     // star-schema growth shape):
     ("scan-agg", "map-side complete: partials ∝ partitions×groups: ≪F×", Seq(
