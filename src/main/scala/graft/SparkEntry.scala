@@ -4,8 +4,8 @@ import graft.dedup.{Bloom, ConnectedComponents, DedupQueries, PrefixJoin,
   SnapshotDedup, SubstringDedup} // KnnGraphIvf registers semantic_clusters
 import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Funnel, FuzzyJoin, IntervalJoin, Pipeline,
-  RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
+import graft.operators.{AsOfJoin, Cohort, Funnel, FuzzyJoin, IntervalJoin,
+  Pipeline, RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
 import graft.sim.{EmbeddingDrift, GraphStats, Ivf, KnnGraphIvf, LabelProp,
   PageRank, SemDedup, SemanticDecontam, SimilarityQueries}
 import graft.sources.FormatSources
@@ -27,6 +27,7 @@ object SparkEntry {
       (IntervalJoin.queries, IntervalJoin.oracles),
       (SkewJoin.queries, SkewJoin.oracles),
       (Funnel.queries, Funnel.oracles),
+      (Cohort.queries, Cohort.oracles),
       (FuzzyJoin.queries, FuzzyJoin.oracles),
       (RobustStats.queries, RobustStats.oracles),
       (Resample.queries, Resample.oracles),

@@ -106,9 +106,13 @@ object Multimodal {
               MediaRecord(d.id, "audio", MediaCodec.encodeWav(t))
             case _ =>
               val f = 1 + n % VideoFramesMax
+              // quadratic per-frame shift (k²): consecutive frames differ
+              // by a 2k+1 offset, so transition SADs VARY across the clip
+              // — a linear shift would make every transition identical and
+              // the scene-change gate degenerate
               val frames = (0 until f).map { k =>
                 MediaCodec.encodeImage(VideoFrameEdge, VideoFrameEdge,
-                  i => t((i + k) % n))
+                  i => t((i + k * k) % n))
               }
               MediaRecord(d.id, "video",
                 MediaCodec.encodeVideo(VideoDurBase + n % VideoDurMod, frames))
@@ -400,7 +404,56 @@ object Multimodal {
       .toDF()
   }
 
+  final case class SceneDelta(id: Long, frame_idx: Long, sad: Long)
+
+  /** Per-transition sum of absolute pixel differences between REAL
+    * decoded adjacent frames — computed inside the partition iterator
+    * (decode fan-out, no shuffle). */
+  private[multimodal] def frameSads(frames: Seq[MediaCodec.DecodedImage]): Array[Long] = {
+    val out = new Array[Long](math.max(frames.length - 1, 0))
+    var k = 0
+    while (k < out.length) {
+      val a = frames(k).pixels; val b = frames(k + 1).pixels
+      var s = 0L; var i = 0
+      while (i < a.length) { s += math.abs(b(i) - a(i)); i += 1 }
+      out(k) = s; k += 1
+    }
+    out
+  }
+
+  /** Scene-change detection — the shot-boundary pass a video curation
+    * pipeline runs before frame sampling (sample WITHIN shots, not across
+    * them): per adjacent-frame transition, the SAD (sum of absolute pixel
+    * differences) over the real decoded frames; a transition is a CUT
+    * when its SAD reaches 1.5× the clip's mean transition SAD, compared
+    * integer-exactly as `2·sad·cnt ≥ 3·Σsad` (no division — bit-identical
+    * cross-engine, and an all-equal clip makes every transition a "cut"
+    * of a uniform signal, which the ≥ makes explicit rather than NaN).
+    * Scale shape: decode + SAD fan out inside the partition; the only
+    * shuffle is the per-clip window over ≤ (frames−1) rows per id. */
+  def mediaSceneChanges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    mediaFromDocuments(spark, dir)
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          if (r.kind != "video") Iterator.empty
+          else {
+            val v = MediaCodec.decodeVideo(r.bytes)
+            frameSads(v.frames).iterator.zipWithIndex
+              .map { case (s, k) => SceneDelta(r.id, k.toLong, s) }
+          }
+        }
+      }
+      .toDF()
+      .withColumn("total", sum("sad").over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .select(col("id"), col("frame_idx"), col("sad"),
+        (col("sad") * col("cnt") * 2 >= col("total") * 3).as("is_cut"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_scene_changes" -> mediaSceneChanges,
     "media_meta" -> mediaMeta,
     "media_audio_features" -> mediaAudioFeatures,
     "media_histogram" -> mediaHistogram,
@@ -469,6 +522,25 @@ object Multimodal {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    "media_scene_changes" ->
+      s"""WITH m AS (
+        |  SELECT doc_id AS id, text, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |tr AS (
+        |  SELECT id, text, n, unnest(range(0, n % $VideoFramesMax)) AS k
+        |  FROM m),
+        |sad AS (
+        |  SELECT id, k AS frame_idx,
+        |    list_sum(list_transform(range(0, ${VideoFrameEdge * VideoFrameEdge}),
+        |      i -> abs(ord(substr(text, (((i + (k+1)*(k+1)) % n) + 1)::INT, 1))
+        |             - ord(substr(text, (((i + k*k) % n) + 1)::INT, 1)))))::BIGINT
+        |      AS sad
+        |  FROM tr),
+        |tot AS (SELECT id, sum(sad) AS total, count(*) AS cnt
+        |        FROM sad GROUP BY id)
+        |SELECT s.id, s.frame_idx, s.sad,
+        |  (s.sad * tot.cnt * 2 >= tot.total * 3) AS is_cut
+        |FROM sad s JOIN tot USING (id)""".stripMargin,
     "media_audio_features" ->
       """WITH m AS (
         |  SELECT doc_id AS id, text, length(text) AS n
@@ -515,7 +587,7 @@ object Multimodal {
         |      ELSE
         |        flatten(list_transform(range(0, 1 + n % 12),
         |          k -> list_transform(range(0, 64),
-        |            i -> ord(substr(text, (((i + k) % n) + 1)::INT, 1)))))
+        |            i -> ord(substr(text, (((i + k * k) % n) + 1)::INT, 1)))))
         |    END) AS v
         |  FROM m)
         |SELECT kind, v // 16 AS bin, count(*)::BIGINT AS total
@@ -536,7 +608,7 @@ object Multimodal {
         |vid2 AS (
         |  SELECT id, kind, frame_idx, (frame_idx * dur) // f AS ts_ms,
         |    list_sum(list_transform(range(0, 64),
-        |      i -> ord(substr(text, (((i + frame_idx) % n) + 1)::INT, 1))))::BIGINT
+        |      i -> ord(substr(text, (((i + frame_idx * frame_idx) % n) + 1)::INT, 1))))::BIGINT
         |      AS frame_sig
         |  FROM vid)
         |SELECT id, kind, frame_idx, ts_ms, frame_sig FROM img

@@ -35,6 +35,9 @@ object ScaleValidate {
     ("banded-pairs", "band equi-self-join: shuffle ∝ images × bands ≈F×; " +
       "in-join pairs ∝ Σn_b² over 16-bit band buckets", Seq(
       "media_phash_pairs", "media_phash_pairs_grouped")),
+    ("frame-delta", "decode + SAD fan out in-partition; one id-keyed " +
+      "window over ≤ frames−1 rows/clip: ∝ frames ≈F×", Seq(
+      "media_scene_changes")),
     ("vocab-bounded", "shuffle ∝ vocab/partials: ≪F×", Seq(
       "cms_heavy_hitters", "vocab_topk", "bpe_pairs", "unigram_encode",
       "wordpiece_encode")),
@@ -95,7 +98,7 @@ object ScaleValidate {
       "asof_join", "interval_join")),
     ("user-state", "hash by user, per-key state fixed: ∝ events ≈F×", Seq(
       "q16_sessionize", "q22_rolling_user_stats", "q24_session_window",
-      "funnel_stages")),
+      "funnel_stages", "cohort_retention")),
     ("percentile-pair", "exact ∝ rows vs sketch ∝ partitions×groups", Seq(
       "q15_value_percentiles", "q15_approx_percentiles")),
     ("storm-chain", "enrichment is a projection; rollups ∝ groups: ≪F×", Seq(
