@@ -48,8 +48,42 @@ object AsOfJoin {
           .as("micros_since_click"))
   }
 
+  /** FORWARD as-of: for each click, the first purchase with
+    * `ts >= click.ts` of the same user — time-to-conversion, the
+    * attribution metric's mirror image. Same union-tag composition with
+    * the window frame reversed (currentRow → unboundedFollowing,
+    * `first(ignoreNulls)`); a purchase at exactly the click timestamp
+    * counts as "next" (purchase sorts after the click at equal ts,
+    * matching ASOF's `ts <= ts`). Identical scale shape to the backward
+    * join: one key shuffle, one per-partition sort. */
+  def clicksWithNextPurchase(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id"), col("value"),
+        lit(null).cast("double").as("purchase_value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        col("value").as("purchase_value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("next_purchase_value",
+        first(col("purchase_value"), ignoreNulls = true).over(w))
+      .withColumn("next_purchase_ts",
+        first(when(col("side") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("click_value"),
+        round(col("next_purchase_value"), 2).as("next_purchase_value"),
+        (unix_micros(col("next_purchase_ts")) - unix_micros(col("ts")))
+          .as("micros_to_purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "asof_join" -> purchasesWithLastClick)
+    "asof_join" -> purchasesWithLastClick,
+    "asof_join_forward" -> clicksWithNextPurchase)
 
   val oracles: Map[String, String] = Map(
     "asof_join" ->
@@ -59,5 +93,15 @@ object AsOfJoin {
         |  epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // DuckDB's ASOF accepts <= for the forward direction — the native
+    // cross-check of the reversed-frame composition
+    "asof_join_forward" ->
+      """SELECT c.event_id, c.user_id,
+        |  round(c.value, 2) AS click_value,
+        |  round(p.value, 2) AS next_purchase_value,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS micros_to_purchase
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin)
 }

@@ -177,6 +177,13 @@ object StreamingPlanDigest {
           mem.addData(StreamDrift.VecEvent(1, 0, Array(1L, 2L), 3L))
         }
       },
+      "cohort" -> { () =>
+        val mem = MemoryStream[StreamCohort.UserEvent]
+        run(StreamCohort.incrementsOverStream(mem.toDS()).toDF(),
+          StreamCohort.outputMode) {
+          mem.addData(StreamCohort.UserEvent(1L, new Timestamp(0L)))
+        }
+      },
       "classifier" -> { () =>
         val mem = MemoryStream[(Long, String)]
         run(StreamClassifier.scoreOverStream(
