@@ -11,8 +11,8 @@ import graft.sim.{EmbeddingDrift, GraphStats, Ivf, KnnGraphIvf, LabelProp,
 import graft.sources.FormatSources
 import graft.storm.StormQueries
 import graft.text.{BigramLm, Bpe, Chunking, Drift, HybridRetrieval,
-  QualityClassifier, Retrieval, Sampling, TextQueries, Unigram, Winnow,
-  WordPiece}
+  PiiRedact, QualityClassifier, Retrieval, Sampling, TextQueries, Unigram,
+  Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -37,6 +37,7 @@ object SparkEntry {
       (FormatSources.queries, FormatSources.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (QualityClassifier.queries, QualityClassifier.oracles),
+      (PiiRedact.queries, PiiRedact.oracles),
       (Chunking.queries, Chunking.oracles),
       (Sampling.queries, Sampling.oracles),
       (Bpe.queries, Bpe.oracles),

@@ -65,6 +65,26 @@ object FormatSources {
       }
     }
 
+  /** Delete the on-disk conversions of one corpus dir — tests clean up
+    * their temp fixtures' cache entries; production landing zones are
+    * retention-managed externally, not by the engine. */
+  def dropCache(dir: String): Unit = synchronized {
+    val dh = Integer.toHexString(dir.hashCode)
+    val root = Paths.get("target/fmtcache")
+    if (Files.exists(root)) {
+      val listing = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .filter(_.getFileName.toString.contains(s"-$dh-")).toSeq
+          .foreach { p =>
+            Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(Files.deleteIfExists(_))
+          }
+      } finally listing.close()
+    }
+  }
+
   /** Per-source rollup with an order-independent byte-exactness checksum;
     * identical SELECT over whichever physical format backs `docs`. */
   private def rollup(docs: DataFrame): DataFrame =

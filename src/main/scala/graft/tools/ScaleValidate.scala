@@ -31,7 +31,7 @@ object ScaleValidate {
     ("projection", "shuffle ≈ 0 at any scale", Seq(
       "text_quality", "quality_gopher", "doc_fingerprint",
       "embed_quantize", "train_split", "chunk_documents",
-      "media_audio_features", "media_phash")),
+      "media_audio_features", "media_phash", "pii_redact")),
     ("banded-pairs", "band equi-self-join: shuffle ∝ images × bands ≈F×; " +
       "in-join pairs ∝ Σn_b² over 16-bit band buckets", Seq(
       "media_phash_pairs", "media_phash_pairs_grouped")),

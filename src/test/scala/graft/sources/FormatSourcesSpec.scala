@@ -52,7 +52,10 @@ class FormatSourcesSpec extends AnyFunSuite {
         .orderBy("source").collect().toSeq
       assert(viaOrc == viaParquet, "ORC rollup drifted from parquet")
       assert(viaJsonl == viaParquet, "JSONL rollup drifted from parquet")
-    } finally rm(dir)
+    } finally {
+      FormatSources.dropCache(dir.toString)
+      rm(dir)
+    }
   }
 
   test("checksum catches a single-character corruption") {
@@ -76,6 +79,9 @@ class FormatSourcesSpec extends AnyFunSuite {
         .filter(col("source") === "src1").select("text_checksum")
         .head().getLong(0)
       assert(clean != corrupted, "checksum must flip on corruption")
-    } finally rm(dir)
+    } finally {
+      FormatSources.dropCache(dir.toString)
+      rm(dir)
+    }
   }
 }
