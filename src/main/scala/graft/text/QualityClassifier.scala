@@ -176,7 +176,7 @@ object QualityClassifier {
   def qualityClassifier(s: SparkSession, dir: String): DataFrame =
     scoreWith(Tables.parallel(s, dir, "documents"), weights(s, dir))
 
-  /** Teacher/student confusion counts — the calibration table a pipeline
+  /** Teacher/student confusion counts — the first table a pipeline
     * reads before trusting the cheap classifier as its filter. */
   def classifierEval(s: SparkSession, dir: String): DataFrame = {
     val w = weights(s, dir)
@@ -184,6 +184,23 @@ object QualityClassifier {
       .withColumn("pred", zExpr(w) >= Threshold)
       .groupBy("label", "pred")
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Reliability diagram — score-decile buckets vs observed teacher pass
+    * rate. A calibrated probe shows pass_rate rising monotonically with
+    * the bucket; a flat diagram means the score carries no signal and
+    * the threshold is meaningless. Buckets are `floor(z·10)` on the
+    * exact shared z (unclamped — the tails are informative), so the
+    * bucketing is bit-identical cross-engine. */
+  def classifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    val w = weights(s, dir)
+    featured(Tables.parallel(s, dir, "documents"))
+      .withColumn("bucket", floor(zExpr(w) * lit(10.0)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("label").cast("long")).as("n_pass"))
+      .select(col("bucket"), col("n"), col("n_pass"),
+        round(col("n_pass") / col("n"), 4).as("pass_rate"))
   }
 
   private def fmtD(d: Double): String = java.lang.Double.toString(d)
@@ -227,12 +244,19 @@ object QualityClassifier {
       "classifier_eval" ->
         (scored + s"""
            |SELECT label, (z >= $Threshold) AS pred, count(*) AS n
-           |FROM s GROUP BY label, pred""".stripMargin))
+           |FROM s GROUP BY label, pred""".stripMargin),
+      "classifier_calibration" ->
+        (scored + """
+           |SELECT floor(z * 10.0)::BIGINT AS bucket, count(*) AS n,
+           |  sum(label::BIGINT)::BIGINT AS n_pass,
+           |  round(sum(label::BIGINT) * 1.0 / count(*), 4) AS pass_rate
+           |FROM s GROUP BY bucket""".stripMargin))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_classifier" -> qualityClassifier,
-    "classifier_eval" -> classifierEval)
+    "classifier_eval" -> classifierEval,
+    "classifier_calibration" -> classifierCalibration)
 
   def oracles: Map[String, String] = lastOracles
 }

@@ -95,7 +95,7 @@ object ScaleValidate {
     ("keyed-topk", "agg keyed by fixed dim / WindowGroupLimit-capped: ≪F×", Seq(
       "q2_top_customers", "q13_top_events_per_type")),
     ("time-align-join", "bucketed equi on time: ∝ events ≈F×", Seq(
-      "asof_join", "interval_join")),
+      "asof_join", "asof_join_forward", "interval_join")),
     ("user-state", "hash by user, per-key state fixed: ∝ events ≈F×", Seq(
       "q16_sessionize", "q22_rolling_user_stats", "q24_session_window",
       "funnel_stages", "cohort_retention")),

@@ -48,6 +48,22 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("calibration buckets partition the corpus and conserve pass mass") {
+    val feats = QualityClassifier.featured(
+      graft.Tables(spark, dir, "documents"))
+    val total = feats.count()
+    val nPass = feats.filter("label").count()
+    val rows = QualityClassifier.classifierCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum == total, "buckets must partition the corpus")
+    assert(rows.map(_._3).sum == nPass, "pass mass must be conserved")
+    rows.foreach { case (b, n, p, rate) =>
+      assert(p <= n && rate >= 0.0 && rate <= 1.0, s"bucket $b: $p/$n=$rate")
+      assert(math.abs(rate - math.rint(p.toDouble / n * 1e4) / 1e4) < 1e-9 ||
+        math.abs(rate - p.toDouble / n) < 5e-5)
+    }
+  }
+
   test("eval table partitions the corpus and beats majority class") {
     val feats = QualityClassifier.featured(
       graft.Tables(spark, dir, "documents"))
