@@ -27,19 +27,39 @@ import org.apache.spark.sql.functions._
   */
 object GraphStats {
 
-  /** Undirected mutual-kNN edges (u < v), one row per edge. */
-  def mutualEdges(s: SparkSession, dir: String): DataFrame = {
-    val k = SimilarityQueries.knnGraphLsh(s, dir).select("a_id", "b_id")
-    k.as("f").join(k.as("r"),
-        col("f.a_id") === col("r.b_id") && col("f.b_id") === col("r.a_id"))
-      .filter(col("f.a_id") < col("f.b_id"))
-      .select(col("f.a_id").as("u"), col("f.b_id").as("v"))
+  // one-slot memo for the mutual-edge relation: four gate queries (both
+  // graph stats + both label-prop) and any production consumer read the
+  // SAME graph, and the kNN build is the dominant shared cost — same
+  // bounded-eviction policy as Ivf.assignments / Multimodal's media memo
+  private var lastEdges:
+    Option[((SparkSession, String, Long), DataFrame)] = None
+
+  /** Undirected mutual-kNN edges (u < v), one row per edge — memoized
+    * per most-recent (session, dir, source stamp), eagerly materialized
+    * (the consumers all read it at least twice). */
+  def mutualEdges(s: SparkSession, dir: String): DataFrame = synchronized {
+    val key = (s, dir, graft.Tables.sourceStamp(dir, "embeddings"))
+    lastEdges match {
+      case Some((k, v)) if k == key => v
+      case _ =>
+        val k = SimilarityQueries.knnGraphLsh(s, dir).select("a_id", "b_id")
+        val e = k.as("f").join(k.as("r"),
+            col("f.a_id") === col("r.b_id") && col("f.b_id") === col("r.a_id"))
+          .filter(col("f.a_id") < col("f.b_id"))
+          .select(col("f.a_id").as("u"), col("f.b_id").as("v"))
+          .localCheckpoint(true)
+        lastEdges = Some((key, e))
+        e
+    }
   }
+
+  /** Drop the memoized edge relation (tests; corpus switches evict). */
+  def release(): Unit = synchronized { lastEdges = None }
 
   /** Per-node mutual degree, triangle count, and local clustering
     * coefficient 2T/(d(d−1)) (exact-integer inputs, one rounded division). */
   def triangleStats(s: SparkSession, dir: String): DataFrame = {
-    val e = mutualEdges(s, dir).localCheckpoint(true) // read 4× below
+    val e = mutualEdges(s, dir) // memoized + already materialized; read 4×
     // wedges u<v<w sharing v, closed by the (u,w) edge
     val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
