@@ -169,6 +169,47 @@ object DedupQueries {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Containment threshold: |A∩B| / |smaller side|. */
+  val ContainmentThreshold = 0.8
+
+  /** Minimum shingle count of the contained side — a 2-shingle doc inside
+    * anything is noise, not duplication. */
+  val MinContainedShingles = 5L
+
+  /** CONTAINMENT near-dup pairs — the asymmetric complement of
+    * [[dedupShingleJaccard]]: a short document quoted verbatim inside a
+    * long one has Jaccard ≈ |A|/|B| (arbitrarily small) but containment
+    * |A∩B|/|A| ≈ 1, so the symmetric filter never sees exactly the
+    * quote/subset duplication a pretraining corpus is full of. Reports
+    * the contained (smaller, ties → a_id) side explicitly — that is the
+    * removal candidate. Same df-capped candidate discipline and scale
+    * adjudication as the Jaccard twin: the pair join reads
+    * [[prunedShingles]] (stop-shingle capped), and at corpus scale the
+    * candidate generator is the MinHash/LSH path (a containment-targeted
+    * index would band only the SHORTER side's signature). */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val sh = prunedShingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("n_small", least(col("na"), col("nb")))
+      .withColumn("containment", col("common") / col("n_small"))
+      .filter(col("n_small") >= MinContainedShingles &&
+        col("containment") >= ContainmentThreshold)
+      .select(col("a_id"), col("b_id"),
+        when(col("na") <= col("nb"), col("a_id")).otherwise(col("b_id"))
+          .as("contained_id"),
+        col("common"), col("n_small"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   // ------------------------------------------------------- minhash + LSH
   /** Per-doc minhash signature: ONE sha256 per shingle (materialized as its
     * own projection so the 16 permutations reuse it), then one min() per
@@ -409,6 +450,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_shingle_jaccard" -> dedupShingleJaccard,
+    "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "decontaminate" -> decontaminate,
@@ -504,6 +546,18 @@ object DedupQueries {
         |FROM g""".stripMargin,
     "dedup_shingle_jaccard" ->
       s"WITH $pairsCte\nSELECT a_id, b_id, common, jaccard FROM pairs",
+    "dedup_containment" ->
+      (s"WITH $pairsCte\n" +
+        s"""SELECT a_id, b_id,
+          |  CASE WHEN sa.n <= sb.n THEN a_id ELSE b_id END AS contained_id,
+          |  common, least(sa.n, sb.n) AS n_small,
+          |  round(common * 1.0 / least(sa.n, sb.n), 4) AS containment
+          |FROM rawpairs
+          |JOIN sizes sa ON sa.doc_id = a_id
+          |JOIN sizes sb ON sb.doc_id = b_id
+          |WHERE least(sa.n, sb.n) >= $MinContainedShingles
+          |  AND common * 1.0 / least(sa.n, sb.n) >= $ContainmentThreshold"""
+          .stripMargin),
     "source_overlap" ->
       s"""WITH sh AS (
         |  SELECT DISTINCT source, unnest(list_distinct($trigramsSql)) AS g

@@ -50,7 +50,7 @@ object ScaleValidate {
       "quality_lm_score", "dsir_weights", "quality_bigram_score",
       "decontam_report", "decontam_semantic", "decontam_substring")),
     ("bounded-candidates", "pairs df-capped: ≈F× (dup pairs ∝ docs)", Seq(
-      "dedup_shingle_jaccard", "source_overlap")),
+      "dedup_shingle_jaccard", "dedup_containment", "source_overlap")),
     ("prefix-filtered", "t=0.8 prefix join: shuffle ∝ tokens + candidates " +
       "≈F×; array verify never re-expands candidates", Seq(
       "dedup_prefix_jaccard")),
