@@ -184,9 +184,13 @@ object DedupQueries {
     * the contained (smaller, ties → a_id) side explicitly — that is the
     * removal candidate. Same df-capped candidate discipline and scale
     * adjudication as the Jaccard twin: the pair join reads
-    * [[prunedShingles]] (stop-shingle capped), and at corpus scale the
-    * candidate generator is the MinHash/LSH path (a containment-targeted
-    * index would band only the SHORTER side's signature). */
+    * [[prunedShingles]] (stop-shingle capped). At corpus scale the
+    * candidate generator is NOT the symmetric LSH bands (a low-Jaccard
+    * containment pair rarely collides in them) — the production paths
+    * are [[SubstringDedup.dedupSubstring]], which flags verbatim quote
+    * runs linearly and independently of the host document's length, or
+    * a containment-targeted index banding only the SHORTER side's
+    * signature. This exhaustive twin is the oracle-checking form. */
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
     val sh = prunedShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
