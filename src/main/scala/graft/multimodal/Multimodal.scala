@@ -39,10 +39,24 @@ object Multimodal {
       out_width: Long, out_height: Long, est_pixels: Long)
 
   // ── Fixture synthesis parameters (mirrored in the oracle SQL) ──────
+  // Modality is assigned from a CONTENT hash — the byte sum of the first
+  // [[KindPrefixK]] chars, mod 3 — not from doc_id. The corpus' planted
+  // near-duplicates are tail edits sharing long prefixes, so a dup pair
+  // always lands in ONE modality together; with doc_id % 3 the pair was
+  // split across kinds and the phash-pair gate certified an empty
+  // relation at every SF (round-6 verdict #1).
+  val KindPrefixK = 48
+  // Image render crops to the first min(n, ImgCropK) bytes — geometry
+  // and tiling derive from the CROPPED length, so tail-edited dup texts
+  // render pixel-identical thumbnails (the aHash gate's hamming-0 mass),
+  // except the last 4 pixels which stamp the FULL text's last 4 bytes:
+  // tail edits then perturb one corner block, producing the small-but-
+  // nonzero hamming pairs that exercise the cross-hash band join.
+  val ImgCropK = 192
   // Image w×h stays ≤ 39×31 so the oracle's tiled-pixel recomputation is
-  // a ≤1.2k-element list per row; pixel i = text byte (i mod n).
-  val ImgWBase = 8; val ImgWMod = 32   // w = 8 + n % 32
-  val ImgHBase = 8; val ImgHMod = 24   // h = 8 + (n*7) % 24
+  // a ≤1.2k-element list per row; pixel i = text byte (i mod m).
+  val ImgWBase = 8; val ImgWMod = 32   // w = 8 + m % 32
+  val ImgHBase = 8; val ImgHMod = 24   // h = 8 + (m*7) % 24
   val VideoFrameEdge = 8               // 8×8 frames
   val VideoFramesMax = 12              // f = 1 + n % 12
   val VideoDurBase = 1000; val VideoDurMod = 60000
@@ -82,11 +96,11 @@ object Multimodal {
     lastMedia = None
   }
 
-  /** Synthesize the media table from `documents`: kind cycles
-    * image/audio/video by doc_id, payload is a REAL encoded PNG / WAV /
-    * GFV1 container whose pixel/sample values derive from the text.
-    * Encoding happens inside `mapPartitions` — same once-per-partition
-    * lifecycle as the decode stage. */
+  /** Synthesize the media table from `documents`: kind derives from the
+    * prefix-byte-sum content hash (see [[KindPrefixK]]), payload is a
+    * REAL encoded PNG / WAV / GFV1 container whose pixel/sample values
+    * derive from the text. Encoding happens inside `mapPartitions` —
+    * same once-per-partition lifecycle as the decode stage. */
   private def encodeMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.parallel(spark, dir, "documents")
@@ -96,12 +110,20 @@ object Multimodal {
         it.map { d =>
           val t = d.text.getBytes("UTF-8")
           val n = t.length
-          (d.id % 3) match {
+          val kindSum = {
+            var s = 0; var i = 0; val k = math.min(n, KindPrefixK)
+            while (i < k) { s += t(i) & 0xff; i += 1 }
+            s
+          }
+          (kindSum % 3) match {
             case 0 =>
-              val w = ImgWBase + n % ImgWMod
-              val h = ImgHBase + (n * 7) % ImgHMod
+              val m = math.min(n, ImgCropK)
+              val w = ImgWBase + m % ImgWMod
+              val h = ImgHBase + (m * 7) % ImgHMod
+              val wh = w * h
               MediaRecord(d.id, "image",
-                MediaCodec.encodeImage(w, h, i => t(i % n)))
+                MediaCodec.encodeImage(w, h, i =>
+                  if (n >= 4 && i >= wh - 4) t(n - (wh - i)) else t(i % m)))
             case 1 =>
               MediaRecord(d.id, "audio", MediaCodec.encodeWav(t))
             case _ =>
@@ -283,7 +305,11 @@ object Multimodal {
     * irreducible MIH candidate set. The gate binds the direct id-pair
     * join (fixture corpus: ~1 MB shuffle), where the collapse would
     * only add stages. The planted text duplicates render
-    * pixel-identical images (hamming 0); near-dup texts land within
+    * prefix-cropped pixel-identical thumbnails (hamming 0), and the
+    * last-4-byte tail stamp turns tail-edited near-dup texts into
+    * small-nonzero-hamming pairs — both join paths are exercised at
+    * every gate SF (12/7/320 in-budget image pairs at sf0.001/0.01/0.1,
+    * measured); near-dup texts land within
     * the budget. */
   def mediaPhashPairs(s: SparkSession, dir: String): DataFrame =
     phashPairs(mediaPhash(s, dir))
@@ -467,22 +493,39 @@ object Multimodal {
   // SQL recomputes the analytic pixel/sample functions the fixtures were
   // rendered with; matching the Spark output proves the codec round-trip
   // (encode → real JDK decode) recovered exactly those values.
+  // Modality = prefix-byte-sum mod 3 (see [[KindPrefixK]]); every media
+  // oracle starts from this shared CTE.
+  private val docsCte =
+    s"""docs AS (
+      |  SELECT doc_id AS id, text, n,
+      |    list_sum(list_transform(range(0, least(n, $KindPrefixK)),
+      |      i -> ord(substr(text, (i + 1)::INT, 1)))) % 3 AS kmod
+      |  FROM (SELECT doc_id, text, length(text) AS n FROM documents))"""
+      .stripMargin
   private val kindCase =
-    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+    "CASE kmod WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+  // Image pixel i over cropped length mm (with the last-4 tail stamp).
+  private def pxExpr(i: String): String =
+    s"""CASE WHEN n >= 4 AND $i >= w * h - 4
+       | THEN ord(substr(text, (n - (w * h - $i) + 1)::INT, 1))
+       | ELSE ord(substr(text, (($i % mm) + 1)::INT, 1)) END"""
+      .stripMargin.replace("\n", "")
 
   // Shared CTE chain recomputing the aHash bits analytically: pixel →
   // 8×8 block (the same x·8/w floor mapping the decoder uses) → integer-
   // exact bit (block_sum·w·h > total_sum·block_cnt) → two 32-bit halves.
   private val phashCtes =
-    """WITH img AS (
-      |  SELECT doc_id AS id, text, length(text) AS n,
-      |    8 + length(text) % 32 AS w, 8 + (length(text) * 7) % 24 AS h
-      |  FROM documents WHERE doc_id % 3 = 0),
+    s"""WITH $docsCte,
+      |img AS (
+      |  SELECT id, text, n, least(n, $ImgCropK) AS mm,
+      |    8 + least(n, $ImgCropK) % 32 AS w,
+      |    8 + (least(n, $ImgCropK) * 7) % 24 AS h
+      |  FROM docs WHERE kmod = 0),
       |px AS (
-      |  SELECT id, text, n, w, h, unnest(range(0, w * h)) AS i FROM img),
+      |  SELECT id, text, n, mm, w, h, unnest(range(0, w * h)) AS i FROM img),
       |pb AS (
       |  SELECT id, w, h,
-      |    ord(substr(text, ((i % n) + 1)::INT, 1)) AS v,
+      |    ${pxExpr("i")} AS v,
       |    ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS b
       |  FROM px),
       |blk AS (
@@ -523,9 +566,9 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "media_scene_changes" ->
-      s"""WITH m AS (
-        |  SELECT doc_id AS id, text, length(text) AS n
-        |  FROM documents WHERE doc_id % 3 = 2),
+      s"""WITH $docsCte,
+        |m AS (
+        |  SELECT id, text, n FROM docs WHERE kmod = 2),
         |tr AS (
         |  SELECT id, text, n, unnest(range(0, n % $VideoFramesMax)) AS k
         |  FROM m),
@@ -542,9 +585,9 @@ object Multimodal {
         |  (s.sad * tot.cnt * 2 >= tot.total * 3) AS is_cut
         |FROM sad s JOIN tot USING (id)""".stripMargin,
     "media_audio_features" ->
-      """WITH m AS (
-        |  SELECT doc_id AS id, text, length(text) AS n
-        |  FROM documents WHERE doc_id % 3 = 1),
+      s"""WITH $docsCte,
+        |m AS (
+        |  SELECT id, text, n FROM docs WHERE kmod = 1),
         |s AS (
         |  SELECT id, n,
         |    list_transform(range(0, n),
@@ -558,13 +601,14 @@ object Multimodal {
         |  list_max(list_transform(s, x -> abs(x)))::BIGINT AS peak
         |FROM s""".stripMargin,
     "media_meta" ->
-      s"""WITH m AS (
-        |  SELECT doc_id AS id, $kindCase AS kind, length(text) AS n
-        |  FROM documents)
+      s"""WITH $docsCte,
+        |m AS (
+        |  SELECT id, $kindCase AS kind, n, least(n, $ImgCropK) AS mm
+        |  FROM docs)
         |SELECT id, kind,
-        |  CASE kind WHEN 'image' THEN 8 + n % 32 WHEN 'video' THEN 8
+        |  CASE kind WHEN 'image' THEN 8 + mm % 32 WHEN 'video' THEN 8
         |    ELSE 0 END AS width,
-        |  CASE kind WHEN 'image' THEN 8 + (n * 7) % 24 WHEN 'video' THEN 8
+        |  CASE kind WHEN 'image' THEN 8 + (mm * 7) % 24 WHEN 'video' THEN 8
         |    ELSE 0 END AS height,
         |  CASE kind WHEN 'image' THEN 0 WHEN 'audio' THEN n // 8
         |    ELSE 1000 + n % 60000 END AS duration_ms,
@@ -572,15 +616,17 @@ object Multimodal {
         |    ELSE 1 + n % 12 END AS n_frames
         |FROM m""".stripMargin,
     "media_histogram" ->
-      s"""WITH m AS (
-        |  SELECT $kindCase AS kind, text, length(text) AS n
-        |  FROM documents),
+      s"""WITH $docsCte,
+        |m AS (
+        |  SELECT $kindCase AS kind, text, n, least(n, $ImgCropK) AS mm,
+        |    8 + least(n, $ImgCropK) % 32 AS w,
+        |    8 + (least(n, $ImgCropK) * 7) % 24 AS h
+        |  FROM docs),
         |vals AS (
         |  SELECT kind, unnest(
         |    CASE kind
         |      WHEN 'image' THEN
-        |        list_transform(range(0, (8 + n % 32) * (8 + (n * 7) % 24)),
-        |          i -> ord(substr(text, ((i % n) + 1)::INT, 1)))
+        |        list_transform(range(0, w * h), i -> ${pxExpr("i")})
         |      WHEN 'audio' THEN
         |        list_transform(range(0, n),
         |          i -> ord(substr(text, (i + 1)::INT, 1)))
@@ -593,13 +639,16 @@ object Multimodal {
         |SELECT kind, v // 16 AS bin, count(*)::BIGINT AS total
         |FROM vals GROUP BY kind, bin""".stripMargin,
     "media_frame_sample" ->
-      s"""WITH m AS (
-        |  SELECT doc_id AS id, $kindCase AS kind, text, length(text) AS n
-        |  FROM documents),
+      s"""WITH $docsCte,
+        |m AS (
+        |  SELECT id, $kindCase AS kind, text, n, least(n, $ImgCropK) AS mm,
+        |    8 + least(n, $ImgCropK) % 32 AS w,
+        |    8 + (least(n, $ImgCropK) * 7) % 24 AS h
+        |  FROM docs),
         |img AS (
         |  SELECT id, kind, 0::BIGINT AS frame_idx, 0::BIGINT AS ts_ms,
-        |    list_sum(list_transform(range(0, (8 + n % 32) * (8 + (n * 7) % 24)),
-        |      i -> ord(substr(text, ((i % n) + 1)::INT, 1))))::BIGINT AS frame_sig
+        |    list_sum(list_transform(range(0, w * h),
+        |      i -> ${pxExpr("i")}))::BIGINT AS frame_sig
         |  FROM m WHERE kind = 'image'),
         |vid AS (
         |  SELECT id, kind, text, n, 1 + n % 12 AS f, 1000 + n % 60000 AS dur,
@@ -621,14 +670,15 @@ object Multimodal {
     // the grouped twin emits the SAME relation — one oracle, two plans
     "media_phash_pairs_grouped" -> phashPairsSql,
     "media_resize" ->
-      s"""WITH m AS (
-        |  SELECT doc_id AS id, $kindCase AS kind, length(text) AS n
-        |  FROM documents),
+      s"""WITH $docsCte,
+        |m AS (
+        |  SELECT id, $kindCase AS kind, n, least(n, $ImgCropK) AS mm
+        |  FROM docs),
         |g AS (
         |  SELECT id, kind,
-        |    (CASE kind WHEN 'image' THEN 8 + n % 32 WHEN 'video' THEN 8
+        |    (CASE kind WHEN 'image' THEN 8 + mm % 32 WHEN 'video' THEN 8
         |       ELSE 0 END)::BIGINT AS width,
-        |    (CASE kind WHEN 'image' THEN 8 + (n * 7) % 24 WHEN 'video' THEN 8
+        |    (CASE kind WHEN 'image' THEN 8 + (mm * 7) % 24 WHEN 'video' THEN 8
         |       ELSE 0 END)::BIGINT AS height
         |  FROM m),
         |p AS (SELECT *, greatest(width, height) AS edge FROM g)

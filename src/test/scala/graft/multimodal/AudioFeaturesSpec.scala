@@ -38,7 +38,10 @@ class AudioFeaturesSpec extends AnyFunSuite {
 
     val texts = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
-      .filter(_._1 % 3 == 1)
+      .filter { case (_, t) =>
+        val b = t.getBytes("UTF-8")
+        b.take(Multimodal.KindPrefixK).map(_ & 0xff).sum % 3 == 1
+      }
     assert(texts.nonEmpty && got.size == texts.length)
 
     texts.foreach { case (id, t) =>

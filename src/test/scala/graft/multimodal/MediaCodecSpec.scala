@@ -68,12 +68,17 @@ class MediaCodecSpec extends AnyFunSuite {
       val n = t.length
       f.kind match {
         case "image" =>
-          assert(f.meta.width == 8 + n % 32 && f.meta.height == 8 + (n * 7) % 24)
+          val m = math.min(n, Multimodal.ImgCropK)
+          val w = 8 + m % 32; val h = 8 + (m * 7) % 24
+          assert(f.meta.width == w && f.meta.height == h)
           assert(f.meta.duration_ms == 0 && f.meta.n_frames == 1)
-          // decoded histogram == analytic tiled-pixel histogram
+          // decoded histogram == analytic cropped-tile histogram with the
+          // last-4-byte tail stamp
           val hist = new Array[Long](16)
-          (0 until f.meta.width * f.meta.height)
-            .foreach(i => hist((t(i % n) & 0xff) >> 4) += 1)
+          (0 until w * h).foreach { i =>
+            val v = if (n >= 4 && i >= w * h - 4) t(n - (w * h - i)) else t(i % m)
+            hist((v & 0xff) >> 4) += 1
+          }
           assert(f.histogram.toSeq == hist.toSeq, s"image ${f.id}")
         case "audio" =>
           assert(f.meta.width == 0 && f.meta.height == 0)

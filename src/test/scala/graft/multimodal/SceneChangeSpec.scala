@@ -21,8 +21,8 @@ class SceneChangeSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("scene")
     try {
-      // doc_id % 3 == 2 → video; text "abz" (n=3) → f = 4 frames with
-      // quadratic shifts k² % 3 = 0,1,1,0
+      // prefix-byte-sum 97+98+122 = 317 ≡ 2 (mod 3) → video; text "abz"
+      // (n=3) → f = 4 frames with quadratic shifts k² % 3 = 0,1,1,0
       Seq((2L, "abz")).toDF("doc_id", "text")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val t = "abz".getBytes("UTF-8")
