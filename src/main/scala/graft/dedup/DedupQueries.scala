@@ -188,9 +188,11 @@ object DedupQueries {
     * candidate generator is NOT the symmetric LSH bands (a low-Jaccard
     * containment pair rarely collides in them) — the production paths
     * are [[SubstringDedup.dedupSubstring]], which flags verbatim quote
-    * runs linearly and independently of the host document's length, or
-    * a containment-targeted index banding only the SHORTER side's
-    * signature. This exhaustive twin is the oracle-checking form. */
+    * runs linearly and independently of the host document's length, and
+    * [[PrefixJoin.dedupContainmentIndexed]], the shorter-side prefix
+    * index whose losslessness THIS query's SQL certifies (both gate
+    * queries share the exhaustive oracle). This exhaustive twin is the
+    * oracle-checking form. */
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
     val sh = prunedShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -52,29 +52,34 @@ object PrefixJoin {
     * design on corpora with a moderate-similarity band. */
   val PrefixThreshold = 0.8
 
-  /** Prefix length for Jaccard threshold t on a set of size n:
-    * `n - ceil(t*n) + 1`. Proof that the prefix×prefix join is exact:
-    * J(a,b) >= t implies common c >= t*(na + nb - c) >= t*na (since
-    * nb >= c). Let x be the common shingle smallest in the global
-    * order; if x sat outside a's prefix then ALL common shingles would
-    * sit in a's suffix of length na - p(na) = ceil(t*na) - 1 < t*na
-    * <= c — contradiction. Symmetrically for b, so x lies in both
-    * prefixes. */
-  def prefixLen(n: Column): Column =
-    n - ceil(n * lit(PrefixThreshold)) + 1
+  /** Prefix length for threshold t on a set of size n:
+    * `n - ceil(t*n) + 1`. Proof that the prefix×prefix join is exact
+    * for Jaccard: J(a,b) >= t implies common c >= t*(na + nb - c) >=
+    * t*na (since nb >= c). Let x be the common shingle smallest in the
+    * global order; if x sat outside a's prefix then ALL common shingles
+    * would sit in a's suffix of length na - p(na) = ceil(t*na) - 1 <
+    * t*na <= c — contradiction. Symmetrically for b, so x lies in both
+    * prefixes. The same suffix-counting argument gives the CONTAINMENT
+    * variant (see [[containmentCandidates]]): overlap c >= t*n_A
+    * already on the shorter side alone, so A's prefix must intersect
+    * A∩B — but B's matching token can sit anywhere in B's order, which
+    * is why the containment index probes prefix(shorter) against the
+    * FULL longer side rather than prefix×prefix. */
+  def prefixLen(n: Column, t: Double = PrefixThreshold): Column =
+    n - ceil(n * lit(t)) + 1
 
   /** Each document's prefix tokens under the global (df ASC, shingle
-    * ASC) order, as (doc_id, s). The row_number window partitions by
+    * ASC) order, as (doc_id, s, n). The row_number window partitions by
     * doc_id — bounded by document length, never by corpus size. */
-  def prefixTokens(sh: DataFrame): DataFrame = {
+  def prefixTokens(sh: DataFrame, t: Double = PrefixThreshold): DataFrame = {
     val dfc = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
     sh.join(dfc, "s")
       .withColumn("rk", row_number().over(w))
       .join(sizes, "doc_id")
-      .filter(col("rk") <= prefixLen(col("n")))
-      .select(col("doc_id"), col("s"))
+      .filter(col("rk") <= prefixLen(col("n"), t))
+      .select(col("doc_id"), col("s"), col("n"))
   }
 
   /** Candidate pairs from the prefix self-join (a_id < b_id, distinct).
@@ -127,8 +132,79 @@ object PrefixJoin {
     verify(candidatePairs(prefixTokens(sh)), sh)
   }
 
+  // ───────────────────── containment-targeted index (asymmetric) ──────
+  //
+  // The production path round 6 left named-but-unimplemented
+  // (DedupQueries.dedupContainment scaladoc): a low-Jaccard containment
+  // pair (short quote inside a long host) rarely collides in symmetric
+  // LSH bands, and prefix×prefix misses it too — the host's prefix is
+  // its rarest tokens, which need not touch the quote at all. The
+  // asymmetric decomposition: only the SHORTER side's overlap bound
+  // matters (c >= t·n_short), so each document probes with its own
+  // prefix AS the potential contained side, against an index of ALL
+  // documents' full token sets.
+
+  /** Candidate pairs for containment >= t: prefix(shorter) ⋈ full
+    * token index, keeping only probe-shorter-than-indexed orientations
+    * (ties probe both ways and collapse in the distinct). LOSSLESS by
+    * the suffix-counting argument at [[prefixLen]]: c >= t·n_A means
+    * A∩B cannot fit inside A's suffix of size ceil(t·n_A) − 1.
+    *
+    * Scale shape: the pair expansion is Σ_s prefix_occ(s) · df(s) —
+    * prefix occurrences are the RAREST tokens by construction and
+    * df(s) is capped by the stop-shingle prune, so candidates grow
+    * linearly in prefix tokens with a bounded constant, vs the
+    * exhaustive Σ_s df(s)² pair relation (measured side by side in
+    * SCALE_VALIDATION.md). */
+  def containmentCandidates(prefix: DataFrame, full: DataFrame): DataFrame =
+    prefix.as("x").join(full.as("y"),
+      col("x.s") === col("y.s") &&
+        (col("x.n") < col("y.n") ||
+          (col("x.n") === col("y.n") &&
+            col("x.doc_id") =!= col("y.doc_id"))))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+      .distinct()
+
+  /** Exact containment verification by array intersection — same
+    * candidates + docs join shape as [[verify]]; emits the
+    * [[DedupQueries.dedupContainment]] schema so the EXHAUSTIVE
+    * containment SQL is the oracle and the hash gate certifies the
+    * index lossless at t = [[DedupQueries.ContainmentThreshold]]. */
+  def verifyContainment(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val ds = docSets(sh)
+    cands
+      .join(ds.select(col("doc_id").as("a_id"), col("ss").as("sa"),
+        col("n").as("na")), "a_id")
+      .join(ds.select(col("doc_id").as("b_id"), col("ss").as("sb"),
+        col("n").as("nb")), "b_id")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb")))
+        .cast("long"))
+      .withColumn("n_small", least(col("na"), col("nb")))
+      .withColumn("containment", col("common") / col("n_small"))
+      .filter(col("n_small") >= DedupQueries.MinContainedShingles &&
+        col("containment") >= DedupQueries.ContainmentThreshold)
+      .select(col("a_id"), col("b_id"),
+        when(col("na") <= col("nb"), col("a_id")).otherwise(col("b_id"))
+          .as("contained_id"),
+        col("common"), col("n_small"),
+        round(col("containment"), 4).as("containment"))
+  }
+
+  /** The gate query: shorter-side prefix probe against the full index,
+    * verified exactly. Output (and oracle) identical to the exhaustive
+    * containment join. */
+  def dedupContainmentIndexed(s: SparkSession, dir: String): DataFrame = {
+    val sh = prunedShingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val full = sh.join(sizes, "doc_id")
+    val prefix = prefixTokens(sh, DedupQueries.ContainmentThreshold)
+    verifyContainment(containmentCandidates(prefix, full), sh)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_prefix_jaccard" -> dedupPrefixJaccard)
+    "dedup_prefix_jaccard" -> dedupPrefixJaccard,
+    "dedup_containment_indexed" -> dedupContainmentIndexed)
 
   /** THE point of this oracle: it is the EXHAUSTIVE exact-pairs SQL at
     * t = [[PrefixThreshold]] — no prefix logic in it — so the hash gate
@@ -149,5 +225,8 @@ object PrefixJoin {
           |JOIN sizes sa ON sa.doc_id = a_id
           |JOIN sizes sb ON sb.doc_id = b_id
           |WHERE common * 1.0 / (sa.n + sb.n - common)
-          |  >= $PrefixThreshold""".stripMargin))
+          |  >= $PrefixThreshold""".stripMargin),
+    // Same oracle as the exhaustive containment twin: the hash gate
+    // certifies the shorter-side index is lossless, not just plausible.
+    "dedup_containment_indexed" -> DedupQueries.oracles("dedup_containment"))
 }

@@ -18,8 +18,9 @@ object ScaleValidate {
     * prediction strings are the SCALE.md laws being tested. */
   val Families: Seq[(String, String, Seq[String])] = Seq(
     ("linear-token", "shuffle ∝ tokens: ≈F×", Seq(
-      "dedup_substring", "kmv_distinct", "term_rarity_topk",
-      "cross_doc_ngrams", "doc_repetition", "winnow_fingerprints")),
+      "dedup_substring", "dedup_substring_excise", "kmv_distinct",
+      "term_rarity_topk", "cross_doc_ngrams", "doc_repetition",
+      "winnow_fingerprints", "cooccur_topk")),
     ("sketch-setop", "KMV partials: shuffle ∝ sources × K longs ≪F×; " +
       "pair stage over sources² sketches, corpus-independent", Seq(
       "source_overlap_kmv")),
@@ -31,7 +32,17 @@ object ScaleValidate {
     ("projection", "shuffle ≈ 0 at any scale", Seq(
       "text_quality", "quality_gopher", "doc_fingerprint",
       "embed_quantize", "train_split", "chunk_documents",
-      "media_audio_features", "media_phash", "pii_redact")),
+      "media_audio_features", "media_phash", "pii_redact", "pii_scan",
+      "media_meta", "media_resize", "media_frame_sample")),
+    ("doc-profile", "one corpus scan, partials ∝ partitions × buckets: " +
+      "≪F×", Seq(
+      "text_stats", "value_histogram", "source_drift", "lang_id_confusion",
+      "profile_numeric", "profile_categorical", "media_histogram")),
+    ("corpus-shaping", "hash-deterministic sample/pack/mix: row shuffle " +
+      "∝ selected docs ≈F×, per-group partials ≪F×", Seq(
+      "stratified_sample", "sample_per_group", "sample_per_group_agg",
+      "mix_weights", "token_budget_mix", "negative_pairs",
+      "pack_sequences")),
     ("banded-pairs", "band equi-self-join: shuffle ∝ images × bands ≈F×; " +
       "in-join pairs ∝ Σn_b² over 16-bit band buckets", Seq(
       "media_phash_pairs", "media_phash_pairs_grouped")),
@@ -39,14 +50,16 @@ object ScaleValidate {
       "window over ≤ frames−1 rows/clip: ∝ frames ≈F×", Seq(
       "media_scene_changes")),
     ("vocab-bounded", "shuffle ∝ vocab/partials: ≪F×", Seq(
-      "cms_heavy_hitters", "vocab_topk", "bpe_pairs", "unigram_encode",
-      "wordpiece_encode")),
+      "cms_heavy_hitters", "vocab_topk", "bpe_pairs", "bpe_encode",
+      "unigram_encode", "wordpiece_encode")),
     ("matching-token-bounded",
       "tf shuffle ∝ query-term matches (base-replica-only terms): ≈flat", Seq(
       "bm25_topk", "hybrid_rrf_topk")),
     ("broadcast-side", "shuffle ∝ corpus partials, broadcast fixed: ≤F×", Seq(
       "decontaminate", "decontam_bloom", "ann_cosine_topk",
-      "ann_batch_topk", "ivf_topk", "dedup_embedding_cosine",
+      "ann_batch_topk", "ann_lsh_buckets", "ann_lsh_topk",
+      "ann_lsh_multiprobe", "ivf_topk", "ivf_topk_probeall",
+      "dedup_embedding_cosine",
       "quality_lm_score", "dsir_weights", "quality_bigram_score",
       "decontam_report", "decontam_semantic", "decontam_substring")),
     ("bounded-candidates", "pairs df-capped: ≈F× (dup pairs ∝ docs)", Seq(
@@ -54,6 +67,10 @@ object ScaleValidate {
     ("prefix-filtered", "t=0.8 prefix join: shuffle ∝ tokens + candidates " +
       "≈F×; array verify never re-expands candidates", Seq(
       "dedup_prefix_jaccard")),
+    ("containment-indexed", "prefix(shorter) ⋈ df-capped full index: " +
+      "candidates ∝ prefix tokens × df-cap ≈F× (≪ exhaustive Σdf²); " +
+      "array verify candidate-bounded", Seq(
+      "dedup_containment_indexed")),
     ("snapshot-delta", "batch×index band join: shuffle ∝ docs ≈F× " +
       "(signatures + bands); verify candidate-bounded", Seq(
       "dedup_incremental")),
@@ -77,8 +94,8 @@ object ScaleValidate {
       "partials), frontier shrinks monotonically: ∝ edges ≈F×", Seq(
       "label_prop_knn", "label_prop_confusion")),
     ("moment-agg", "normal-equation moments: 28 doubles per partition, " +
-      "corpus-independent ≪F×; scoring a projection", Seq(
-      "quality_classifier", "classifier_eval")),
+      "corpus-independent ≪F×; scoring a projection + tiny-bucket rollup", Seq(
+      "quality_classifier", "classifier_eval", "classifier_calibration")),
     ("format-roundtrip", "one-time parallel format rewrite (no shuffle) + " +
       "rollup partials ∝ sources ≪F×", Seq(
       "source_orc", "source_jsonl")),
@@ -86,25 +103,32 @@ object ScaleValidate {
     // star-schema growth shape):
     ("scan-agg", "map-side complete: partials ∝ partitions×groups: ≪F×", Seq(
       "q1_pricing_summary", "q6_forecast", "q14_hourly_events",
-      "q18_stats")),
+      "q18_stats", "q12_status_priority_rollup", "q17_constraints",
+      "q19_brand_cube", "q20_event_props", "q23_status_priority_pivot",
+      "q25_grouping_sets")),
     ("fact-join", "dims hinted-broadcast, agg partials only: ≪F×", Seq(
       "q3_revenue_by_nation", "q5_segment_nation_revenue",
-      "q9_suppliers_heavy_items")),
+      "q9_suppliers_heavy_items", "q4_order_priority",
+      "q8_customers_without_orders")),
     ("salted-shuffle", "salted repartition moves facts by design: ≈F×", Seq(
       "skew_join_rollup")),
+    ("layout-shuffle", "full-relation range repartition by design " +
+      "(z-order interleave keys): ≈F×", Seq("zorder_layout")),
     ("keyed-topk", "agg keyed by fixed dim / WindowGroupLimit-capped: ≪F×", Seq(
-      "q2_top_customers", "q13_top_events_per_type")),
+      "q2_top_customers", "q13_top_events_per_type",
+      "q11_first_order_per_customer")),
     ("time-align-join", "bucketed equi on time: ∝ events ≈F×", Seq(
-      "asof_join", "asof_join_forward", "interval_join")),
+      "asof_join", "asof_join_forward", "interval_join", "resample_ffill")),
     ("user-state", "hash by user, per-key state fixed: ∝ events ≈F×", Seq(
       "q16_sessionize", "q22_rolling_user_stats", "q24_session_window",
-      "funnel_stages", "cohort_retention")),
+      "funnel_stages", "cohort_retention", "q21_sliding_windows",
+      "pipeline_funnel")),
     ("percentile-pair", "exact ∝ rows vs sketch ∝ partitions×groups", Seq(
-      "q15_value_percentiles", "q15_approx_percentiles")),
+      "q15_value_percentiles", "q15_approx_percentiles", "outlier_mad")),
     ("storm-chain", "enrichment is a projection; rollups ∝ groups: ≪F×", Seq(
       "storm_enrich", "storm_severity_counts")),
     ("exact-distinct", "countDistinct partials ∝ distinct (key,id): ≈F×", Seq(
-      "storm_bucket_counts", "hll_distinct")))
+      "storm_bucket_counts", "hll_distinct", "q7_distinct_customers")))
 
   def main(rawArgs: Array[String]): Unit = {
     // --no-broadcast pins every stats-decided join to shuffle strategy —

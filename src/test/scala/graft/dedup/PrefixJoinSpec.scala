@@ -19,7 +19,7 @@ class PrefixJoinSpec extends AnyFunSuite {
 
   test("prefix relation is the rarest-first n-ceil(tn)+1 cut of shp") {
     val sh = DedupQueries.prunedShingles(spark, sf)
-    val prefix = PrefixJoin.prefixTokens(sh).cache()
+    val prefix = PrefixJoin.prefixTokens(sh).select("doc_id", "s").cache()
     try {
       assert(prefix.except(sh).count() == 0, "prefix token not in shp")
       val got = prefix.groupBy("doc_id").agg(count(lit(1)).as("p"))

@@ -26,6 +26,23 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(names.distinct.size == names.size, "duplicate family entries")
   }
 
+  test("every gate query is scale-measured or explicitly exempt") {
+    // The inverse completeness check (round-6 ADVICE: classifier_calibration
+    // was silently unmeasured): a NEW gate query must either join a
+    // Families row or be added here WITH a reason — an unlisted query
+    // fails loudly instead of skipping scale validation forever.
+    val measured = ScaleValidate.Families.flatMap(_._3).toSet
+    val exempt: Set[String] = ScaleToolsSpec.ScaleExempt
+    val unmeasured =
+      SparkEntry.queries.keySet -- measured -- exempt
+    assert(unmeasured.isEmpty,
+      s"gate queries neither scale-measured nor exempt: ${unmeasured.toSeq.sorted}")
+    val stale = exempt.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"exempt entries no longer registered: $stale")
+    val both = exempt & measured
+    assert(both.isEmpty, s"exempt entries that ARE measured (drop them): $both")
+  }
+
   test("facts scale ×F with consistent keys, dims verbatim") {
     def cnt(dir: String, t: String): Long =
       spark.read.parquet(s"$dir/$t.parquet").count()
@@ -90,4 +107,18 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(joined.filter(col("text") =!= col("t2")).count() == 0,
       "planted exact duplicates are not verbatim")
   }
+}
+
+object ScaleToolsSpec {
+  /** Gate queries deliberately outside the scale matrix, each with its
+    * reason — all dim-/fixture-bounded inputs that ScaleGen keeps
+    * VERBATIM (only facts/events/documents grow), so a scaling row
+    * would be a degenerate flat line by construction:
+    *   - storm_fixture: the 271-record golden storm file (fixed file).
+    *   - q10_party_union: union of customer+supplier dims (dims fixed).
+    *   - fuzzy_name_pairs: n-gram self-join over the customer dim
+    *     (dim fixed; the operator's scale shape is the banded-pairs
+    *     law already measured on the growing document corpus). */
+  val ScaleExempt: Set[String] =
+    Set("storm_fixture", "q10_party_union", "fuzzy_name_pairs")
 }
