@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Both halves run on the word-frequency relation ([[Bpe.symbolizeWeighted]]
   * — vocab-sized, provably identical statistics to per-occurrence rows).
-  * Each training round is two small aggregations (pair counts + unigram
-  * counts) and a 1-row driver collect; the apply side compiles the trained
+  * Training pays ONE distributed aggregation (the collected VocabCap-
+  * bounded vocabulary) and loops locally ([[Bpe.trainMerges]] split);
+  * the apply side compiles the trained
   * pieces into a per-length literal CASE chain inside one `aggregate` fold
   * — pure codegen-able Catalyst, no UDF, vocab-sized input. The oracle is
   * built AFTER training ([[Bpe]]/Ivf pattern): the same maximal-munch fold
@@ -37,36 +38,50 @@ object WordPiece {
   /** Merges trained (and applied) by [[wordpieceEncode]]. */
   val KMerges = 8
 
-  /** Train `k` likelihood-scored merges over a weighted `(sym, w)` corpus.
-    * Per round: adjacent-pair counts and unigram symbol counts (two
-    * aggregations), score = n_ab / (n_a · n_b) in double (exact ratio of
-    * longs — deterministic), argmax with (score desc, a asc, b asc)
-    * tie-break, then [[Bpe.applyMerge]]'s greedy fold rewrites the rows.
+  /** Train `k` likelihood-scored merges over a weighted `(sym, w)` corpus:
+    * ONE distributed aggregation ([[Bpe.collectVocab]] — the word-
+    * frequency table, VocabCap-bounded), then the k-round loop locally
+    * (the [[Bpe.trainMerges]] split; formerly two aggregations + a
+    * corpus rewrite per merge). Per round: adjacent-pair counts and
+    * unigram symbol counts over the vocab rows, score = n_ab /
+    * (n_a · n_b) in double (the identical IEEE ops the distributed round
+    * computed — same argmax), tie-break (score desc, a asc, b asc),
+    * then [[Bpe.applyMergeLocal]]'s greedy fold rewrites the rows.
     * Returns the merged piece strings in training order. */
   def trainPieces(symbolized: DataFrame, k: Int): Seq[String] = {
-    var syms = symbolized.select(col("sym"), col("w")).cache()
+    var words = Bpe.collectVocab(symbolized)
     val pieces = Seq.newBuilder[String]
-    try {
-      for (_ <- 0 until k) {
-        val units = syms
-          .select(col("w"), explode(col("sym")).as("u"))
-          .groupBy("u").agg(sum(col("w")).as("n_u"))
-        val top = Bpe.weightedPairs(syms)
-          .join(broadcast(units.select(col("u").as("a"), col("n_u").as("n_a"))), "a")
-          .join(broadcast(units.select(col("u").as("b"), col("n_u").as("n_b"))), "b")
-          .withColumn("score",
-            col("n_ab").cast("double") /
-              (col("n_a").cast("double") * col("n_b").cast("double")))
-          .orderBy(desc("score"), asc("a"), asc("b"))
-          .limit(1)
-          .collect()
-        if (top.isEmpty) return pieces.result()
-        val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
-        pieces += (a + b)
-        syms = Bpe.mergeRound(syms, a, b)
+    var taken = 0
+    var exhausted = false
+    while (taken < k && !exhausted) {
+      val pairCounts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val unitCounts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (syms, w) =>
+        var i = 0
+        while (i < syms.length) {
+          unitCounts.update(syms(i), unitCounts.getOrElse(syms(i), 0L) + w)
+          if (i < syms.length - 1) {
+            val key = (syms(i), syms(i + 1))
+            pairCounts.update(key, pairCounts.getOrElse(key, 0L) + w)
+          }
+          i += 1
+        }
       }
-      pieces.result()
-    } finally syms.unpersist()
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val ((a, b), _) = pairCounts.minBy { case ((a, b), nAb) =>
+          (-(nAb.toDouble /
+            (unitCounts(a).toDouble * unitCounts(b).toDouble)), a, b)
+        }
+        pieces += (a + b)
+        taken += 1
+        words = words.map { case (syms, w) =>
+          (Bpe.applyMergeLocal(syms, a, b), w)
+        }
+      }
+    }
+    pieces.result()
   }
 
   /** SQL-text form of the maximal-munch fold over the word expression
