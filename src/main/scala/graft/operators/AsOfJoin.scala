@@ -35,16 +35,20 @@ object AsOfJoin {
     // purchase timestamp counts as "prior" (matches ASOF's ts >= ts)
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE window value binds both output columns: last(struct) over the
+    // click rows, so ts and value always come from the SAME click row
+    // even if a click carries a NULL value (separate last(value) /
+    // last(when(ts)) calls would skip the null on one column only and
+    // diverge from the oracle's single matched row).
     clicks.unionByName(purchases)
-      .withColumn("last_click_value",
-        last(col("click_value"), ignoreNulls = true).over(w))
-      .withColumn("last_click_ts",
-        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("last_click",
+        last(when(col("side") === 0, struct(col("ts"), col("click_value"))),
+          ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"),
         round(col("value"), 2).as("purchase_value"),
-        round(col("last_click_value"), 2).as("last_click_value"),
-        (unix_micros(col("ts")) - unix_micros(col("last_click_ts")))
+        round(col("last_click.click_value"), 2).as("last_click_value"),
+        (unix_micros(col("ts")) - unix_micros(col("last_click.ts")))
           .as("micros_since_click"))
   }
 
@@ -68,16 +72,16 @@ object AsOfJoin {
         col("value").as("purchase_value"))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // first(struct) — same single-row binding as the backward join
     clicks.unionByName(purchases)
-      .withColumn("next_purchase_value",
-        first(col("purchase_value"), ignoreNulls = true).over(w))
-      .withColumn("next_purchase_ts",
-        first(when(col("side") === 1, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("next_purchase",
+        first(when(col("side") === 1, struct(col("ts"), col("purchase_value"))),
+          ignoreNulls = true).over(w))
       .filter(col("side") === 0)
       .select(col("event_id"), col("user_id"),
         round(col("value"), 2).as("click_value"),
-        round(col("next_purchase_value"), 2).as("next_purchase_value"),
-        (unix_micros(col("next_purchase_ts")) - unix_micros(col("ts")))
+        round(col("next_purchase.purchase_value"), 2).as("next_purchase_value"),
+        (unix_micros(col("next_purchase.ts")) - unix_micros(col("ts")))
           .as("micros_to_purchase"))
   }
 

@@ -40,12 +40,23 @@ object FormatSources {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  // conversion cache under target/ keyed by (dir-hash, source stamp):
-  // re-used across sessions and bench runs, invalidated by data rewrite
+  // conversion cache under target/ keyed by (dir-digest, source stamp):
+  // re-used across sessions and bench runs, invalidated by data rewrite.
+  // The digest is a sha-256 prefix of the ABSOLUTE path (round-6
+  // ADVICE: 32-bit String.hashCode collisions could serve one corpus'
+  // conversions for another, and dropCache would delete across the
+  // collision) — 64 bits of collision resistance and canonical-path
+  // keying, so "dir" and "./dir" share one entry.
+  private def dirDigest(dir: String): String = {
+    val abs = Paths.get(dir).toAbsolutePath.normalize.toString
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes("UTF-8"))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
   private def cacheDir(dir: String, fmt: String): String = {
     val stamp = Tables.sourceStamp(dir, "documents")
-    val dh = Integer.toHexString(dir.hashCode)
-    s"target/fmtcache/documents-$dh-$stamp.$fmt"
+    s"target/fmtcache/documents-${dirDigest(dir)}-$stamp.$fmt"
   }
 
   private def converted(s: SparkSession, dir: String, fmt: String): DataFrame =
@@ -69,7 +80,7 @@ object FormatSources {
     * their temp fixtures' cache entries; production landing zones are
     * retention-managed externally, not by the engine. */
   def dropCache(dir: String): Unit = synchronized {
-    val dh = Integer.toHexString(dir.hashCode)
+    val dh = dirDigest(dir)
     val root = Paths.get("target/fmtcache")
     if (Files.exists(root)) {
       val listing = Files.list(root)

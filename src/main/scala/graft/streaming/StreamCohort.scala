@@ -52,6 +52,15 @@ object StreamCohort {
       val wk = weekStartDay(e.ts)
       if (st.firstWeekDay == Long.MinValue) st = CohortState(wk, 0L)
       val off = (wk - st.firstWeekDay) / 7
+      if (off >= MaxOffsetWeeks) {
+        // Surface the window bound instead of silently diverging from
+        // the uncapped batch triangle (round-6 ADVICE): beyond-window
+        // retention is a deliberate production cap, but it must be
+        // visible when it fires.
+        System.err.println(
+          s"[stream-cohort] dropping increment: user $userId offset $off " +
+            s">= MaxOffsetWeeks=$MaxOffsetWeeks (batch twin has no cap)")
+      }
       if (off >= 0 && off < MaxOffsetWeeks && (st.seenMask & (1L << off)) == 0L) {
         out += Increment(
           LocalDate.ofEpochDay(st.firstWeekDay).toString, off, userId)

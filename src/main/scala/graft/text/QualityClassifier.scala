@@ -134,20 +134,25 @@ object QualityClassifier {
     solve(a, b)
   }
 
-  // one-slot memo, keyed by (session, dir, source stamp) — same policy as
-  // graft.sim.Ivf.assignments (invalidates on in-place data rewrite)
-  private var lastModel: Option[((SparkSession, String, Long), Array[Double])] = None
+  // ONE memo slot holds weights AND their inlined-literal oracle SQL,
+  // keyed by (session, dir, source stamp) — same eviction policy as
+  // graft.sim.Ivf.assignments (invalidates on in-place data rewrite).
+  // Storing them as one value closes the round-6 ADVICE divergence by
+  // construction: the oracles served are always the ones generated from
+  // the weights currently memoized, never a stale pair from an earlier
+  // corpus.
+  private var lastModel: Option[((SparkSession, String, Long),
+    (Array[Double], Map[String, String]))] = None
 
   /** Trained weights for a corpus dir (memoized; `classifier_eval` and the
     * streaming twin reuse the gate's model instead of re-training). */
   def weights(s: SparkSession, dir: String): Array[Double] = synchronized {
     val key = (s, dir, Tables.sourceStamp(dir, "documents"))
     lastModel match {
-      case Some((k, w)) if k == key => w
+      case Some((k, (w, _))) if k == key => w
       case _ =>
         val w = train(featured(Tables.parallel(s, dir, "documents")))
-        lastModel = Some((key, w))
-        recordOracles(w)
+        lastModel = Some((key, (w, buildOracles(w))))
         w
     }
   }
@@ -207,10 +212,8 @@ object QualityClassifier {
 
   // oracles exist only once the model is trained (weights are inlined as
   // literals); Verify runs queries before dumping SQL — same contract as
-  // graft.sim.Ivf's dynamic oracle.
-  private var lastOracles: Map[String, String] = Map.empty
-
-  private def recordOracles(w: Array[Double]): Unit = {
+  // graft.sim.Ivf's dynamic oracle. Built inside the weights memo slot.
+  private def buildOracles(w: Array[Double]): Map[String, String] = {
     val z = FeatureNames.zipWithIndex.foldLeft(s"${fmtD(w(0))}") {
       case (acc, (f, i)) => s"($acc + (${fmtD(w(i + 1))} * $f))"
     }
@@ -236,7 +239,7 @@ object QualityClassifier {
          |   AND n_stop >= ${TextQueries.GopherMinStopHits}) AS label
          |  FROM c),
          |s AS (SELECT doc_id, label, $z AS z FROM f)""".stripMargin
-    lastOracles = Map(
+    Map(
       "quality_classifier" ->
         (scored + s"""
            |SELECT doc_id, label, round(z, 4) AS score,
@@ -258,5 +261,6 @@ object QualityClassifier {
     "classifier_eval" -> classifierEval,
     "classifier_calibration" -> classifierCalibration)
 
-  def oracles: Map[String, String] = lastOracles
+  def oracles: Map[String, String] =
+    synchronized(lastModel).map(_._2._2).getOrElse(Map.empty)
 }

@@ -47,4 +47,48 @@ class AsOfForwardSpec extends AnyFunSuite {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("a NULL-value match still binds ts and value from the SAME row") {
+    // round-6 ADVICE: first(value) and first(when(ts)) could bind to
+    // DIFFERENT purchase rows when the first purchase carries a NULL
+    // value — ASOF semantics take both columns from the single first
+    // matching row. Forward AND backward joins checked.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("asofnull")
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      val rows = Seq(
+        // user 1: click 10:00 → FIRST purchase 10:30 has NULL value;
+        // the 11:00 purchase must NOT leak its value in
+        (1L, ts("2026-01-05 10:00:00"), 1L, "click", Some(1.0)),
+        (2L, ts("2026-01-05 10:30:00"), 1L, "purchase", None),
+        (3L, ts("2026-01-05 11:00:00"), 1L, "purchase", Some(60.0)),
+        // user 2: purchase 09:00 → LAST click 08:30 has NULL value;
+        // the 08:00 click must NOT leak its value in
+        (4L, ts("2026-01-05 08:00:00"), 2L, "click", Some(5.0)),
+        (5L, ts("2026-01-05 08:30:00"), 2L, "click", None),
+        (6L, ts("2026-01-05 09:00:00"), 2L, "purchase", Some(70.0)))
+        .map { case (id, t, u, k, v) => (id, t, u, k, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+      val fwd = AsOfJoin.clicksWithNextPurchase(spark, dir.toString)
+        .collect().map(r => r.getLong(0) -> (
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+      assert(fwd(1L) == (None, Some(1800L * 1000000)),
+        "value must be the NULL of the first purchase, ts its timestamp")
+
+      val bwd = AsOfJoin.purchasesWithLastClick(spark, dir.toString)
+        .collect().map(r => r.getLong(0) -> (
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+      assert(bwd(6L) == (None, Some(1800L * 1000000)),
+        "value must be the NULL of the last click, ts its timestamp")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -27,6 +27,17 @@ class StreamCohortSpec extends AnyFunSuite {
       .as[(Long, Timestamp)].collect().sortBy(_._2.getTime)
       .map { case (u, t) => StreamCohort.UserEvent(u, t) }
 
+    // Equality below only holds while the fixture span fits the stream
+    // twin's retention window (the batch triangle has NO cap): if a
+    // regenerated corpus ever spans >= MaxOffsetWeeks weeks, fail HERE
+    // with the reason, not in the opaque map comparison.
+    val spanWeeks = (StreamCohort.weekStartDay(events.last.ts) -
+      StreamCohort.weekStartDay(events.head.ts)) / 7
+    assert(spanWeeks < StreamCohort.MaxOffsetWeeks,
+      s"fixture spans $spanWeeks weeks >= MaxOffsetWeeks=" +
+        s"${StreamCohort.MaxOffsetWeeks}: the capped stream twin cannot " +
+        "equal the uncapped batch triangle on this corpus")
+
     val mem = MemoryStream[StreamCohort.UserEvent]
     val q = StreamCohort.incrementsOverStream(mem.toDS())
       .writeStream.format("memory").queryName("cohort_stream")
