@@ -42,15 +42,33 @@ object GraphStats {
     lastEdges match {
       case Some((k, v)) if k == key => v
       case _ =>
-        val k = SimilarityQueries.knnGraphLsh(s, dir).select("a_id", "b_id")
-        val e = k.as("f").join(k.as("r"),
-            col("f.a_id") === col("r.b_id") && col("f.b_id") === col("r.a_id"))
-          .filter(col("f.a_id") < col("f.b_id"))
-          .select(col("f.a_id").as("u"), col("f.b_id").as("v"))
+        val e = mutualEdgesFrom(SimilarityQueries.knnGraphLsh(s, dir))
           .localCheckpoint(true)
         lastEdges = Some((key, e))
         e
     }
+  }
+
+  /** Mutualization of any directed kNN relation (a_id, b_id, ...):
+    * undirected edges (u < v) kept iff BOTH directions rank each other.
+    * Shared by the memoized gate graph and the dial-measurement path. */
+  def mutualEdgesFrom(knn: DataFrame): DataFrame = {
+    val k = knn.select("a_id", "b_id")
+    k.as("f").join(k.as("r"),
+        col("f.a_id") === col("r.b_id") && col("f.b_id") === col("r.a_id"))
+      .filter(col("f.a_id") < col("f.b_id"))
+      .select(col("f.a_id").as("u"), col("f.b_id").as("v"))
+  }
+
+  /** Dialed-graph edges: the kNN build binds `planesFor(N)` so bucket
+    * occupancy stays pinned as the corpus grows — the production
+    * binding the scale probe measures end-to-end (the GATE keeps the
+    * fixture constant for oracle determinism). Not memoized: the probe
+    * owns materialization. */
+  def mutualEdgesDialed(s: SparkSession, dir: String): DataFrame = {
+    val n = graft.Tables(s, dir, "embeddings").count()
+    mutualEdgesFrom(
+      SimilarityQueries.knnGraphLsh(s, dir, SimilarityQueries.planesFor(n)))
   }
 
   /** Drop the memoized edge relation (tests; corpus switches evict). */
@@ -58,8 +76,11 @@ object GraphStats {
 
   /** Per-node mutual degree, triangle count, and local clustering
     * coefficient 2T/(d(d−1)) (exact-integer inputs, one rounded division). */
-  def triangleStats(s: SparkSession, dir: String): DataFrame = {
-    val e = mutualEdges(s, dir) // memoized + already materialized; read 4×
+  def triangleStats(s: SparkSession, dir: String): DataFrame =
+    triangleStatsOver(mutualEdges(s, dir)) // memoized + materialized; read 4×
+
+  /** Same stats over an explicit edge relation (dial probe path). */
+  def triangleStatsOver(e: DataFrame): DataFrame = {
     // wedges u<v<w sharing v, closed by the (u,w) edge
     val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))

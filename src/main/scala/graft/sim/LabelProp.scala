@@ -49,10 +49,13 @@ object LabelProp {
 
   /** (node, seed, label_true, label_pred) after [[Rounds]] frozen-label
     * rounds; label_pred is NULL for nodes no round reached. */
-  def propagated(s: SparkSession, dir: String): DataFrame = {
+  def propagated(s: SparkSession, dir: String): DataFrame =
+    propagatedOver(s, dir, GraphStats.mutualEdges(s, dir))
+
+  /** Same propagation over an explicit edge relation (dial probe path). */
+  def propagatedOver(s: SparkSession, dir: String, e: DataFrame): DataFrame = {
     val all = graft.Tables(s, dir, "embeddings")
       .select(col("vec_id").as("node"), col("label").as("label_true"))
-    val e = GraphStats.mutualEdges(s, dir)
     // undirected edges walked both ways
     val d = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
