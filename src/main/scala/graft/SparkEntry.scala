@@ -1,18 +1,18 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.dedup.{Bloom, ConnectedComponents, DedupQueries, PrefixJoin,
-  SnapshotDedup, SubstringDedup} // KnnGraphIvf registers semantic_clusters
+import graft.dedup.{BbitMinhash, Bloom, ConnectedComponents, DedupQueries,
+  PrefixJoin, SnapshotDedup, SubstringDedup} // KnnGraphIvf registers semantic_clusters
 import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Cohort, Funnel, FuzzyJoin, IntervalJoin,
   Pipeline, RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
-import graft.sim.{EmbeddingDrift, GraphStats, Ivf, KnnGraphIvf, LabelProp,
-  PageRank, SemDedup, SemanticDecontam, SimilarityQueries}
+import graft.sim.{EmbedPca, EmbeddingDrift, GraphStats, Ivf, KnnGraphIvf,
+  LabelProp, PageRank, SemDedup, SemanticDecontam, SimilarityQueries}
 import graft.sources.FormatSources
 import graft.storm.StormQueries
 import graft.text.{BigramLm, Bpe, Chunking, Drift, HybridRetrieval,
-  PiiRedact, QualityClassifier, Retrieval, Sampling, TextQueries, Unigram,
-  Winnow, WordPiece}
+  PiiRedact, Pretokenize, QualityClassifier, Retrieval, Sampling,
+  TextQueries, Unigram, Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -41,6 +41,7 @@ object SparkEntry {
       (Chunking.queries, Chunking.oracles),
       (Sampling.queries, Sampling.oracles),
       (Bpe.queries, Bpe.oracles),
+      (Pretokenize.queries, Pretokenize.oracles),
       (Unigram.queries, Unigram.oracles),
       (BigramLm.queries, BigramLm.oracles),
       (WordPiece.queries, WordPiece.oracles),
@@ -55,6 +56,7 @@ object SparkEntry {
       (ZOrder.queries, ZOrder.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (PrefixJoin.queries, PrefixJoin.oracles),
+      (BbitMinhash.queries, BbitMinhash.oracles),
       (SnapshotDedup.queries, SnapshotDedup.oracles),
       (SubstringDedup.queries, SubstringDedup.oracles),
       (Bloom.queries, Bloom.oracles),
@@ -62,6 +64,7 @@ object SparkEntry {
       (Ivf.queries, Ivf.oracles),
       (KnnGraphIvf.queries, KnnGraphIvf.oracles),
       (EmbeddingDrift.queries, EmbeddingDrift.oracles),
+      (EmbedPca.queries, EmbedPca.oracles),
       (SemDedup.queries, SemDedup.oracles),
       (PageRank.queries, PageRank.oracles),
       (GraphStats.queries, GraphStats.oracles),

@@ -26,9 +26,12 @@ object ScaleValidate {
       "source_overlap_kmv")),
     ("fixed-point-centroid", "integer partials ∝ labels × 2 × dim per " +
       "partition, corpus-independent ≪F×", Seq("embedding_drift")),
+    ("moment-eigen", "decimal moment partials ∝ partitions × d(d+3)/2, " +
+      "corpus-independent ≪F×; apply is a zero-shuffle literal " +
+      "projection", Seq("embed_pca")),
     ("doc-proportional", "shuffle ∝ docs: ≈F×", Seq(
-      "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-      "dedup_clusters", "dedup_apply", "lm_buckets")),
+      "dedup_exact", "dedup_minhash_lsh", "dedup_bbit_minhash",
+      "dedup_simhash", "dedup_clusters", "dedup_apply", "lm_buckets")),
     ("projection", "shuffle ≈ 0 at any scale", Seq(
       "text_quality", "quality_gopher", "doc_fingerprint",
       "embed_quantize", "train_split", "chunk_documents",
@@ -51,7 +54,7 @@ object ScaleValidate {
       "media_scene_changes")),
     ("vocab-bounded", "shuffle ∝ vocab/partials: ≪F×", Seq(
       "cms_heavy_hitters", "vocab_topk", "bpe_pairs", "bpe_encode",
-      "unigram_encode", "wordpiece_encode")),
+      "unigram_encode", "wordpiece_encode", "pretokenize_counts")),
     ("matching-token-bounded",
       "tf shuffle ∝ query-term matches (base-replica-only terms): ≈flat", Seq(
       "bm25_topk", "hybrid_rrf_topk")),
