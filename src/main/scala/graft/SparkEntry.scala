@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.dedup.{BbitMinhash, Bloom, ConnectedComponents, DedupQueries,
   PrefixJoin, SnapshotDedup, SubstringDedup} // KnnGraphIvf registers semantic_clusters
 import graft.functions.{BottomK, CountMin, Hll, Kmv}
-import graft.multimodal.Multimodal
+import graft.multimodal.{CdcChunks, Multimodal}
 import graft.operators.{AsOfJoin, Cohort, Funnel, FuzzyJoin, IntervalJoin,
   Pipeline, RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
 import graft.sim.{EmbedPca, EmbeddingDrift, GraphStats, Ivf, KnnGraphIvf,
@@ -70,7 +70,8 @@ object SparkEntry {
       (GraphStats.queries, GraphStats.oracles),
       (LabelProp.queries, LabelProp.oracles),
       (SemanticDecontam.queries, SemanticDecontam.oracles),
-      (Multimodal.queries, Multimodal.oracles))
+      (Multimodal.queries, Multimodal.oracles),
+      (CdcChunks.queries, CdcChunks.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -495,7 +495,7 @@ object Multimodal {
   // (encode → real JDK decode) recovered exactly those values.
   // Modality = prefix-byte-sum mod 3 (see [[KindPrefixK]]); every media
   // oracle starts from this shared CTE.
-  private val docsCte =
+  private[multimodal] val docsCte =
     s"""docs AS (
       |  SELECT doc_id AS id, text, n,
       |    list_sum(list_transform(range(0, least(n, $KindPrefixK)),

@@ -52,6 +52,9 @@ object ScaleValidate {
     ("frame-delta", "decode + SAD fan out in-partition; one id-keyed " +
       "window over ≤ frames−1 rows/clip: ∝ frames ≈F×", Seq(
       "media_scene_changes")),
+    ("cdc-chunks", "decode + chunking in-partition; (hash,len) group " +
+      "partials ∝ samples/M ≈F×; summary single-row", Seq(
+      "cdc_chunks", "cdc_top_chunks")),
     ("vocab-bounded", "shuffle ∝ vocab/partials: ≪F×", Seq(
       "cms_heavy_hitters", "vocab_topk", "bpe_pairs", "bpe_encode",
       "unigram_encode", "wordpiece_encode", "pretokenize_counts")),
