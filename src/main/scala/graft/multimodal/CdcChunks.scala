@@ -60,19 +60,24 @@ object CdcChunks {
     }
   }
 
-  private final case class Chunk(id: Long, hash: Long, len: Int)
+  final case class Chunk(id: Long, hash: Long, len: Int)
+
+  /** Chunk instances of ONE media record (audio only) — the per-record
+    * kernel shared by the batch relation and the streaming twin
+    * ([[graft.streaming.StreamCdc]]), so chunk identity cannot drift
+    * between deployment shapes. */
+  def chunkRecord(r: Multimodal.MediaRecord): Iterator[Chunk] =
+    if (r.kind != "audio") Iterator.empty
+    else {
+      val a = MediaCodec.decodeWav(r.bytes)
+      chunksOf(a.samples).iterator.map { case (h, l) => Chunk(r.id, h, l) }
+    }
 
   /** One row per chunk instance over the audio modality. */
   private def chunkRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Multimodal.mediaFromDocuments(s, dir)
-      .filter(col("kind") === "audio")
-      .mapPartitions { it =>
-        it.flatMap { r =>
-          val a = MediaCodec.decodeWav(r.bytes)
-          chunksOf(a.samples).map { case (h, l) => Chunk(r.id, h, l) }
-        }
-      }
+      .mapPartitions(_.flatMap(chunkRecord))
       .toDF()
   }
 

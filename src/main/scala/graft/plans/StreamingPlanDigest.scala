@@ -199,6 +199,24 @@ object StreamingPlanDigest {
             1L, "audio", graft.multimodal.MediaCodec.encodeWav(
               Array[Byte](1, 2, 3))))
         }
+      },
+      "cdc" -> { () =>
+        val mem = MemoryStream[graft.multimodal.Multimodal.MediaRecord]
+        run(StreamCdc.chunksOverStream(mem.toDS()),
+          StreamCdc.outputMode) {
+          mem.addData(graft.multimodal.Multimodal.MediaRecord(
+            1L, "audio", graft.multimodal.MediaCodec.encodeWav(
+              Array[Byte](1, 2, 3))))
+        }
+      },
+      "pca" -> { () =>
+        val mem = MemoryStream[(Long, Array[Float])]
+        run(StreamPca.projectionsOverStream(
+          mem.toDS().toDF("vec_id", "embedding"),
+          graft.sim.EmbedPca.Model(2, Array(0.0, 0.0),
+            Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0)),
+            Array(1.0, 1.0, 1.0, 1.0))),
+          StreamPca.outputMode) { mem.addData((1L, Array(0.5f, 0.5f))) }
       })
 
     twins.map { case (n, f) => n -> f() }.sortBy(_._1)

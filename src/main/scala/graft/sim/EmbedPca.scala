@@ -176,18 +176,22 @@ object EmbedPca {
         (element_at(col("embedding"), i + 1).cast("double") - lit(m.mean(i)))
     }
 
-  /** Gate query: per-vector top-[[K]] principal coordinates and their
-    * whitened twins — zero shuffle, pure literal-weighted projection. */
-  def embedPca(s: SparkSession, dir: String): DataFrame = {
-    val m = model(s, dir)
-    val cols = (0 until K).flatMap { k =>
+  /** The projection output columns for a frozen model — the single
+    * definition the batch gate and the streaming twin
+    * ([[graft.streaming.StreamPca]]) both select, so the scoring
+    * arithmetic cannot drift between deployment shapes. */
+  def projectionCols(m: Model): Seq[Column] =
+    (0 until K).flatMap { k =>
       val z = zExpr(m, k)
       Seq(round(z, 4).as(s"p${k + 1}"),
         round(z * lit(m.whitenScale(k)), 4).as(s"w${k + 1}"))
     }
+
+  /** Gate query: per-vector top-[[K]] principal coordinates and their
+    * whitened twins — zero shuffle, pure literal-weighted projection. */
+  def embedPca(s: SparkSession, dir: String): DataFrame =
     Tables.parallel(s, dir, "embeddings")
-      .select(col("vec_id") +: cols: _*)
-  }
+      .select(col("vec_id") +: projectionCols(model(s, dir)): _*)
 
   private def fmtD(x: Double): String = java.lang.Double.toString(x)
 
