@@ -96,8 +96,15 @@ object RelationalQueries {
   // stability (validator cross-reference, cmd/validate/main.go:298-313).
   def q8CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
+      // DISTINCT custkeys first: the anti-join side collapses from the
+      // orders fact to (a subset of) the customer-key DOMAIN — map-side
+      // partial distinct reduces the shuffle to ~partitions × domain,
+      // and the result stays broadcastable at ANY fact volume (measured
+      // x30 without it: the raw orders side outgrew the broadcast
+      // threshold and dragged 1.1M records through a shuffle join).
       .join(t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct(),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
@@ -242,9 +249,23 @@ object RelationalQueries {
     val orderAudit = orders.agg(
       coalesce(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)), lit(0L))
         .as("bad_status"))
+    // Pre-aggregate lineitem per orderkey BEFORE the referential
+    // anti-join, then sum the per-key counts — row totals preserved.
+    // An exact fact×fact referential audit cannot move fewer than
+    // ∝|orderkeys| records once the key side outgrows the broadcast
+    // threshold (measured: the x10 corpus still broadcasts, x30 key-
+    // shuffles both sides once). The partial-count reduction pays off
+    // in proportion to input clustering (neutral on the row-scattered
+    // fixture, ~items-per-order× on an orderkey-clustered layout), and
+    // bucketing both tables by orderkey removes the exchanges entirely
+    // at 100 TB — the co-located plan `EventsLayoutSpec` locks for the
+    // bucketed fact join.
     val orphanAudit = lineitem
-      .join(orders.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("orphan_lineitems"))
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_items"))
+      .join(orders.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(coalesce(sum("n_items"), lit(0L)).cast("long")
+        .as("orphan_lineitems"))
     val itemAudit = lineitem.agg(
       coalesce(sum(when(col("l_extendedprice") <= 0, 1L)), lit(0L)).as("bad_price"),
       coalesce(sum(when(!col("l_discount").between(0, 1), 1L)), lit(0L)).as("bad_discount"))

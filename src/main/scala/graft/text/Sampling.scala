@@ -145,6 +145,40 @@ object Sampling {
         round(sqrt(col("tokens").cast("double")) / col("denom"), 6).as("weight"))
   }
 
+  /** Temperature-scaled mixture weights — the sampling-temperature dial
+    * of multi-source data mixing (Gopher/LLaMA-style `w ∝ mass^(1/T)`):
+    * T=1 is proportional sampling, T→∞ uniform, and intermediate T
+    * up-weights small sources without drowning large ones.
+    * [[mixWeights]] is exactly the T=2 column. The grid is {1, 2, 4, ∞}
+    * BY DESIGN: those exponents evaluate as sqrt chains, which IEEE
+    * requires correctly rounded in both engines — a general `pow` is
+    * not, and would make the hash gate flaky in the last ulp. Denominator
+    * sums run in source-sorted order (the [[mixWeights]] fold), so the
+    * doubles are order-deterministic. */
+  def mixWeightsTemp(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens).cast("long").as("tokens"))
+    def v(t: Int): Column = t match {
+      case 1 => col("tokens").cast("double")
+      case 2 => sqrt(col("tokens").cast("double"))
+      case _ => sqrt(sqrt(col("tokens").cast("double")))
+    }
+    def denomOf(t: Int): Column =
+      aggregate(
+        array_sort(collect_list(struct(col("source"), v(t).as("v")))),
+        lit(0.0), (a, x) => a + x.getField("v"))
+    val denom = per.agg(
+      denomOf(1).as("d1"), denomOf(2).as("d2"), denomOf(4).as("d4"),
+      count(lit(1)).as("nsrc"))
+    per.crossJoin(denom)
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(v(1) / col("d1"), 6).as("w_t1"),
+        round(v(2) / col("d2"), 6).as("w_t2"),
+        round(v(4) / col("d4"), 6).as("w_t4"),
+        round(lit(1.0) / col("nsrc"), 6).as("w_uniform"))
+  }
+
   /** Negatives per anchor, and the anchor subsample stride (every 50th
     * doc keeps the gate output compact; production uses stride 1). */
   val NegPerAnchor = 4
@@ -183,6 +217,7 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "negative_pairs" -> negativePairs,
     "mix_weights" -> mixWeights,
+    "mix_weights_temp" -> mixWeightsTemp,
     "sample_per_group" -> samplePerGroup,
     "token_budget_mix" -> tokenBudgetMix,
     "train_split" -> trainSplit,
@@ -212,6 +247,28 @@ object Sampling {
         |      FROM per)
         |SELECT source, n_docs, tokens,
         |  round(sqrt(tokens::DOUBLE) / denom, 6) AS weight
+        |FROM per, d""".stripMargin,
+    "mix_weights_temp" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
+        |      AS tokens
+        |  FROM documents GROUP BY source),
+        |d AS (SELECT
+        |    list_reduce(list_prepend(0.0,
+        |      list(tokens::DOUBLE ORDER BY source)), (a, b) -> a + b) AS d1,
+        |    list_reduce(list_prepend(0.0,
+        |      list(sqrt(tokens::DOUBLE) ORDER BY source)), (a, b) -> a + b) AS d2,
+        |    list_reduce(list_prepend(0.0,
+        |      list(sqrt(sqrt(tokens::DOUBLE)) ORDER BY source)),
+        |      (a, b) -> a + b) AS d4,
+        |    count(*) AS nsrc
+        |  FROM per)
+        |SELECT source, n_docs, tokens,
+        |  round(tokens::DOUBLE / d1, 6) AS w_t1,
+        |  round(sqrt(tokens::DOUBLE) / d2, 6) AS w_t2,
+        |  round(sqrt(sqrt(tokens::DOUBLE)) / d4, 6) AS w_t4,
+        |  round(1.0 / nsrc, 6) AS w_uniform
         |FROM per, d""".stripMargin,
     "sample_per_group" ->
       s"""SELECT source, rk, doc_id FROM (

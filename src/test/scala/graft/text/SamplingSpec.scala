@@ -78,4 +78,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(overlapping.count() == 0)
     bins.unpersist()
   }
+
+  test("mix_weights_temp: each column normalizes to 1, T flattens monotonically, T=2 equals mix_weights") {
+    val rows = Sampling.mixWeightsTemp(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length >= 2, "needs several sources to mean anything")
+    def colOf(i: Int) = rows.map(_._2.productElement(i).asInstanceOf[Double])
+    (0 to 3).foreach { i =>
+      assert(math.abs(colOf(i).sum - 1.0) < 1e-3, s"column $i not normalized")
+    }
+    // flattening: the dominant source's share shrinks as T grows, the
+    // smallest source's share grows; uniform is the flattest
+    val maxes = (0 to 3).map(i => colOf(i).max)
+    val mins = (0 to 3).map(i => colOf(i).min)
+    assert(maxes(0) >= maxes(1) && maxes(1) >= maxes(2) && maxes(2) >= maxes(3) - 1e-9,
+      s"max share must shrink with T: $maxes")
+    assert(mins(0) <= mins(1) && mins(1) <= mins(2) && mins(2) <= mins(3) + 1e-9,
+      s"min share must grow with T: $mins")
+    // the T=2 column IS the mix_weights gate output
+    val w2 = Sampling.mixWeights(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    rows.foreach { case (src, (_, t2, _, _)) =>
+      assert(math.abs(t2 - w2(src)) < 1e-9, s"T=2 mismatch at $src")
+    }
+  }
 }
