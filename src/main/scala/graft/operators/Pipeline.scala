@@ -47,8 +47,47 @@ object Pipeline {
         coalesce(sum("n_tok"), lit(0L)).cast("long").as("n_tokens_final")))
   }
 
+  /** Dataset card — the one-row corpus report a training-data release
+    * publishes (size, composition balance, duplication, quality pass
+    * rate; cf. the "datasheets for datasets" practice): every number
+    * composes an operator the standalone gates already prove
+    * ([[graft.dedup.DedupQueries.dedupExact]]'s dup accounting,
+    * [[TextQueries.gopherFlags]]' rule set), so the card cannot drift
+    * from its parts. Shares are integer-ratio doubles rounded once —
+    * exact cross-engine. Scale: two doc-keyed aggregations (content
+    * hash distinct, per-source/lang partials) + scan-shaped quality
+    * flags; everything after is sources-sized. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("lang"),
+        size(TextQueries.words(col("text"))).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chr"))
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").cast("long").as("n_tokens"),
+      sum("n_chr").cast("long").as("n_chars"),
+      countDistinct("source").as("n_sources"),
+      countDistinct("lang").as("n_langs"))
+    val src = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .agg(max("c").as("max_src_docs"))
+    val lng = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(max("c").as("max_lang_docs"))
+    val dup = DedupQueries.dedupExact(s, dir).select(col("n_dup_docs"))
+    val gp = TextQueries.gopherFlags(docs).filter(col("pass"))
+      .agg(count(lit(1)).as("n_gopher_pass"))
+    base.crossJoin(src).crossJoin(lng).crossJoin(dup).crossJoin(gp)
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_sources"), col("n_langs"),
+        round(col("max_src_docs") / col("n_docs"), 4).as("max_source_share"),
+        round(col("max_lang_docs") / col("n_docs"), 4).as("max_lang_share"),
+        round(col("n_dup_docs") / col("n_docs"), 4).as("exact_dup_rate"),
+        round(col("n_gopher_pass") / col("n_docs"), 4).as("gopher_pass_rate"),
+        round(col("n_tokens") / col("n_docs"), 4).as("mean_doc_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_funnel" -> pipelineFunnel)
+    "pipeline_funnel" -> pipelineFunnel,
+    "dataset_card" -> datasetCard)
 
   val oracles: Map[String, String] = {
     import TextQueries._
@@ -103,6 +142,39 @@ object Pipeline {
             |  (SELECT count(*) FROM surv) AS n_docs_after_dedup,
             |  (SELECT count(*) FROM fin) AS n_docs_final,
             |  (SELECT coalesce(sum(n_tok), 0) FROM fin)::BIGINT
-            |    AS n_tokens_final""".stripMargin))
+            |    AS n_tokens_final""".stripMargin),
+      "dataset_card" ->
+        (s"WITH $wordsCte,\n" +
+          s"""base AS (SELECT count(*) AS n_docs,
+            |    sum(len(w))::BIGINT AS n_tokens,
+            |    sum(length(text))::BIGINT AS n_chars,
+            |    count(DISTINCT source) AS n_sources,
+            |    count(DISTINCT lang) AS n_langs
+            |  FROM w),
+            |src AS (SELECT max(c) AS max_src_docs FROM
+            |  (SELECT count(*) AS c FROM documents GROUP BY source)),
+            |lng AS (SELECT max(c) AS max_lang_docs FROM
+            |  (SELECT count(*) AS c FROM documents GROUP BY lang)),
+            |dup AS (SELECT (sum(c) - count(*))::BIGINT AS n_dup_docs FROM
+            |  (SELECT count(*) AS c FROM documents GROUP BY sha256(text))),
+            |qc AS (SELECT len(w) AS n_words,
+            |    list_sum(list_transform(w, x -> length(x))) AS sum_len,
+            |    len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+            |      AS n_alpha,
+            |    len(list_filter(w, x -> x IN ($stopListSql))) AS n_stop
+            |  FROM w WHERE len(w) >= 1),
+            |gp AS (SELECT count(*) AS n_gopher_pass FROM qc
+            |  WHERE n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+            |    AND sum_len * 1.0 / n_words >= $GopherMinMeanLen
+            |    AND sum_len * 1.0 / n_words <= $GopherMaxMeanLen
+            |    AND n_alpha * 1.0 / n_words >= $GopherMinAlphaFrac
+            |    AND n_stop >= $GopherMinStopHits)
+            |SELECT n_docs, n_tokens, n_chars, n_sources, n_langs,
+            |  round(max_src_docs * 1.0 / n_docs, 4) AS max_source_share,
+            |  round(max_lang_docs * 1.0 / n_docs, 4) AS max_lang_share,
+            |  round(n_dup_docs * 1.0 / n_docs, 4) AS exact_dup_rate,
+            |  round(n_gopher_pass * 1.0 / n_docs, 4) AS gopher_pass_rate,
+            |  round(n_tokens * 1.0 / n_docs, 4) AS mean_doc_tokens
+            |FROM base, src, lng, dup, gp""".stripMargin))
   }
 }

@@ -31,7 +31,7 @@ object ScaleValidate {
       "projection", Seq("embed_pca")),
     ("doc-proportional", "shuffle ∝ docs: ≈F×", Seq(
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-      "dedup_clusters", "dedup_apply", "lm_buckets")),
+      "dedup_clusters", "dedup_apply", "lm_buckets", "dataset_card")),
     ("dup-pair-bound", "shuffle ∝ VERIFIED dup pairs (output-sized): " +
       "on the replica scale corpora pairs grow ∝C(F,2) by construction " +
       "(measured 6.8–10×); ∝ docs at real-world dup densities", Seq(

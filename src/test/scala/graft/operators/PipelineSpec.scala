@@ -21,4 +21,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(fin <= afterDedup && fin > 0)
     assert(tokFin <= tokRaw && tokFin > 0)
   }
+
+  test("dataset_card numbers agree with the component gate queries") {
+    val c = Pipeline.datasetCard(spark, sf).head()
+    val (nDocs, nTokens) = (c.getLong(0), c.getLong(1))
+    assert(nDocs > 0 && nTokens > nDocs)
+    // dup rate composes dedup_exact's accounting
+    val d = graft.dedup.DedupQueries.dedupExact(spark, sf).head()
+    assert(math.abs(c.getDouble(7) - d.getLong(2).toDouble / nDocs) < 5e-5,
+      "exact_dup_rate drifted from dedup_exact")
+    // pass rate composes the gopher rule set
+    val nPass = graft.text.TextQueries
+      .gopherFlags(graft.Tables(spark, sf, "documents"))
+      .filter(org.apache.spark.sql.functions.col("pass")).count()
+    assert(math.abs(c.getDouble(8) - nPass.toDouble / nDocs) < 5e-5,
+      "gopher_pass_rate drifted from quality_gopher")
+    // shares are sane probabilities; mean tokens consistent
+    Seq(5, 6, 7, 8).foreach { i =>
+      assert(c.getDouble(i) >= 0.0 && c.getDouble(i) <= 1.0, s"col $i")
+    }
+    assert(math.abs(c.getDouble(9) - nTokens.toDouble / nDocs) < 5e-5)
+  }
 }
