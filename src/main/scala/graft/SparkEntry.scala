@@ -4,8 +4,9 @@ import graft.dedup.{BbitMinhash, Bloom, ConnectedComponents, DedupQueries,
   PrefixJoin, SnapshotDedup, SubstringDedup} // KnnGraphIvf registers semantic_clusters
 import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.{CdcChunks, Multimodal}
-import graft.operators.{AsOfJoin, Cohort, Funnel, FuzzyJoin, IntervalJoin,
-  Pipeline, RelationalQueries, Resample, RobustStats, SkewJoin, ZOrder}
+import graft.operators.{AsOfJoin, Attribution, Cohort, Funnel, FuzzyJoin,
+  IntervalJoin, Pipeline, RelationalQueries, Resample, RobustStats,
+  SkewJoin, ZOrder}
 import graft.sim.{EmbedPca, EmbeddingDrift, GraphStats, Ivf, KnnGraphIvf,
   LabelProp, PageRank, SemDedup, SemanticDecontam, SimilarityQueries}
 import graft.sources.FormatSources
@@ -25,6 +26,7 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracles),
       (AsOfJoin.queries, AsOfJoin.oracles),
       (IntervalJoin.queries, IntervalJoin.oracles),
+      (Attribution.queries, Attribution.oracles),
       (SkewJoin.queries, SkewJoin.oracles),
       (Funnel.queries, Funnel.oracles),
       (Cohort.queries, Cohort.oracles),

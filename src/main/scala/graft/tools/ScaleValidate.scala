@@ -131,7 +131,8 @@ object ScaleValidate {
       "q2_top_customers", "q13_top_events_per_type",
       "q11_first_order_per_customer")),
     ("time-align-join", "bucketed equi on time: ∝ events ≈F×", Seq(
-      "asof_join", "asof_join_forward", "interval_join", "resample_ffill")),
+      "asof_join", "asof_join_forward", "interval_join", "resample_ffill",
+      "attribution_weights")),
     ("user-state", "hash by user, per-key state fixed: ∝ events ≈F×", Seq(
       "q16_sessionize", "q22_rolling_user_stats", "q24_session_window",
       "funnel_stages", "cohort_retention", "q21_sliding_windows")),
