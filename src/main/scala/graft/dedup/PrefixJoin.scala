@@ -104,13 +104,17 @@ object PrefixJoin {
     * to the two per-doc shingle arrays (shuffle ∝ candidates + docs),
     * `common = |sa ∩ sb|` computed in-row. Never re-expands a candidate
     * into per-shingle rows. */
-  def verify(cands: DataFrame, sh: DataFrame): DataFrame = {
+  def verify(cands: DataFrame, sh: DataFrame): DataFrame =
     // Declarative on purpose, no materialization: in the shuffle regime
     // the planner's ReuseExchange serves both join sides from one
     // aggregation (measured — 50.5M records either way at 30×), and in
     // the broadcast regime rebuilding the per-side broadcast is cheaper
-    // than an eager localCheckpoint (measured +1.8 s at sf0.1).
-    val ds = docSets(sh)
+    // than an eager localCheckpoint (measured +1.8 s at sf0.1). The
+    // GATE path goes through the memoized relations instead.
+    verifyWith(cands, docSets(sh))
+
+  /** Verification against an explicit doc-sets relation. */
+  def verifyWith(cands: DataFrame, ds: DataFrame): DataFrame = {
     cands
       .join(ds.select(col("doc_id").as("a_id"), col("ss").as("sa"),
         col("n").as("na")), "a_id")
@@ -125,11 +129,41 @@ object PrefixJoin {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // One-slot memo for the (prefix tokens, doc sets) pair at t = 0.8 —
+  // BOTH gate queries (dedup_prefix_jaccard and the containment index)
+  // read the same two relations, and the df aggregation + per-doc
+  // window + array build are their dominant shared cost. Same bounded
+  // eviction policy as DedupQueries.prunedShingles; the key includes
+  // the source stamp so an in-place rewrite invalidates.
+  private var memo: Option[((SparkSession, String, Long),
+    (DataFrame, DataFrame))] = None
+
+  private def sharedRelations(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = synchronized {
+    // the shared prefix relation is only valid for BOTH gates while the
+    // two thresholds coincide — fail loudly if one is ever retuned
+    require(DedupQueries.ContainmentThreshold == PrefixThreshold,
+      "containment and prefix thresholds diverged: split the memo")
+    val key = (s, dir, graft.Tables.sourceStamp(dir, "documents"))
+    memo match {
+      case Some((k, v)) if k == key => v
+      case _ =>
+        val sh = prunedShingles(s, dir)
+        val v = (prefixTokens(sh).localCheckpoint(true),
+          docSets(sh).localCheckpoint(true))
+        memo = Some((key, v))
+        v
+    }
+  }
+
+  /** Drop the memoized relations (tests; corpus switches evict). */
+  def release(): Unit = synchronized { memo = None }
+
   /** The gate query: prefix-filter candidates, verify exactly. Output
     * (and oracle) identical to the exhaustive join by the theorem. */
   def dedupPrefixJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = prunedShingles(s, dir)
-    verify(candidatePairs(prefixTokens(sh)), sh)
+    val (prefix, ds) = sharedRelations(s, dir)
+    verifyWith(candidatePairs(prefix), ds)
   }
 
   // ───────────────────── containment-targeted index (asymmetric) ──────
@@ -171,8 +205,11 @@ object PrefixJoin {
     * [[DedupQueries.dedupContainment]] schema so the EXHAUSTIVE
     * containment SQL is the oracle and the hash gate certifies the
     * index lossless at t = [[DedupQueries.ContainmentThreshold]]. */
-  def verifyContainment(cands: DataFrame, sh: DataFrame): DataFrame = {
-    val ds = docSets(sh)
+  def verifyContainment(cands: DataFrame, sh: DataFrame): DataFrame =
+    verifyContainmentWith(cands, docSets(sh))
+
+  /** Containment verification against an explicit doc-sets relation. */
+  def verifyContainmentWith(cands: DataFrame, ds: DataFrame): DataFrame = {
     cands
       .join(ds.select(col("doc_id").as("a_id"), col("ss").as("sa"),
         col("n").as("na")), "a_id")
@@ -196,10 +233,12 @@ object PrefixJoin {
     * containment join. */
   def dedupContainmentIndexed(s: SparkSession, dir: String): DataFrame = {
     val sh = prunedShingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val full = sh.join(sizes, "doc_id")
-    val prefix = prefixTokens(sh, DedupQueries.ContainmentThreshold)
-    verifyContainment(containmentCandidates(prefix, full), sh)
+    // ContainmentThreshold == PrefixThreshold (both 0.8), so the memoized
+    // prefix relation serves both gate queries; sizes come from the
+    // memoized doc-sets relation.
+    val (prefix, ds) = sharedRelations(s, dir)
+    val full = sh.join(ds.select(col("doc_id"), col("n")), "doc_id")
+    verifyContainmentWith(containmentCandidates(prefix, full), ds)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
