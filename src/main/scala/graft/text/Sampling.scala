@@ -80,6 +80,30 @@ object Sampling {
         split(col("g_bucket")).as("group_split"))
   }
 
+  /** Cross-split leakage report — the governance check a train/val/test
+    * release runs AFTER splitting: any verified near-duplicate pair
+    * whose members landed in DIFFERENT splits is an eval-leakage path
+    * (the val/test member is effectively in the training set). Composes
+    * two proven gates — [[trainSplit]]'s hash assignment and the
+    * LSH-verified near-dup pair relation — so the report cannot drift
+    * from either; the fix it motivates (split by CLUSTER, not by doc)
+    * is exactly why `dedup_clusters` runs before splitting in a real
+    * pipeline. Scale: pair-bound (a projection join over the verified
+    * pair relation + the split projection). */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.DedupQueries.dedupMinhashLsh(s, dir)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val splits = trainSplit(s, dir).select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("a_id"),
+        col("split").as("split_a")), "a_id")
+      .join(splits.select(col("doc_id").as("b_id"),
+        col("split").as("split_b")), "b_id")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("a_id"), col("b_id"), col("split_a"), col("split_b"),
+        col("jaccard"))
+  }
+
   /** Deterministic stratified sampling — the reproducible twin of
     * `DataFrameStatFunctions.sampleBy`: each stratum keeps its own
     * fraction of rows, membership decided by a salted hash so reruns,
@@ -221,6 +245,7 @@ object Sampling {
     "sample_per_group" -> samplePerGroup,
     "token_budget_mix" -> tokenBudgetMix,
     "train_split" -> trainSplit,
+    "split_leakage" -> splitLeakage,
     "stratified_sample" -> stratifiedSample,
     "pack_sequences" -> packSequences)
 
@@ -278,6 +303,21 @@ object Sampling {
         |             doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= $CapPerSource""".stripMargin,
+    "split_leakage" ->
+      (s"WITH ${graft.dedup.DedupQueries.lshPairsCte},\n" +
+        """sp AS (SELECT doc_id,
+          |  CASE WHEN ('0x' || substr(sha256('split|' || doc_id), 1, 8))::BIGINT
+          |         % 100 < 80 THEN 'train'
+          |       WHEN ('0x' || substr(sha256('split|' || doc_id), 1, 8))::BIGINT
+          |         % 100 < 90 THEN 'val'
+          |       ELSE 'test' END AS split
+          |  FROM documents)
+          |SELECT l.a_id, l.b_id, sa.split AS split_a, sb.split AS split_b,
+          |  l.jaccard
+          |FROM lshpairs l
+          |JOIN sp sa ON sa.doc_id = l.a_id
+          |JOIN sp sb ON sb.doc_id = l.b_id
+          |WHERE sa.split <> sb.split""".stripMargin),
     "train_split" ->
       """WITH b AS (SELECT doc_id, source,
         |  ('0x' || substr(sha256('split|' || doc_id), 1, 8))::BIGINT % 100

@@ -35,7 +35,7 @@ object ScaleValidate {
     ("dup-pair-bound", "shuffle ∝ VERIFIED dup pairs (output-sized): " +
       "on the replica scale corpora pairs grow ∝C(F,2) by construction " +
       "(measured 6.8–10×); ∝ docs at real-world dup densities", Seq(
-      "dedup_bbit_minhash", "pipeline_funnel")),
+      "dedup_bbit_minhash", "pipeline_funnel", "split_leakage")),
     ("projection", "shuffle ≈ 0 at any scale", Seq(
       "text_quality", "quality_gopher", "doc_fingerprint",
       "embed_quantize", "train_split", "chunk_documents",
@@ -137,7 +137,8 @@ object ScaleValidate {
       "q16_sessionize", "q22_rolling_user_stats", "q24_session_window",
       "funnel_stages", "cohort_retention", "q21_sliding_windows")),
     ("percentile-pair", "exact ∝ rows vs sketch ∝ partitions×groups", Seq(
-      "q15_value_percentiles", "q15_approx_percentiles", "outlier_mad")),
+      "q15_value_percentiles", "q15_approx_percentiles", "outlier_mad",
+      "winsorize_events")),
     ("storm-chain", "enrichment is a projection; rollups ∝ groups: ≪F×", Seq(
       "storm_enrich", "storm_severity_counts")),
     ("exact-distinct", "countDistinct partials ∝ distinct (key,id): ≈F×", Seq(

@@ -51,4 +51,32 @@ class RobustResampleSpec extends AnyFunSuite {
     assert(lateNull.count() == 0)
     r.unpersist()
   }
+
+  test("winsorize_events: hand values give the exact clamped/trimmed means") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("winsor")
+    try {
+      // values 1..9 and an outlier 100: p10 = 1.9, p90 = 9 + 0.1*91 = 18.1;
+      // middle = 2..9 (sum 44) → trimmed 5.5; winsor = (44+1.9+18.1)/10 = 6.4
+      val ts0 = java.sql.Timestamp.valueOf("2026-01-05 10:00:00")
+      val rows = ((1 to 9).map(_.toDouble) :+ 100.0).zipWithIndex.map {
+        case (v, i) => (i.toLong, ts0, 1L, "x", v, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val r = RobustStats.winsorizeEvents(spark, dir.toString).collect()
+      assert(r.length == 1)
+      val row = r.head
+      assert(row.getLong(1) == 10L)
+      assert(row.getDouble(2) == 1.9 && row.getDouble(3) == 18.1)
+      assert(row.getLong(4) == 1L && row.getLong(5) == 1L)
+      assert(row.getLong(6) == 4400L)
+      assert(row.getDouble(7) == 6.4, s"winsor ${row.getDouble(7)}")
+      assert(row.getDouble(8) == 5.5, s"trimmed ${row.getDouble(8)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

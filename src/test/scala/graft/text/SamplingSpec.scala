@@ -79,6 +79,21 @@ class SamplingSpec extends AnyFunSuite {
     bins.unpersist()
   }
 
+  test("split_leakage is exactly the cross-split subset of the LSH pair relation") {
+    val splits = Sampling.trainSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = graft.dedup.DedupQueries.dedupMinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val want = pairs.filter { case (a, b, _) => splits(a) != splits(b) }
+      .map { case (a, b, j) => (a, b, splits(a), splits(b), j) }.toSet
+    val got = Sampling.splitLeakage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getDouble(4))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "gate corpus must surface at least one leakage pair")
+    assert(got.size < pairs.length, "some pairs must stay within a split")
+  }
+
   test("mix_weights_temp: each column normalizes to 1, T flattens monotonically, T=2 equals mix_weights") {
     val rows = Sampling.mixWeightsTemp(spark, sf).collect()
       .map(r => r.getString(0) ->
