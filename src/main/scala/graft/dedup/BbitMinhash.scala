@@ -31,39 +31,18 @@ object BbitMinhash {
     (0 until NumPerms).map(expr0).reduce(_ + _)
 
   def dedupBbitMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = prunedShingles(s, dir)
-    val mh = minhashSignatures(sh).localCheckpoint(true)
-    val cands = candidatePairs(bands(mh))
-
-    // exact verification bounded to LSH candidates — same shape as
-    // dedup_minhash_lsh (the estimates are attached AFTER the filter,
-    // so the est joins touch only survivors)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = cands
-      .join(sh.as("a"), col("a_id") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("b_id") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("common"))
-    val verified = common
-      .join(sizes.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("n", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("n", "nb"), "b_id")
-      .withColumn("jaccard",
-        col("common") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= JaccardThreshold)
-
-    val estFull = matches(j =>
-      when(col(s"ma.h$j") === col(s"mb.h$j"), 1).otherwise(0))
+    // the MEMOIZED (signatures, verified pairs) — the pair relation and
+    // its est_jaccard column ARE this query's jaccard/est_full columns
+    // (identical arithmetic), so only the 1-bit agreement is new work:
+    // two signature joins over the verified survivors.
+    val (mh, pairs) = lshArtifacts(s, dir)
     val est1 = matches(j =>
       when(col(s"ma.h$j") % 2 === col(s"mb.h$j") % 2, 1).otherwise(0))
-    verified
+    pairs
       .join(mh.as("ma"), col("a_id") === col("ma.doc_id"))
       .join(mh.as("mb"), col("b_id") === col("mb.doc_id"))
-      .select(col("a_id"), col("b_id"),
-        round(col("jaccard"), 4).as("jaccard"),
-        round(estFull / lit(16.0), 4).as("est_full"),
+      .select(col("a_id"), col("b_id"), col("jaccard"),
+        col("est_jaccard").as("est_full"),
         round((est1 * 2 - lit(NumPerms)) / lit(16.0), 4).as("est_1bit"))
   }
 

@@ -126,7 +126,10 @@ object DedupQueries {
 
   /** Drop the memoized pruned relation (tests; long sessions switching
     * corpora evict implicitly via the one-slot policy). */
-  def releasePrunedShingles(): Unit = synchronized { prunedMemo = None }
+  def releasePrunedShingles(): Unit = synchronized {
+    prunedMemo = None
+    lshMemo = None // derived artifacts go with their source relation
+  }
 
   /** SQL twin of [[prunedShingles]] (CTE `shp(doc_id, s)`; requires `sh`). */
   val shpCte: String =
@@ -266,9 +269,37 @@ object DedupQueries {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
 
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = prunedShingles(s, dir)
-    val mh = minhashSignatures(sh).localCheckpoint(true)
+  // One-slot memo for the (signatures, verified pairs) LSH artifacts:
+  // FOUR gate queries consume the verified pair relation (the LSH gate
+  // itself, dedup_clusters' label build, dedup_bbit_minhash's estimator
+  // table, split_leakage) and the signature build + candidate verify is
+  // the dominant shared cost. Same policy and stamp-keying as
+  // prunedShingles.
+  private var lshMemo: Option[((SparkSession, String, Long),
+    (DataFrame, DataFrame))] = None
+
+  /** Memoized (minhash signatures, LSH-verified pair relation). */
+  def lshArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      val key = (s, dir, Tables.sourceStamp(dir, "documents"))
+      lshMemo match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val sh = prunedShingles(s, dir)
+          val mh = minhashSignatures(sh).localCheckpoint(true)
+          val v = (mh, verifiedLshPairs(sh, mh).localCheckpoint(true))
+          lshMemo = Some((key, v))
+          v
+      }
+    }
+
+  /** Drop the memoized LSH artifacts (tests; corpus switches evict). */
+  def releaseLshArtifacts(): Unit = synchronized { lshMemo = None }
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    lshArtifacts(s, dir)._2
+
+  private def verifiedLshPairs(sh: DataFrame, mh: DataFrame): DataFrame = {
     val cands = candidatePairs(bands(mh))
 
     // Verification is bounded to LSH candidates (the whole point of banding:
