@@ -213,4 +213,46 @@ class PlanAuditSpec extends AnyFunSuite {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("embed_pca apply is a zero-shuffle literal projection") {
+    // the claim the operator's scale row rests on: after training, the
+    // per-vector projection must ride the scan — no exchange, no agg
+    val plan = graft.sim.EmbedPca.embedPca(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Tables.parallel's RoundRobin REPARTITION (the local single-row-
+    // group workaround, skipped on real multi-file corpora) is allowed;
+    // any KEYED exchange would be a genuine shuffle
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"pca apply shuffles:\n$plan")
+    assert(!plan.contains("Aggregate"), s"pca apply aggregates:\n$plan")
+  }
+
+  test("cdc_chunks: decode fans out in-partition; one aggregation chain only") {
+    val plan = graft.multimodal.CdcChunks.cdcChunks(spark, sf)
+      .queryExecution.executedPlan.toString
+    // group-count + single-row rollup: exactly the hash-agg exchanges,
+    // nothing else (no join, no generator shuffle)
+    assert(!plan.contains("Join"), s"cdc plans a join:\n$plan")
+    assert(plan.contains("HashAggregate"), "missing the group-count")
+  }
+
+  test("attribution join stays the bucketed equi-join, ranks bounded per purchase") {
+    val plan = graft.operators.Attribution.attributionWeights(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"attribution fell back to a non-equi join:\n$plan")
+    assert(plan.contains("Window"), "rank/count windows missing")
+  }
+
+  test("pretokenize: explode stays in-partition, count partial-aggregates, top-k heap-cut") {
+    val plan = graft.text.Pretokenize
+      .pretokenizeCounts(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not heap-cut:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"token count not map-side partial:\n$plan")
+  }
 }
