@@ -209,6 +209,16 @@ object StreamingPlanDigest {
               Array[Byte](1, 2, 3))))
         }
       },
+      "split_leakage" -> { () =>
+        val mem = MemoryStream[(Long, String)]
+        val idx = StreamNearDup.buildIndex(spark, IndexSfDir)
+        val splits = StreamSplitLeakage.splitTable(spark, IndexSfDir)
+        run(StreamSplitLeakage.leakageOverStream(
+          mem.toDS().toDF("doc_id", "text"), idx, splits),
+          StreamSplitLeakage.outputMode) {
+          mem.addData((900001L, "a b c d e f"))
+        }
+      },
       "pca" -> { () =>
         val mem = MemoryStream[(Long, Array[Float])]
         run(StreamPca.projectionsOverStream(
