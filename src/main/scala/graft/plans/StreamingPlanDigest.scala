@@ -265,9 +265,27 @@ object StreamingPlanDigest {
 
   def readLock(path: String): Map[String, String] = {
     val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-    val entry =
-      "\"([a-z0-9_]+)\":\\s*\\{\\s*\"outline\":\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
-    entry.findAllMatchIn(txt).map(m => m.group(1) -> unesc(m.group(2))).toMap
+    // The outline VALUE is scanned by hand: a `(?:[^"\\]|\\.)*` regex
+    // builds one backtracking frame per character and overflows the
+    // stack once an outline (a whole physical plan) passes a few tens
+    // of KB — the split_leakage twin's index plan got there first.
+    val head = "\"([a-z0-9_]+)\":\\s*\\{\\s*\"outline\":\\s*\"".r
+    val out = Map.newBuilder[String, String]
+    head.findAllMatchIn(txt).foreach { m =>
+      val sb = new StringBuilder
+      var i = m.end
+      var done = false
+      while (!done && i < txt.length) {
+        txt.charAt(i) match {
+          case '\\' =>
+            sb.append(txt.charAt(i)).append(txt.charAt(i + 1)); i += 2
+          case '"' => done = true
+          case c => sb.append(c); i += 1
+        }
+      }
+      out += m.group(1) -> unesc(sb.toString)
+    }
+    out.result()
   }
 }
 
