@@ -478,7 +478,24 @@ object Multimodal {
         (col("sad") * col("cnt") * 2 >= col("total") * 3).as("is_cut"))
   }
 
+  /** Gate query: connected components over the near-dup image pairs —
+    * the image-space `dedup_clusters`, closing the perceptual-dedup loop
+    * (hash → banded pairs → clusters → keep one per cluster): per image
+    * its cluster id (min member) and the cluster size. Same
+    * pointer-doubling machinery as the text clusters; the pair relation
+    * is the gate's banded-Hamming output, so clusters inherit its
+    * pigeonhole recall contract. */
+  def mediaPhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = mediaPhashPairs(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val labels = graft.dedup.ConnectedComponents.connectedComponents(pairs)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .select(col("id"), col("comp").as("cluster_id"), col("cluster_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_phash_clusters" -> mediaPhashClusters,
     "media_scene_changes" -> mediaSceneChanges,
     "media_meta" -> mediaMeta,
     "media_audio_features" -> mediaAudioFeatures,
@@ -544,7 +561,9 @@ object Multimodal {
       |        ELSE 0 END)::BIGINT AS hash_lo
       |  FROM bits GROUP BY id)""".stripMargin
 
-  private lazy val phashPairsSql: String =
+  // CTE chain through the banded candidate relation — shared by the
+  // pair oracle and the clusters closure.
+  private lazy val phashCandCtes: String =
     s"""$phashCtes,
       |bands AS (
       |  SELECT id, hash_hi, hash_lo,
@@ -557,7 +576,11 @@ object Multimodal {
       |    a.hash_hi AS ahi, a.hash_lo AS alo,
       |    b.hash_hi AS bhi, b.hash_lo AS blo
       |  FROM bands a JOIN bands b
-      |    ON a.band_j = b.band_j AND a.band_v = b.band_v AND a.id < b.id)
+      |    ON a.band_j = b.band_j AND a.band_v = b.band_v AND a.id < b.id)"""
+      .stripMargin
+
+  private lazy val phashPairsSql: String =
+    s"""$phashCandCtes
       |SELECT a_id, b_id,
       |  bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS hamming
       |FROM cand
@@ -669,6 +692,25 @@ object Multimodal {
     "media_phash_pairs" -> phashPairsSql,
     // the grouped twin emits the SAME relation — one oracle, two plans
     "media_phash_pairs_grouped" -> phashPairsSql,
+    // transitive closure over the SAME candidate CTEs (dedup_clusters
+    // pattern)
+    "media_phash_clusters" ->
+      (s"WITH RECURSIVE ${phashCandCtes.stripPrefix("WITH ")},\n" +
+        """pp AS (
+          |  SELECT a_id, b_id
+          |  FROM cand
+          |  WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 6),
+          |edges AS (SELECT a_id AS src, b_id AS dst FROM pp
+          |          UNION SELECT b_id, a_id FROM pp),
+          |reach(a, b) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+          |comp AS (SELECT a AS id, min(b) AS cluster_id
+          |         FROM reach GROUP BY a)
+          |SELECT id, cluster_id,
+          |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+          |FROM comp""".stripMargin),
     "media_resize" ->
       s"""WITH $docsCte,
         |m AS (
