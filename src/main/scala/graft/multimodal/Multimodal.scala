@@ -486,12 +486,51 @@ object Multimodal {
     * is the gate's banded-Hamming output, so clusters inherit its
     * pigeonhole recall contract. */
   def mediaPhashClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = mediaPhashPairs(s, dir)
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-    val labels = graft.dedup.ConnectedComponents.connectedComponents(pairs)
-    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "comp")
-      .select(col("id"), col("comp").as("cluster_id"), col("cluster_size"))
+    // HASH-LEVEL clustering — the components are computed over DISTINCT
+    // hashes, never over expanded id pairs: all members of one hash are
+    // trivially one cluster, so an exact-dup mega-group (the dominant
+    // mass on replica-heavy corpora) contributes ONE node, and its
+    // members expand once, linearly, at the end. Running CC over the
+    // pair relation instead was measured at 155M shuffle records / 6 min
+    // at 10× — the C(G,2) pair expansion of a 2k-copy group is work the
+    // clustering never needed. Equality with the pair-based closure is
+    // exact: each hash's node id is its MIN member, CC labels with the
+    // min reachable node id, so the final label is the cluster's global
+    // min member — the oracle's `min(b)` over the recursive reach.
+    val ph = mediaPhash(s, dir)
+    val groups = ph.groupBy("hash_hi", "hash_lo")
+      .agg(sort_array(collect_list(col("id"))).as("ids"),
+        min("id").as("hmin"), count(lit(1)).as("g"))
+      .localCheckpoint(true) // read by the edge join (2×) and the expansion
+    def banded(suffix: String) = groups
+      .select(col("hmin").as(s"hmin$suffix"),
+        col("hash_hi").as(s"hi$suffix"), col("hash_lo").as(s"lo$suffix"),
+        posexplode(array(
+          col("hash_lo").bitwiseAND(lit(0xffffL)),
+          shiftrightunsigned(col("hash_lo"), 16).bitwiseAND(lit(0xffffL)),
+          col("hash_hi").bitwiseAND(lit(0xffffL)),
+          shiftrightunsigned(col("hash_hi"), 16).bitwiseAND(lit(0xffffL))))
+          .as(Seq(s"band_j$suffix", s"band_v$suffix")))
+    val cross = banded("_a").join(banded("_b"),
+        col("band_j_a") === col("band_j_b") &&
+          col("band_v_a") === col("band_v_b") &&
+          col("hmin_a") < col("hmin_b"))
+      .filter(expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)")
+        <= MaxPhashHamming)
+      .select(col("hmin_a").as("src"), col("hmin_b").as("dst"))
+      .distinct()
+    val labels = graft.dedup.ConnectedComponents.connectedComponents(cross)
+    // a hash group is IN the relation iff it has a pair: size >= 2
+    // (intra pairs) or a cross edge (labels hit); label = min member
+    val withLabel = groups
+      .join(labels.withColumnRenamed("id", "hmin"), Seq("hmin"), "left")
+      .filter(col("g") >= 2 || col("comp").isNotNull)
+      .select(explode(col("ids")).as("id"),
+        coalesce(col("comp"), col("hmin")).as("cluster_id"))
+    val sizes = withLabel.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    withLabel.join(sizes, "cluster_id")
+      .select(col("id"), col("cluster_id"), col("cluster_size"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
