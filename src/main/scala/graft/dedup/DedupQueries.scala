@@ -334,6 +334,41 @@ object DedupQueries {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Weighted-Jaccard refinement of the verified near-dup pairs —
+    * rare-shingle-emphasizing similarity (the idf-weighting practice of
+    * near-dup mining; cf. weighted minhash, Ioffe 2010): each shingle
+    * carries the INTEGER weight `MaxShingleDf + 1 − df`, so boilerplate
+    * shingles (high df — the ones that cause spurious plain-Jaccard
+    * mass) contribute least and unique content most. Weighted Jaccard
+    * = Σ_{A∩B} w / Σ_{A∪B} w, an exact ratio of integer sums — hash-
+    * exact cross-engine. When every shingle in a pair's union has equal
+    * weight the measure PROVABLY equals plain Jaccard (the constant
+    * cancels — spec'd), so divergence between the two columns is
+    * precisely the boilerplate-share signal. Pair-bound scale shape:
+    * the weighted verify joins only the memoized LSH-verified pairs. */
+  def dedupWeightedJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = prunedShingles(s, dir)
+    val (_, pairs) = lshArtifacts(s, dir)
+    val wt = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .select(col("s"), (lit(MaxShingleDf + 1) - col("df")).as("w"))
+    val shw = sh.join(wt, "s")
+    val docW = shw.groupBy("doc_id").agg(sum("w").as("wd"))
+    val commonW = pairs.select("a_id", "b_id")
+      .join(shw.as("a"), col("a_id") === col("a.doc_id"))
+      .join(shw.as("b"),
+        col("b_id") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("a_id", "b_id").agg(sum(col("a.w")).as("cw"))
+    pairs.select("a_id", "b_id", "jaccard")
+      .join(commonW, Seq("a_id", "b_id"))
+      .join(docW.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("wd", "wa"), "a_id")
+      .join(docW.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("wd", "wb"), "b_id")
+      .select(col("a_id"), col("b_id"), col("jaccard"),
+        round(col("cw") / (col("wa") + col("wb") - col("cw")), 4)
+          .as("weighted_jaccard"))
+  }
+
   // ------------------------------------------------------- decontamination
   /** Eval-set decontamination — flag training documents sharing >=
     * [[DecontamMinOverlap]] 3-gram shingles with any benchmark document
@@ -489,6 +524,7 @@ object DedupQueries {
     "dedup_shingle_jaccard" -> dedupShingleJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_weighted_jaccard" -> dedupWeightedJaccard,
     "dedup_simhash" -> dedupSimhash,
     "decontaminate" -> decontaminate,
     "decontam_report" -> decontamReport,
@@ -646,6 +682,25 @@ object DedupQueries {
           |  coalesce(max_overlap, 0)::BIGINT AS max_overlap
           |FROM t LEFT JOIN h USING (eval_id) LEFT JOIN f USING (eval_id)"""
           .stripMargin),
+    "dedup_weighted_jaccard" ->
+      (s"WITH $lshPairsCte,\n" +
+        s"""wt AS (SELECT s, (${MaxShingleDf + 1} - count(*)) AS w
+          |        FROM shp GROUP BY s),
+          |shw AS (SELECT shp.doc_id, shp.s, wt.w
+          |        FROM shp JOIN wt ON wt.s = shp.s),
+          |dw AS (SELECT doc_id, sum(w) AS wd FROM shw GROUP BY doc_id),
+          |cw AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |         sum(a.w) AS cw
+          |       FROM shw a JOIN shw b
+          |         ON a.s = b.s AND a.doc_id < b.doc_id
+          |       GROUP BY 1, 2)
+          |SELECT l.a_id, l.b_id, l.jaccard,
+          |  round(cw.cw * 1.0 / (da.wd + db.wd - cw.cw), 4)
+          |    AS weighted_jaccard
+          |FROM lshpairs l
+          |JOIN cw ON cw.a_id = l.a_id AND cw.b_id = l.b_id
+          |JOIN dw da ON da.doc_id = l.a_id
+          |JOIN dw db ON db.doc_id = l.b_id""".stripMargin),
     "dedup_minhash_lsh" ->
       (s"WITH $lshPairsCte\n" +
         s"""SELECT p.a_id, p.b_id,

@@ -35,7 +35,8 @@ object ScaleValidate {
     ("dup-pair-bound", "shuffle ∝ VERIFIED dup pairs (output-sized): " +
       "on the replica scale corpora pairs grow ∝C(F,2) by construction " +
       "(measured 6.8–10×); ∝ docs at real-world dup densities", Seq(
-      "dedup_bbit_minhash", "pipeline_funnel", "split_leakage")),
+      "dedup_bbit_minhash", "pipeline_funnel", "split_leakage",
+      "dedup_weighted_jaccard")),
     ("projection", "shuffle ≈ 0 at any scale", Seq(
       "text_quality", "quality_gopher", "doc_fingerprint",
       "embed_quantize", "train_split", "chunk_documents",
