@@ -351,19 +351,24 @@ object DedupQueries {
     val (_, pairs) = lshArtifacts(s, dir)
     val wt = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .select(col("s"), (lit(MaxShingleDf + 1) - col("df")).as("w"))
-    val shw = sh.join(wt, "s")
-    val docW = shw.groupBy("doc_id").agg(sum("w").as("wd"))
-    val commonW = pairs.select("a_id", "b_id")
-      .join(shw.as("a"), col("a_id") === col("a.doc_id"))
-      .join(shw.as("b"),
-        col("b_id") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy("a_id", "b_id").agg(sum(col("a.w")).as("cw"))
+    // per-doc WEIGHTED SET ARRAYS, not a pairs×shingles re-expansion
+    // (the PrefixJoin verify lesson — the expansion form measured 60M
+    // shuffle records at 30× where this joins pairs + docs only). The
+    // weight is GLOBAL per shingle, so both docs carry the identical
+    // (s, w) struct for a shared shingle and array_intersect over the
+    // structs is exactly the intersection by shingle; the weighted
+    // common mass is one in-row fold over it.
+    val docSets = sh.join(wt, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("w")))).as("sw"),
+        sum("w").as("wd"))
     pairs.select("a_id", "b_id", "jaccard")
-      .join(commonW, Seq("a_id", "b_id"))
-      .join(docW.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("wd", "wa"), "a_id")
-      .join(docW.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("wd", "wb"), "b_id")
+      .join(docSets.select(col("doc_id").as("a_id"), col("sw").as("sa"),
+        col("wd").as("wa")), "a_id")
+      .join(docSets.select(col("doc_id").as("b_id"), col("sw").as("sb"),
+        col("wd").as("wb")), "b_id")
+      .withColumn("cw", expr(
+        "aggregate(array_intersect(sa, sb), 0L, (acc, x) -> acc + x.w)"))
       .select(col("a_id"), col("b_id"), col("jaccard"),
         round(col("cw") / (col("wa") + col("wb") - col("cw")), 4)
           .as("weighted_jaccard"))
