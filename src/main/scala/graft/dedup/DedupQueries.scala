@@ -334,6 +334,84 @@ object DedupQueries {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** COLLAPSE-FIRST production twin of [[dedupMinhashLsh]] — the
+    * `media_phash_clusters` pattern ([[graft.multimodal.Multimodal
+    * .mediaPhashClusters]], measured 155 M → 0.39 M shuffle records at
+    * 10×) applied to the text LSH family, closing the one known C(G,2)
+    * exposure: on a replica-heavy corpus an exact-dup group of g
+    * identical documents sends g signatures through banding and C(g,2)
+    * pairs through candidate generation and Jaccard verification — all
+    * of it redundant, because identical text ⇒ identical shingle set ⇒
+    * identical signature ⇒ identical band hashes ⇒ every intra-group
+    * pair is a guaranteed (jaccard = 1) survivor, and every cross pair
+    * (x∈A, y∈B) survives iff the representative pair (rep_A, rep_B)
+    * does, with the SAME est/exact Jaccard.
+    *
+    * So: group documents by exact content hash (the [[dedupExact]]
+    * relation), run signatures → bands → candidate join → verification
+    * over ONE representative (min doc_id) per distinct content, and
+    * expand member pairs in-row at the very end — intra-group pairs as
+    * (1.0, 1.0) combinations, cross-group pairs as the member cross
+    * product carrying the representatives' scores. The expansion feeds
+    * the sink directly (no shuffle after it), so shuffle volume is
+    * bounded by DISTINCT contents and their candidate pairs, never by
+    * C(group, 2): on a crawl where one boilerplate page has 10⁴ copies
+    * that is 10⁸ pairs of banding/verify work collapsed to one node.
+    *
+    * PAIR-IDENTICAL to [[dedupMinhashLsh]] by the argument above — the
+    * gate binds the same exhaustive oracle SQL, certifying the
+    * equivalence row-for-row (and `GroupedLshSpec` checks it against a
+    * planted mega-group corpus the fixtures don't carry).
+    *
+    * Correctness fine points mirrored from the ungrouped path:
+    *  - only documents with ≥ 3 words shingle, so grouping happens
+    *    AFTER the word filter (a 2-word doc pairs with nothing, even
+    *    its exact copy — same as the ungrouped pipeline);
+    *  - the stop-shingle df cap is computed over the FULL corpus
+    *    ([[prunedShingles]], replicas included) and identical members
+    *    share shingle sets, so the representative's pruned set equals
+    *    every member's — restricting the memoized relation to
+    *    representatives preserves each doc's exact pruned shingles;
+    *  - a group whose shingles are ALL df-pruned has no signature and
+    *    emits nothing (intra pairs included), exactly like the
+    *    ungrouped path. */
+  def dedupMinhashLshGrouped(s: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.parallel(s, dir, "documents")
+      .filter(size(words(col("text"))) >= 3)
+      .groupBy(sha2(col("text"), 256).as("ch"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+        min("doc_id").as("rep"))
+      .localCheckpoint(true) // read by rep filter + intra + both cross sides
+    val repSh = prunedShingles(s, dir)
+      .join(groups.select(col("rep").as("doc_id")), "doc_id")
+    val mh = minhashSignatures(repSh).localCheckpoint(true)
+    val crossRep = verifiedLshPairs(repSh, mh)
+    // intra-group: every pair of identical docs, provided the content
+    // still has >= 1 surviving shingle (else it never reached banding)
+    val shingledReps = repSh.select(col("doc_id").as("rep")).distinct()
+    val intra = groups.join(shingledReps, "rep")
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x)," +
+          " y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"),
+        lit(1.0).as("est_jaccard"), lit(1.0).as("jaccard"))
+    // cross-group: representative verdict replicated over the member
+    // cross product, min/max-canonicalized — in-row, post-shuffle
+    val cross = crossRep
+      .join(groups.select(col("rep").as("a_id"), col("ids").as("ids_a")),
+        "a_id")
+      .join(groups.select(col("rep").as("b_id"), col("ids").as("ids_b")),
+        "b_id")
+      .select(explode(expr(
+        "flatten(transform(ids_a, x -> transform(ids_b," +
+          " y -> struct(least(x, y) AS a, greatest(x, y) AS b))))")).as("p"),
+        col("est_jaccard"), col("jaccard"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"),
+        col("est_jaccard"), col("jaccard"))
+    intra.unionByName(cross)
+  }
+
   /** Weighted-Jaccard refinement of the verified near-dup pairs —
     * rare-shingle-emphasizing similarity (the idf-weighting practice of
     * near-dup mining; cf. weighted minhash, Ioffe 2010): each shingle
@@ -529,6 +607,7 @@ object DedupQueries {
     "dedup_shingle_jaccard" -> dedupShingleJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_lsh_grouped" -> dedupMinhashLshGrouped,
     "dedup_weighted_jaccard" -> dedupWeightedJaccard,
     "dedup_simhash" -> dedupSimhash,
     "decontaminate" -> decontaminate,
@@ -613,6 +692,21 @@ object DedupQueries {
         s" THEN ${1L << b}::BIGINT ELSE 0::BIGINT END").mkString(" +\n      ")
     s"($terms)"
   }
+
+  /** The `dedup_minhash_lsh` oracle — exhaustive signature/band/verify
+    * SQL; ALSO bound by `dedup_minhash_lsh_grouped` (the collapse-first
+    * twin must reproduce it pair-for-pair). */
+  private val lshGateOracleSql: String =
+    (s"WITH $lshPairsCte\n" +
+      s"""SELECT p.a_id, p.b_id,
+        |  round((${(0 until NumPerms).map(j =>
+                    s"CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END")
+                    .mkString(" + ")}) * 1.0 / $NumPerms, 4)
+        |    AS est_jaccard,
+        |  p.jaccard
+        |FROM lshpairs p
+        |JOIN mh ma ON ma.doc_id = p.a_id
+        |JOIN mh mb ON mb.doc_id = p.b_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -706,17 +800,10 @@ object DedupQueries {
           |JOIN cw ON cw.a_id = l.a_id AND cw.b_id = l.b_id
           |JOIN dw da ON da.doc_id = l.a_id
           |JOIN dw db ON db.doc_id = l.b_id""".stripMargin),
-    "dedup_minhash_lsh" ->
-      (s"WITH $lshPairsCte\n" +
-        s"""SELECT p.a_id, p.b_id,
-          |  round((${(0 until NumPerms).map(j =>
-                      s"CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END")
-                      .mkString(" + ")}) * 1.0 / $NumPerms, 4)
-          |    AS est_jaccard,
-          |  p.jaccard
-          |FROM lshpairs p
-          |JOIN mh ma ON ma.doc_id = p.a_id
-          |JOIN mh mb ON mb.doc_id = p.b_id""".stripMargin),
+    "dedup_minhash_lsh" -> lshGateOracleSql,
+    // the grouped twin is PAIR-IDENTICAL by construction — it binds the
+    // very same exhaustive oracle, which is the whole point of the gate
+    "dedup_minhash_lsh_grouped" -> lshGateOracleSql,
     "dedup_simhash" ->
       (s"""WITH hv AS (
         |  SELECT doc_id, list_transform(

@@ -65,13 +65,16 @@ object Pipeline {
     val base = docs.agg(
       count(lit(1)).as("n_docs"),
       sum("n_tok").cast("long").as("n_tokens"),
-      sum("n_chr").cast("long").as("n_chars"),
-      countDistinct("source").as("n_sources"),
-      countDistinct("lang").as("n_langs"))
+      sum("n_chr").cast("long").as("n_chars"))
+    // distinct-source/lang counts ride the per-key aggregates below
+    // rather than a dual count(DISTINCT …) in `base`: the
+    // RewriteDistinctAggregates Expand would triple the scanned rows AND
+    // its group order follows attribute exprIds, which drift with
+    // session history — a nondeterministic plan string under the lock
     val src = docs.groupBy("source").agg(count(lit(1)).as("c"))
-      .agg(max("c").as("max_src_docs"))
+      .agg(max("c").as("max_src_docs"), count(lit(1)).as("n_sources"))
     val lng = docs.groupBy("lang").agg(count(lit(1)).as("c"))
-      .agg(max("c").as("max_lang_docs"))
+      .agg(max("c").as("max_lang_docs"), count(lit(1)).as("n_langs"))
     val dup = DedupQueries.dedupExact(s, dir).select(col("n_dup_docs"))
     val gp = TextQueries.gopherFlags(docs).filter(col("pass"))
       .agg(count(lit(1)).as("n_gopher_pass"))

@@ -76,6 +76,11 @@ object ScaleValidate {
       "decontam_report", "decontam_semantic", "decontam_substring")),
     ("bounded-candidates", "pairs df-capped: ≈F× (dup pairs ∝ docs)", Seq(
       "dedup_shingle_jaccard", "dedup_containment", "source_overlap")),
+    ("collapse-first-pairs", "signatures/banding/verify over DISTINCT " +
+      "contents (exact-dup groups collapse to one node); member-pair " +
+      "expansion in-row, post-shuffle: shuffle ∝ distinct contents + " +
+      "rep candidate pairs, NEVER C(group,2)", Seq(
+      "dedup_minhash_lsh_grouped")),
     ("prefix-filtered", "t=0.8 prefix join: shuffle ∝ tokens + candidates " +
       "≈F×; array verify never re-expands candidates", Seq(
       "dedup_prefix_jaccard")),
