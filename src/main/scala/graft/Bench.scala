@@ -58,6 +58,41 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] enrich warm-up on $warmDir failed: ${e.getMessage}")
     }
+    // Shared-memo builds, timed SEPARATELY from the query walls (round-7
+    // verdict: dedup_prefix_jaccard's 2.21 → 3.86 s was the (prefix,
+    // doc-sets) memo materialization landing on whichever consumer ran
+    // first — a first-payer artifact, not a plan change). Forcing every
+    // one-slot memo here, in a fixed order, makes per-query seconds
+    // steady-state and round-over-round comparable; the per-family build
+    // cost is emitted as "memo_sec". Order matters only in that
+    // lsh_artifacts consumes pruned_shingles etc. — each row times
+    // exactly the increment it adds.
+    val memoTimed = Seq[(String, () => Unit)](
+      ("pruned_shingles", () => {
+        graft.dedup.DedupQueries.prunedShingles(spark, sfDir); () }),
+      ("lsh_artifacts", () => {
+        graft.dedup.DedupQueries.lshArtifacts(spark, sfDir); () }),
+      ("dedup_clusters", () => {
+        graft.dedup.ConnectedComponents.dedupClusters(spark, sfDir); () }),
+      ("prefix_docsets", () => graft.dedup.PrefixJoin.warm(spark, sfDir)),
+      ("ivf_quantizer", () => { graft.sim.Ivf.assignments(spark, sfDir); () }),
+      ("knn_edges", () => { graft.sim.GraphStats.mutualEdges(spark, sfDir); () }),
+      ("pca_model", () => { graft.sim.EmbedPca.model(spark, sfDir); () }),
+      ("quality_weights", () => {
+        graft.text.QualityClassifier.weights(spark, sfDir); () }),
+      // cache() is lazy — count() forces the encode into the cache here
+      ("media_table", () => {
+        graft.multimodal.Multimodal.mediaFromDocuments(spark, sfDir)
+          .count(); () }),
+    ).map { case (name, build) =>
+      val t0 = System.nanoTime()
+      try build()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] memo $name failed: ${e.getMessage}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    val memoTotal = memoTimed.map(_._2).sum
     // Shuffle accounting per query, exact via job groups — see
     // ShuffleByGroup (shared with ScaleValidate).
     val shuffle = new ShuffleByGroup
@@ -81,13 +116,18 @@ object Bench {
       .mkString("{", ",", "}")
     val rec = timed.map { case (k, _) => "\"" + k + s"""":${recOf(k)}""" }
       .mkString("{", ",", "}")
-    val total = timed.map(_._2).sum
+    // "value" keeps round-over-round semantics (ALL engine work: memo
+    // builds + query walls — through r7 the memo cost hid inside whoever
+    // ran first); "memo_sec"/"memo_total" break the attribution out.
+    val total = timed.map(_._2).sum + memoTotal
     // Reference calibration on the committed baseline host (min of 3 on
     // a quiet run; see calibSec above). norm = raw × CalibRef/calib_sec.
     val scale = Bench.CalibRef / calibSec
     val qn = timed.map { case (k, v) => "\"" + k + f"\":${v * scale}%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"value_norm":${total * scale}%.3f,"queries":$qs,"queries_norm":$qn,"shuffle_mb":$sh,"shuffle_rec":$rec,"sf":"$sfDir"}""")
+    val ms = memoTimed.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"value_norm":${total * scale}%.3f,"memo_total":$memoTotal%.3f,"memo_sec":$ms,"queries":$qs,"queries_norm":$qn,"shuffle_mb":$sh,"shuffle_rec":$rec,"sf":"$sfDir"}""")
     // Short trailer for the driver's stdout-tail parser: the full
     // per-query JSON above outgrows a bounded tail window (BENCH_r04/
     // r05 both recorded "parsed": null), so the LAST line is a compact

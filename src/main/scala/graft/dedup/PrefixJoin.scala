@@ -159,6 +159,9 @@ object PrefixJoin {
   /** Drop the memoized relations (tests; corpus switches evict). */
   def release(): Unit = synchronized { memo = None }
 
+  /** Force the memo build (bench memo-cost attribution). */
+  def warm(s: SparkSession, dir: String): Unit = sharedRelations(s, dir)
+
   /** The gate query: prefix-filter candidates, verify exactly. Output
     * (and oracle) identical to the exhaustive join by the theorem. */
   def dedupPrefixJaccard(s: SparkSession, dir: String): DataFrame = {
