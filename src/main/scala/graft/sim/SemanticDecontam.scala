@@ -30,7 +30,8 @@ object SemanticDecontam {
     * [[GateContamCos]] — the `dedup_embedding_cosine` verify bound — to
     * exercise a non-empty relation (2/6/42 flagged vectors at
     * sf0.001/0.01/0.1); same gate-vs-production split as
-    * `GateResizeMaxEdge`. */
+    * `GateResizeMaxEdge`. The PRODUCTION threshold is exercised by
+    * [[decontamSemanticStrict]] over a derived-paraphrase eval set. */
   val ContamCos = 0.95
   val GateContamCos = 0.4
 
@@ -64,8 +65,50 @@ object SemanticDecontam {
       .filter(col("n_eval_hits") > 0)
   }
 
+  /** Deterministic "paraphrase" displacement for the strict gate's
+    * derived eval set: ev = v + δ·e₁. For unit-norm v the cosine to its
+    * source is (1 + δ·v₁)/√(1 + 2δ·v₁ + δ²) ≥ 1/√(1+δ²) = 0.970 at
+    * δ = 0.25 — always above [[ContamCos]], for every v. */
+  val ParaphraseDelta = 0.25
+
+  /** PRODUCTION-threshold gate (round-7 verdict #3: [[ContamCos]] had
+    * never been exercised by any gate — the fixture embeddings carry no
+    * cross-eval-boundary pair above cosine ≈ 0.49). Models the actual
+    * contamination event: an eval item that is a light paraphrase of a
+    * TRAINING document. The eval side derives from the corpus itself —
+    * every [[EvalMod]]-th vector displaced by [[ParaphraseDelta]]·e₁
+    * (the phash-gate playbook: plant from existing structure so every
+    * SF carries it) — and the scan covers the FULL corpus (production
+    * decontaminates the whole training set against the eval suite; the
+    * gate variant's %-split exclusion exists only to fake a disjoint
+    * eval set). Each source vector is guaranteed ≥ 0.970 to its own
+    * paraphrase, so the 0.95 relation is non-empty at every SF; near-dups
+    * of a source may legitimately cross too. Same broadcast-eval,
+    * zero-shuffle scan shape as [[decontamSemantic]]. */
+  def decontamSemanticStrict(s: SparkSession, dir: String): DataFrame = {
+    import SimilarityQueries.dot
+    val e = Tables.parallel(s, dir, "embeddings")
+    val eval = e.filter(col("vec_id") % EvalMod === 0)
+      .select(col("vec_id").as("eval_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x.cast("double") + lit(ParaphraseDelta))
+            .otherwise(x.cast("double"))).as("ev"))
+      .withColumn("en", sqrt(dot(col("ev"), col("ev"))))
+    e.crossJoin(broadcast(eval))
+      .select(col("vec_id"), col("eval_id"),
+        (dot(col("embedding"), col("ev")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) * col("en")))
+          .as("cos"))
+      .groupBy("vec_id")
+      .agg(
+        sum(when(col("cos") >= ContamCos, 1L).otherwise(0L)).as("n_eval_hits"),
+        round(max(col("cos")), 4).as("max_cosine"))
+      .filter(col("n_eval_hits") > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "decontam_semantic" -> decontamSemantic)
+    "decontam_semantic" -> decontamSemantic,
+    "decontam_semantic_strict" -> decontamSemanticStrict)
 
   val oracles: Map[String, String] = {
     val dotEv = SimilarityQueries.sqlDot("e.embedding", "v.ev")
@@ -87,6 +130,28 @@ object SemanticDecontam {
           |  round(max(cos), 4) AS max_cosine
           |FROM sc GROUP BY vec_id
           |HAVING sum(CASE WHEN cos >= $GateContamCos THEN 1 ELSE 0 END) > 0"""
-          .stripMargin)
+          .stripMargin,
+      "decontam_semantic_strict" -> {
+        val dotEvS = SimilarityQueries.sqlDot("e.embedding", "v.ev")
+        val evSelf = SimilarityQueries.sqlDot("ev", "ev")
+        s"""WITH evp AS (
+          |  SELECT vec_id AS eval_id,
+          |    list_transform(embedding, (x, i) -> CASE WHEN i = 1
+          |      THEN CAST(x AS DOUBLE) + $ParaphraseDelta
+          |      ELSE CAST(x AS DOUBLE) END) AS ev
+          |  FROM embeddings WHERE vec_id % $EvalMod = 0),
+          |ev AS (SELECT eval_id, ev, sqrt($evSelf) AS en FROM evp),
+          |sc AS (
+          |  SELECT e.vec_id,
+          |    $dotEvS / (sqrt($selfE) * v.en) AS cos
+          |  FROM embeddings e CROSS JOIN ev v)
+          |SELECT vec_id,
+          |  sum(CASE WHEN cos >= $ContamCos THEN 1 ELSE 0 END)::BIGINT
+          |    AS n_eval_hits,
+          |  round(max(cos), 4) AS max_cosine
+          |FROM sc GROUP BY vec_id
+          |HAVING sum(CASE WHEN cos >= $ContamCos THEN 1 ELSE 0 END) > 0"""
+          .stripMargin
+      })
   }
 }

@@ -73,7 +73,8 @@ object ScaleValidate {
       "ann_lsh_multiprobe", "ivf_topk", "ivf_topk_probeall",
       "dedup_embedding_cosine",
       "quality_lm_score", "dsir_weights", "quality_bigram_score",
-      "decontam_report", "decontam_semantic", "decontam_substring")),
+      "decontam_report", "decontam_semantic", "decontam_semantic_strict",
+      "decontam_substring")),
     ("bounded-candidates", "pairs df-capped: ≈F× (dup pairs ∝ docs)", Seq(
       "dedup_shingle_jaccard", "dedup_containment", "source_overlap")),
     ("collapse-first-pairs", "signatures/banding/verify over DISTINCT " +

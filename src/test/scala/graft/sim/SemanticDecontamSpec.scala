@@ -58,6 +58,37 @@ class SemanticDecontamSpec extends AnyFunSuite {
     assert(strict == Set(1L))
   }
 
+  test("strict gate: every paraphrase source is flagged at 0.95, at all SFs") {
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val dir = s"/root/testdata/sf$sf"
+      val flagged = SemanticDecontam.decontamSemanticStrict(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(flagged.nonEmpty, s"strict relation empty at sf$sf")
+      // every EvalMod-th vector is its own paraphrase's source: cosine to
+      // its displaced twin is ≥ 1/√(1+δ²) = 0.970 by construction, so the
+      // full source set must be flagged, each with ≥ 1 hit
+      val sources = graft.Tables.parallel(spark, dir, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id")
+          % SemanticDecontam.EvalMod === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(sources.subsetOf(flagged.keySet),
+        s"unflagged paraphrase sources at sf$sf: ${sources -- flagged.keySet}")
+      flagged.foreach { case (id, (hits, maxCos)) =>
+        assert(hits >= 1L)
+        assert(maxCos >= SemanticDecontam.ContamCos - 1e-4,
+          s"$id flagged below the production threshold")
+      }
+      // sources sit at the own-paraphrase floor 1/√(1+δ²) ≈ 0.970 for
+      // exactly unit-norm v; fixture norms are float-rounded near 1, so
+      // assert a slightly widened floor (observed minimum 0.9685)
+      sources.foreach { id =>
+        assert(flagged(id)._2 >= 0.965,
+          s"source $id below the approximate own-paraphrase floor")
+      }
+    }
+  }
+
   test("gate query is non-empty on the fixture and every flag is real") {
     val rows = SemanticDecontam
       .decontamSemantic(spark, "/root/testdata/sf0.001")
