@@ -34,7 +34,9 @@ object ScaleValidate {
       "dedup_clusters", "dedup_apply", "lm_buckets", "dataset_card")),
     ("dup-pair-bound", "shuffle ∝ VERIFIED dup pairs (output-sized): " +
       "on the replica scale corpora pairs grow ∝C(F,2) by construction " +
-      "(measured 6.8–10×); ∝ docs at real-world dup densities", Seq(
+      "(measured 6.8–10×); ∝ docs at real-world dup densities — CONFIRMED " +
+      "r8 on the fixed-dup-rate corpora (generateFixedDup): ≈3.0 for every " +
+      "member in the shuffle regime", Seq(
       "dedup_bbit_minhash", "pipeline_funnel", "split_leakage",
       "dedup_weighted_jaccard")),
     ("projection", "shuffle ≈ 0 at any scale", Seq(

@@ -107,6 +107,52 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(joined.filter(col("text") =!= col("t2")).count() == 0,
       "planted exact duplicates are not verbatim")
   }
+
+  test("fixed-dup variant: per-replica structure preserved, replicas disjoint") {
+    // self-contained base with KNOWN dup structure (sf0.001 carries no
+    // exact-dup group, so the per-replica reproduction claim needs a
+    // planted one): one exact pair, one singleton
+    import spark.implicits._
+    val fdBase = java.nio.file.Files
+      .createTempDirectory("graft-scalegen-fd-base").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "s1", 29L),
+      (1L, "alpha beta gamma delta epsilon", "en", "s1", 29L),
+      (2L, "totally different river storm words", "en", "s2", 36L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$fdBase/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scalegen-fd-spec").toString
+    ScaleGen.generateFixedDup(spark, fdBase, dir, 3)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    assert(d.count() == 9)
+    // replica 0 is verbatim
+    val r0 = d.filter(col("doc_id") < ScaleGen.Stride)
+      .select(col("doc_id"), col("text").as("t2"))
+    assert(spark.read.parquet(s"$fdBase/documents.parquet")
+      .join(r0, Seq("doc_id"))
+      .filter(col("text") =!= col("t2")).count() == 0, "replica 0 mutated")
+    // replicas share NO tokens: spaces are replica-private by construction
+    val tok = d.select((col("doc_id") / ScaleGen.Stride).cast("int").as("k"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select("k", "t").distinct()
+    val cross = tok.as("a").join(tok.as("b"),
+      col("a.t") === col("b.t") && col("a.k") < col("b.k"))
+    assert(cross.count() == 0, "replica token spaces overlap")
+    // the base's internal exact-dup structure reproduces inside EVERY
+    // replica (equal texts stay equal under the per-token remap): one
+    // size-2 group per replica, never a cross-replica group
+    val groups = d
+      .select((col("doc_id") / ScaleGen.Stride).cast("int").as("k"),
+        sha2(col("text"), 256).as("h"))
+      .groupBy("k", "h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .groupBy("k").agg(count(lit(1)).as("n_groups"), sum("c").as("dup_docs"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(groups == Map(0 -> ((1L, 2L)), 1 -> ((1L, 2L)), 2 -> ((1L, 2L))),
+      s"per-replica dup structure not reproduced: $groups")
+  }
 }
 
 object ScaleToolsSpec {
