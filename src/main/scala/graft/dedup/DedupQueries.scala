@@ -602,6 +602,66 @@ object DedupQueries {
         max("doc_id").as("max_doc"))
       .filter(col("n_docs") > 1)
 
+  /** Max Hamming distance for [[dedupSimhashHamming]] — pairs at
+    * distance ≤ K are near-duplicates (Manku, Jain & Das Sarma, WWW
+    * 2007: simhash near-dup detection for web crawling). */
+  val SimhashHammingK = 3
+  private val SimhashBlockBits = 8
+  private val SimhashNumBlocks = 4 // K+1 blocks: pigeonhole over 32 bits
+
+  /** Hamming-distance near-dup pairs over the 32-bit SimHash — the
+    * block-permutation index of Manku et al. 2007: a pair at Hamming
+    * distance ≤ K must agree EXACTLY on at least one of K+1 disjoint
+    * blocks (pigeonhole), so candidates come from K+1 equi-joins on
+    * 8-bit block keys instead of an all-pairs XOR scan, and only
+    * candidates pay the popcount verify.
+    *
+    * Built collapse-first from the start (the [[dedupMinhashLshGrouped]]
+    * / `media_phash_clusters` pattern): banding and verification run
+    * over DISTINCT signatures, and member pairs expand in-row after the
+    * verify — an identical-signature group of g docs contributes ONE
+    * node to the block joins, never C(g, 2) candidate rows. Pairs at
+    * distance 0 are excluded by construction (both orderings collapse
+    * into the same signature node): identical-signature groups are
+    * [[dedupSimhash]]'s relation; this one is strictly 1 ≤ h ≤ K.
+    *
+    * Oracle: the EXHAUSTIVE flat SQL (per-doc block join + popcount) —
+    * the hash gate certifies the collapsed pipeline pair-identical.
+    *
+    * Scale: candidates ∝ Σ n_b² over (K+1)·2^8 block buckets — the
+    * banded-pairs law (`media_phash_pairs`' family). The fixture binds
+    * the 32-bit hash with 8-bit blocks; a production corpus grows the
+    * hash width (64-bit simhash, 6+ blocks) to pin bucket occupancy,
+    * the same dial as the kNN-graph planes. */
+  def dedupSimhashHamming(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.parallel(s, dir, "documents")
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 1)
+      .selectExpr("doc_id", s"${simhashExpr("w")} AS simhash")
+      .groupBy("simhash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .localCheckpoint(true) // block probe + both expansion sides
+    val blocks = sigs.select(col("simhash"),
+      explode(expr(s"transform(sequence(0, ${SimhashNumBlocks - 1}), " +
+        s"j -> struct(j AS j, shiftright(simhash, $SimhashBlockBits * j) " +
+        s"& ${(1 << SimhashBlockBits) - 1} AS key))")).as("b"))
+      .select(col("simhash"), col("b.j").as("j"), col("b.key").as("key"))
+    val cand = blocks.as("a").join(blocks.as("b"),
+        col("a.j") === col("b.j") && col("a.key") === col("b.key") &&
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct() // a pair may agree on several blocks
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") >= 1 && col("hamming") <= SimhashHammingK)
+    cand
+      .join(sigs.select(col("simhash").as("ha"), col("ids").as("ids_a")), "ha")
+      .join(sigs.select(col("simhash").as("hb"), col("ids").as("ids_b")), "hb")
+      .select(explode(expr("flatten(transform(ids_a, x -> transform(ids_b," +
+        " y -> struct(least(x, y) AS a, greatest(x, y) AS b))))")).as("p"),
+        col("hamming"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"), col("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_shingle_jaccard" -> dedupShingleJaccard,
@@ -610,6 +670,7 @@ object DedupQueries {
     "dedup_minhash_lsh_grouped" -> dedupMinhashLshGrouped,
     "dedup_weighted_jaccard" -> dedupWeightedJaccard,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_hamming" -> dedupSimhashHamming,
     "decontaminate" -> decontaminate,
     "decontam_report" -> decontamReport,
     "cross_doc_ngrams" -> crossDocNgrams,
@@ -816,5 +877,30 @@ object DedupQueries {
         |  FROM hv)
         |SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc,
         |  max(doc_id) AS max_doc
-        |FROM sim GROUP BY simhash HAVING count(*) > 1""".stripMargin))
+        |FROM sim GROUP BY simhash HAVING count(*) > 1""".stripMargin),
+    // the EXHAUSTIVE per-doc form — the collapse-first pipeline must
+    // reproduce it pair-for-pair (same certification as the grouped LSH)
+    "dedup_simhash_hamming" ->
+      (s"""WITH hv AS (
+        |  SELECT doc_id, list_transform(
+        |    list_filter(string_split(text, ' '), x -> x <> ''),
+        |    x -> ('0x' || substr(sha256(x), 1, 8))::BIGINT) AS hv
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+        |sim AS (SELECT doc_id, $simhashExpr AS simhash FROM hv),
+        |blocks AS (
+        |  SELECT doc_id, simhash, j,
+        |    (simhash >> ($SimhashBlockBits * j)) & ${(1 << SimhashBlockBits) - 1}
+        |      AS key
+        |  FROM sim, (SELECT unnest([${(0 until SimhashNumBlocks).mkString(",")}])
+        |             AS j) js),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.simhash AS ha, b.simhash AS hb
+        |  FROM blocks a JOIN blocks b
+        |    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, bit_count(xor(ha, hb))::BIGINT AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ha, hb)) BETWEEN 1 AND $SimhashHammingK"""
+        .stripMargin))
 }

@@ -56,7 +56,7 @@ object ScaleValidate {
     ("banded-pairs", "band equi-self-join: shuffle ∝ images × bands ≈F×; " +
       "in-join pairs ∝ Σn_b² over 16-bit band buckets", Seq(
       "media_phash_pairs", "media_phash_pairs_grouped",
-      "media_phash_clusters")),
+      "media_phash_clusters", "dedup_simhash_hamming")),
     ("frame-delta", "decode + SAD fan out in-partition; one id-keyed " +
       "window over ≤ frames−1 rows/clip: ∝ frames ≈F×", Seq(
       "media_scene_changes")),
