@@ -606,8 +606,8 @@ object DedupQueries {
     * distance ≤ K are near-duplicates (Manku, Jain & Das Sarma, WWW
     * 2007: simhash near-dup detection for web crawling). */
   val SimhashHammingK = 3
-  private val SimhashBlockBits = 8
-  private val SimhashNumBlocks = 4 // K+1 blocks: pigeonhole over 32 bits
+  private[graft] val SimhashBlockBits = 8
+  private[graft] val SimhashNumBlocks = 4 // K+1 blocks: pigeonhole, 32 bits
 
   /** Hamming-distance near-dup pairs over the 32-bit SimHash — the
     * block-permutation index of Manku et al. 2007: a pair at Hamming

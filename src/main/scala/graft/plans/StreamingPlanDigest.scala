@@ -115,6 +115,13 @@ object StreamingPlanDigest {
           mem.toDS().toDF("doc_id", "text"), idx),
           StreamNearDup.outputMode) { mem.addData((1L, "a b c d e f")) }
       },
+      "simhash_hamming" -> { () =>
+        val mem = MemoryStream[(Long, String)]
+        val idx = StreamSimhash.buildIndex(spark, IndexSfDir)
+        run(StreamSimhash.matchesOverStream(
+          mem.toDS().toDF("doc_id", "text"), idx),
+          StreamSimhash.outputMode) { mem.addData((1L, "a b c d e f")) }
+      },
       "bm25" -> { () =>
         val mem = MemoryStream[(Long, String)]
         run(StreamBm25.scoreOverStream(
