@@ -241,6 +241,36 @@ object ConnectedComponents {
     * the one-slot policy). */
   def releaseClusters(): Unit = synchronized { clusterMemo = None }
 
+  /** Best-quality cluster keeper — the keeper policy a production dedup
+    * actually ships: within every near-dup cluster keep the member that
+    * passes the Gopher rules, breaking ties by length then doc_id,
+    * instead of the arbitrary min-id representative ([[dedupClusters]]'
+    * `cluster_id` convention). Composes two proven gates — the memoized
+    * cluster labels and [[graft.text.TextQueries.gopherFlags]]' rule
+    * columns — so the policy cannot drift from either. Scale: the rank
+    * is a per-cluster window (clusters are near-dup-sized, partitioned
+    * by cluster_id) over the pair-bound label relation; everything else
+    * is cluster-count-sized. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // every clustered doc has >= 3 words (the shingle floor), so the
+    // inner join against the >= 1-word gopher relation loses nothing
+    val m = dedupClusters(s, dir).select("doc_id", "cluster_id")
+      .join(graft.text.TextQueries
+        .gopherFlags(graft.Tables.parallel(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), col("pass")), "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("pass").desc, col("n_words").desc, col("doc_id").asc)
+    val keeper = m.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"))
+    val stats = m.groupBy("cluster_id").agg(
+      count(lit(1)).as("cluster_size"),
+      sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+    keeper.join(stats, "cluster_id")
+      .select("cluster_id", "keeper_id", "cluster_size", "n_pass")
+  }
+
   /** Gate query closing the dedup loop — the APPLY step a pipeline ships:
     * keep the min-doc_id representative of every exact-content group, then
     * the min-doc_id keeper of every near-dup cluster, and account for the
@@ -287,6 +317,7 @@ object ConnectedComponents {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_apply" -> dedupApply)
 
   /** DuckDB oracle: transitive closure by recursive CTE over the same
@@ -306,6 +337,44 @@ object ConnectedComponents {
           |SELECT doc_id, cluster_id,
           |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
           |FROM comp""".stripMargin),
+    "dedup_keep_best" -> {
+      import graft.text.TextQueries._
+      (s"WITH RECURSIVE ${DedupQueries.lshPairsCte},\n" +
+        s"""edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+          |          UNION SELECT b_id, a_id FROM lshpairs),
+          |reach(a, b) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+          |         FROM reach GROUP BY a),
+          |wq AS (SELECT doc_id,
+          |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+          |       FROM documents),
+          |g AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+          |        ((len(w) BETWEEN $GopherMinWords AND $GopherMaxWords)
+          |         AND list_sum(list_transform(w, x -> length(x))) * 1.0
+          |             / len(w) >= $GopherMinMeanLen
+          |         AND list_sum(list_transform(w, x -> length(x))) * 1.0
+          |             / len(w) <= $GopherMaxMeanLen
+          |         AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          |             * 1.0 / len(w) >= $GopherMinAlphaFrac
+          |         AND len(list_filter(w, x -> x IN ($stopListSql)))
+          |             >= $GopherMinStopHits) AS pass
+          |      FROM wq WHERE len(w) >= 1),
+          |m AS (SELECT comp.doc_id, comp.cluster_id, g.n_words, g.pass
+          |      FROM comp JOIN g ON g.doc_id = comp.doc_id),
+          |k AS (SELECT cluster_id, doc_id AS keeper_id,
+          |        row_number() OVER (PARTITION BY cluster_id
+          |          ORDER BY pass DESC, n_words DESC, doc_id ASC) AS rn
+          |      FROM m),
+          |st AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size,
+          |         sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_pass
+          |       FROM m GROUP BY cluster_id)
+          |SELECT k.cluster_id, k.keeper_id, st.cluster_size, st.n_pass
+          |FROM k JOIN st ON st.cluster_id = k.cluster_id
+          |WHERE k.rn = 1""".stripMargin)
+    },
     "dedup_apply" ->
       (s"WITH RECURSIVE ${DedupQueries.lshPairsCte},\n" +
         """edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs

@@ -104,6 +104,31 @@ object Sampling {
         col("jaccard"))
   }
 
+  /** Leakage-FREE split assignment — the fix [[splitLeakage]]'s report
+    * motivates, shipped as its own operator: documents are bucketed by
+    * the hash of their near-dup CLUSTER id (the [[graft.dedup
+    * .ConnectedComponents.dedupClusters]] label) instead of their own
+    * id, so every verified near-dup pair — and transitively every
+    * member of a cluster — lands in the SAME split by construction, and
+    * [[splitLeakage]] recomputed over this assignment is empty (spec'd).
+    * Unclustered documents hash their own id with the SAME salt as
+    * [[trainSplit]], so only clustered documents move relative to the
+    * naive assignment. Scale: one left join against the pair-bound
+    * cluster labels on top of the zero-shuffle projection. */
+  def splitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    def split(bucket: Column): Column =
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    val clusters = graft.dedup.ConnectedComponents.dedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    Tables(s, dir, "documents")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        pmod(hex32(concat(lit("split|"), col("split_key"))), lit(100)))
+      .select(col("doc_id"), col("split_key"), col("bucket"),
+        split(col("bucket")).as("split"))
+  }
+
   /** Deterministic stratified sampling — the reproducible twin of
     * `DataFrameStatFunctions.sampleBy`: each stratum keeps its own
     * fraction of rows, membership decided by a salted hash so reruns,
@@ -246,6 +271,7 @@ object Sampling {
     "token_budget_mix" -> tokenBudgetMix,
     "train_split" -> trainSplit,
     "split_leakage" -> splitLeakage,
+    "split_leakfree" -> splitLeakfree,
     "stratified_sample" -> stratifiedSample,
     "pack_sequences" -> packSequences)
 
@@ -318,6 +344,27 @@ object Sampling {
           |JOIN sp sa ON sa.doc_id = l.a_id
           |JOIN sp sb ON sb.doc_id = l.b_id
           |WHERE sa.split <> sb.split""".stripMargin),
+    "split_leakfree" ->
+      (s"WITH RECURSIVE ${graft.dedup.DedupQueries.lshPairsCte},\n" +
+        """edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+          |          UNION SELECT b_id, a_id FROM lshpairs),
+          |reach(a, b) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+          |         FROM reach GROUP BY a),
+          |k AS (SELECT d.doc_id,
+          |        coalesce(c.cluster_id, d.doc_id) AS split_key
+          |      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+          |b AS (SELECT doc_id, split_key,
+          |        ('0x' || substr(sha256('split|' || split_key), 1, 8))::BIGINT
+          |          % 100 AS bucket
+          |      FROM k)
+          |SELECT doc_id, split_key, bucket,
+          |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM b""".stripMargin),
     "train_split" ->
       """WITH b AS (SELECT doc_id, source,
         |  ('0x' || substr(sha256('split|' || doc_id), 1, 8))::BIGINT % 100
