@@ -430,6 +430,71 @@ object Multimodal {
       .toDF()
   }
 
+  final case class AudioFp(id: Long, n_windows: Long, fp: Long)
+
+  /** Energy-delta window size (samples) and max fingerprint bits for
+    * [[mediaAudioFingerprint]]. */
+  val AudioFpWin = 8
+  val AudioFpMaxBits = 32
+
+  /** Audio fingerprint — the energy-difference bit sequence of Haitsma
+    * & Kalker 2002 ("a highly robust audio fingerprint"), over REAL
+    * decoded PCM: the clip splits into [[AudioFpWin]]-sample windows
+    * (first [[AudioFpMaxBits]]+1 windows, last one possibly partial),
+    * bit w−1 = 1 iff window w's energy exceeds window w−1's. The
+    * delta-coded bits are level-invariant and survive re-encoding —
+    * the audio leg of the near-dup family next to `media_phash`. One
+    * decode + O(samples) per clip inside the partition iterator; no
+    * shuffle. */
+  def mediaAudioFingerprint(s: SparkSession, dir: String): DataFrame =
+    audioFingerprints(mediaFromDocuments(s, dir))
+
+  /** Fingerprint core over ANY media relation — shared by the gate
+    * query and the spec's hand-built clips. */
+  def audioFingerprints(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter(col("kind") === "audio")
+      .mapPartitions { it =>
+        it.map { r =>
+          val a = MediaCodec.decodeWav(r.bytes)
+          val n = a.samples.length
+          val nw =
+            math.min((n + AudioFpWin - 1) / AudioFpWin, AudioFpMaxBits + 1)
+          val en = new Array[Long](nw)
+          var w = 0
+          while (w < nw) {
+            var i = w * AudioFpWin
+            val end = math.min((w + 1) * AudioFpWin, n)
+            var e = 0L
+            while (i < end) {
+              val c = a.samples(i) - 128
+              e += c.toLong * c
+              i += 1
+            }
+            en(w) = e
+            w += 1
+          }
+          var fp = 0L
+          var k = 1
+          while (k < nw) {
+            if (en(k) > en(k - 1)) fp |= 1L << (k - 1)
+            k += 1
+          }
+          AudioFp(r.id, nw.toLong, fp)
+        }
+      }.toDF()
+  }
+
+  /** Duplicate-recording groups: fingerprints shared by more than one
+    * clip (the `dedup_simhash` group convention). Fingerprint-keyed
+    * aggregation — shuffle ∝ clips, groups output-sized. */
+  def mediaAudioFpGroups(s: SparkSession, dir: String): DataFrame =
+    mediaAudioFingerprint(s, dir)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_clips"), min("id").as("min_id"),
+        max("id").as("max_id"))
+      .filter(col("n_clips") > 1)
+
   final case class SceneDelta(id: Long, frame_idx: Long, sad: Long)
 
   /** Per-transition sum of absolute pixel differences between REAL
@@ -538,6 +603,8 @@ object Multimodal {
     "media_scene_changes" -> mediaSceneChanges,
     "media_meta" -> mediaMeta,
     "media_audio_features" -> mediaAudioFeatures,
+    "media_audio_fingerprint" -> mediaAudioFingerprint,
+    "media_audio_fp_groups" -> mediaAudioFpGroups,
     "media_histogram" -> mediaHistogram,
     "media_frame_sample" -> mediaFrameSample,
     "media_resize" -> mediaResize,
@@ -626,6 +693,34 @@ object Multimodal {
       |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 6"""
       .stripMargin
 
+  /** The [[mediaAudioFingerprint]] oracle — analytic PCM (sample i =
+    * char code i − 128), windowed energies, delta bits. Shared with the
+    * groups gate, which aggregates over it. */
+  private val audioFpSql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id AS id, text, n,
+      |    list_sum(list_transform(range(0, least(n, $KindPrefixK)),
+      |      i -> ord(substr(text, (i + 1)::INT, 1)))) % 3 AS kmod
+      |  FROM (SELECT doc_id, text, length(text) AS n FROM documents)),
+      |m AS (SELECT id, text, n FROM docs WHERE kmod = 1),
+      |s AS (SELECT id, n,
+      |        least((n + $AudioFpWin - 1) // $AudioFpWin,
+      |              ${AudioFpMaxBits + 1}) AS nw,
+      |        list_transform(range(0, n),
+      |          i -> ord(substr(text, (i + 1)::INT, 1)) - 128) AS smp
+      |      FROM m),
+      |e AS (SELECT id, nw,
+      |        list_transform(range(0, nw), w ->
+      |          list_sum(list_transform(
+      |            range(w * $AudioFpWin, least((w + 1) * $AudioFpWin, n)),
+      |            i -> smp[(i + 1)::INT] * smp[(i + 1)::INT]))) AS en
+      |      FROM s)
+      |SELECT id, nw::BIGINT AS n_windows,
+      |  coalesce(list_sum(list_transform(range(1, nw), w ->
+      |    CASE WHEN en[(w + 1)::INT] > en[w::INT]
+      |      THEN (1::BIGINT << (w - 1)::INT) ELSE 0 END)), 0)::BIGINT AS fp
+      |FROM e""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "media_scene_changes" ->
       s"""WITH $docsCte,
@@ -662,6 +757,12 @@ object Multimodal {
         |         THEN 1 ELSE 0 END)), 0)::BIGINT AS zero_crossings,
         |  list_max(list_transform(s, x -> abs(x)))::BIGINT AS peak
         |FROM s""".stripMargin,
+    "media_audio_fingerprint" -> audioFpSql,
+    "media_audio_fp_groups" ->
+      (s"""SELECT fp, count(*)::BIGINT AS n_clips, min(id) AS min_id,
+        |  max(id) AS max_id
+        |FROM ($audioFpSql)
+        |GROUP BY fp HAVING count(*) > 1""".stripMargin),
     "media_meta" ->
       s"""WITH $docsCte,
         |m AS (

@@ -44,7 +44,8 @@ object ScaleValidate {
       "text_quality", "quality_gopher", "doc_fingerprint",
       "embed_quantize", "train_split", "chunk_documents",
       "media_audio_features", "media_phash", "pii_redact", "pii_scan",
-      "media_meta", "media_resize", "media_frame_sample")),
+      "media_meta", "media_resize", "media_frame_sample",
+      "media_audio_fingerprint")),
     ("doc-profile", "one corpus scan, partials ∝ partitions × buckets: " +
       "≪F×", Seq(
       "text_stats", "value_histogram", "source_drift", "lang_id_confusion",
@@ -153,7 +154,8 @@ object ScaleValidate {
     ("storm-chain", "enrichment is a projection; rollups ∝ groups: ≪F×", Seq(
       "storm_enrich", "storm_severity_counts")),
     ("exact-distinct", "countDistinct partials ∝ distinct (key,id): ≈F×", Seq(
-      "storm_bucket_counts", "hll_distinct", "q7_distinct_customers")))
+      "storm_bucket_counts", "hll_distinct", "q7_distinct_customers",
+      "media_audio_fp_groups")))
 
   def main(rawArgs: Array[String]): Unit = {
     // --no-broadcast pins every stats-decided join to shuffle strategy —
