@@ -495,6 +495,42 @@ object Multimodal {
         max("id").as("max_id"))
       .filter(col("n_clips") > 1)
 
+  final case class VideoFp(id: Long, n_frames: Long, fp: String)
+
+  /** Video fingerprint — the 16-hex sha256 prefix of the clip's ordered
+    * per-frame pixel-sum sequence, over REAL decoded frames: the video
+    * leg of the duplicate-detection family (image `media_phash`, audio
+    * [[mediaAudioFingerprint]]). Frame-content-exact by construction —
+    * two clips share a fingerprint iff every decoded frame's signature
+    * matches in order (near-dup VIDEO matching would compare scene-cut
+    * sequences; the exact tier is what a storage dedup binds). Decode +
+    * digest in-partition, no shuffle. */
+  def videoFingerprints(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter(col("kind") === "video")
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { r =>
+          val v = MediaCodec.decodeVideo(r.bytes)
+          val d = md.digest(
+            v.frames.map(_.pixelSum).mkString(",").getBytes("UTF-8"))
+          VideoFp(r.id, v.frames.length.toLong,
+            d.take(8).map(b => f"$b%02x").mkString)
+        }
+      }.toDF()
+  }
+
+  def mediaVideoFingerprint(s: SparkSession, dir: String): DataFrame =
+    videoFingerprints(mediaFromDocuments(s, dir))
+
+  /** Duplicate-clip groups over the frame-sequence fingerprint. */
+  def mediaVideoFpGroups(s: SparkSession, dir: String): DataFrame =
+    mediaVideoFingerprint(s, dir)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_clips"), min("id").as("min_id"),
+        max("id").as("max_id"))
+      .filter(col("n_clips") > 1)
+
   final case class SceneDelta(id: Long, frame_idx: Long, sad: Long)
 
   /** Per-transition sum of absolute pixel differences between REAL
@@ -605,6 +641,8 @@ object Multimodal {
     "media_audio_features" -> mediaAudioFeatures,
     "media_audio_fingerprint" -> mediaAudioFingerprint,
     "media_audio_fp_groups" -> mediaAudioFpGroups,
+    "media_video_fingerprint" -> mediaVideoFingerprint,
+    "media_video_fp_groups" -> mediaVideoFpGroups,
     "media_histogram" -> mediaHistogram,
     "media_frame_sample" -> mediaFrameSample,
     "media_resize" -> mediaResize,
@@ -721,6 +759,25 @@ object Multimodal {
       |      THEN (1::BIGINT << (w - 1)::INT) ELSE 0 END)), 0)::BIGINT AS fp
       |FROM e""".stripMargin
 
+  /** The [[mediaVideoFingerprint]] oracle — analytic per-frame pixel
+    * sums (frame k pixel i = char code of text[(i + k²) % n]), digested
+    * exactly as the Scala side digests the decoded sums. */
+  private val videoFpSql: String =
+    s"""WITH $docsCte,
+      |m AS (SELECT id, text, n FROM docs WHERE kmod = 2),
+      |fr AS (SELECT id, text, n, unnest(range(0, 1 + n % $VideoFramesMax))
+      |         AS k
+      |       FROM m),
+      |sums AS (
+      |  SELECT id, k,
+      |    list_sum(list_transform(range(0, ${VideoFrameEdge * VideoFrameEdge}),
+      |      i -> ord(substr(text, (((i + k * k) % n) + 1)::INT, 1))))::BIGINT
+      |      AS ps
+      |  FROM fr)
+      |SELECT id, count(*)::BIGINT AS n_frames,
+      |  substr(sha256(string_agg(ps, ',' ORDER BY k)), 1, 16) AS fp
+      |FROM sums GROUP BY id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "media_scene_changes" ->
       s"""WITH $docsCte,
@@ -762,6 +819,12 @@ object Multimodal {
       (s"""SELECT fp, count(*)::BIGINT AS n_clips, min(id) AS min_id,
         |  max(id) AS max_id
         |FROM ($audioFpSql)
+        |GROUP BY fp HAVING count(*) > 1""".stripMargin),
+    "media_video_fingerprint" -> videoFpSql,
+    "media_video_fp_groups" ->
+      (s"""SELECT fp, count(*)::BIGINT AS n_clips, min(id) AS min_id,
+        |  max(id) AS max_id
+        |FROM ($videoFpSql)
         |GROUP BY fp HAVING count(*) > 1""".stripMargin),
     "media_meta" ->
       s"""WITH $docsCte,

@@ -45,7 +45,7 @@ object ScaleValidate {
       "embed_quantize", "train_split", "chunk_documents",
       "media_audio_features", "media_phash", "pii_redact", "pii_scan",
       "media_meta", "media_resize", "media_frame_sample",
-      "media_audio_fingerprint")),
+      "media_audio_fingerprint", "media_video_fingerprint")),
     ("doc-profile", "one corpus scan, partials ∝ partitions × buckets: " +
       "≪F×", Seq(
       "text_stats", "value_histogram", "source_drift", "lang_id_confusion",
@@ -155,7 +155,7 @@ object ScaleValidate {
       "storm_enrich", "storm_severity_counts")),
     ("exact-distinct", "countDistinct partials ∝ distinct (key,id): ≈F×", Seq(
       "storm_bucket_counts", "hll_distinct", "q7_distinct_customers",
-      "media_audio_fp_groups")))
+      "media_audio_fp_groups", "media_video_fp_groups")))
 
   def main(rawArgs: Array[String]): Unit = {
     // --no-broadcast pins every stats-decided join to shuffle strategy —
