@@ -202,9 +202,30 @@ object StreamingPlanDigest {
         val mem = MemoryStream[graft.multimodal.Multimodal.MediaRecord]
         run(StreamMedia.featuresOverStream(mem.toDS()),
           StreamMedia.outputMode) {
+          // (audio/video fingerprint twins share this decode shape — the
+          // registry pins them separately below)
           mem.addData(graft.multimodal.Multimodal.MediaRecord(
             1L, "audio", graft.multimodal.MediaCodec.encodeWav(
               Array[Byte](1, 2, 3))))
+        }
+      },
+      "media_audio_fp" -> { () =>
+        val mem = MemoryStream[graft.multimodal.Multimodal.MediaRecord]
+        run(StreamMedia.audioFpOverStream(mem.toDS()),
+          StreamMedia.outputMode) {
+          mem.addData(graft.multimodal.Multimodal.MediaRecord(
+            1L, "audio", graft.multimodal.MediaCodec.encodeWav(
+              Array[Byte](1, 2, 3))))
+        }
+      },
+      "media_video_fp" -> { () =>
+        val mem = MemoryStream[graft.multimodal.Multimodal.MediaRecord]
+        run(StreamMedia.videoFpOverStream(mem.toDS()),
+          StreamMedia.outputMode) {
+          mem.addData(graft.multimodal.Multimodal.MediaRecord(
+            1L, "video", graft.multimodal.MediaCodec.encodeVideo(1000,
+              Seq(graft.multimodal.MediaCodec.encodeImage(8, 8,
+                _ => 100.toByte)))))
         }
       },
       "cdc" -> { () =>

@@ -23,5 +23,15 @@ object StreamMedia {
         col("meta.byte_len"), col("meta.width"), col("meta.height"),
         col("meta.duration_ms"), col("meta.n_frames"), col("histogram"))
 
+  /** Ingest-time audio fingerprinting — [[Multimodal.audioFingerprints]]
+    * verbatim on the streaming Dataset (stateless mapPartitions decode,
+    * so stream ≡ batch exactly). */
+  def audioFpOverStream(media: Dataset[Multimodal.MediaRecord]): DataFrame =
+    Multimodal.audioFingerprints(media)
+
+  /** Ingest-time video fingerprinting — same reuse. */
+  def videoFpOverStream(media: Dataset[Multimodal.MediaRecord]): DataFrame =
+    Multimodal.videoFingerprints(media)
+
   def outputMode: OutputMode = OutputMode.Append()
 }

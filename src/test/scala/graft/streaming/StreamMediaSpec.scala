@@ -44,4 +44,35 @@ class StreamMediaSpec extends AnyFunSuite {
       assert(flat(spark.table("media_stream")) == batch)
     } finally q.stop()
   }
+
+  test("streamed audio/video fingerprints equal the batch relations") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    val batchA = fps(Multimodal.audioFingerprints(media))
+    val batchV = fps(Multimodal.videoFingerprints(media))
+    assert(batchA.nonEmpty && batchV.nonEmpty)
+
+    val records = media.collect()
+    val memA = MemoryStream[Multimodal.MediaRecord]
+    val memV = MemoryStream[Multimodal.MediaRecord]
+    val qA = StreamMedia.audioFpOverStream(memA.toDS())
+      .writeStream.format("memory").queryName("audio_fp_stream")
+      .outputMode(StreamMedia.outputMode).start()
+    val qV = StreamMedia.videoFpOverStream(memV.toDS())
+      .writeStream.format("memory").queryName("video_fp_stream")
+      .outputMode(StreamMedia.outputMode).start()
+    try {
+      val (b1, b2) = records.splitAt(records.length / 2)
+      Seq(b1, b2).foreach { b =>
+        memA.addData(b.toIndexedSeq); qA.processAllAvailable()
+        memV.addData(b.toIndexedSeq); qV.processAllAvailable()
+      }
+      assert(fps(spark.table("audio_fp_stream")) == batchA)
+      assert(fps(spark.table("video_fp_stream")) == batchV)
+    } finally { qA.stop(); qV.stop() }
+  }
 }
