@@ -241,6 +241,35 @@ object ConnectedComponents {
     * the one-slot policy). */
   def releaseClusters(): Unit = synchronized { clusterMemo = None }
 
+  /** ENSEMBLE near-dup clusters — connected components over the UNION
+    * of three verified pair relations, each catching duplication the
+    * others miss: MinHash-LSH (set-overlap Jaccard ≥ 0.5), simhash
+    * Hamming ≤ 3 (token-frequency profile, catches reorderings Jaccard
+    * sees but banding may drop and vice versa), and containment ≥ 0.8
+    * (asymmetric quote-in-host pairs both symmetric measures miss).
+    * This is the multi-signal dedup a production crawl actually runs —
+    * one clustering over every duplication signal, so a document chain
+    * linked by DIFFERENT signals still collapses into one cluster.
+    * Every input relation is its own hash-certified gate (the
+    * containment leg rides the indexed form, pair-identical to the
+    * exhaustive SQL by its own gate); edges are their distinct union,
+    * the label propagation is the same pointer-doubling CC as
+    * [[dedupClusters]]. Scale: edges ∝ verified pairs (output-sized,
+    * all three legs candidate-bounded); CC rounds ∝ component diameter. */
+  def dedupClustersMulti(s: SparkSession, dir: String): DataFrame = {
+    val lsh = DedupQueries.dedupMinhashLsh(s, dir).select("a_id", "b_id")
+    val simh = DedupQueries.dedupSimhashHamming(s, dir).select("a_id", "b_id")
+    val cont = PrefixJoin.dedupContainmentIndexed(s, dir)
+      .select("a_id", "b_id")
+    val edges = lsh.unionByName(simh).unionByName(cont).distinct()
+    val labels = connectedComponents(
+      edges.select(col("a_id").as("src"), col("b_id").as("dst")))
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("cluster_size"))
+  }
+
   /** Best-quality cluster keeper — the keeper policy a production dedup
     * actually ships: within every near-dup cluster keep the member that
     * passes the Gopher rules, breaking ties by length then doc_id,
@@ -317,6 +346,7 @@ object ConnectedComponents {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
+    "dedup_clusters_multi" -> dedupClustersMulti,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_apply" -> dedupApply)
 
@@ -328,6 +358,35 @@ object ConnectedComponents {
       (s"WITH RECURSIVE ${DedupQueries.lshPairsCte},\n" +
         """edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
           |          UNION SELECT b_id, a_id FROM lshpairs),
+          |reach(a, b) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+          |         FROM reach GROUP BY a)
+          |SELECT doc_id, cluster_id,
+          |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+          |FROM comp""".stripMargin),
+    "dedup_clusters_multi" ->
+      (s"WITH RECURSIVE ${DedupQueries.lshPairsCte},\n" +
+        s"${DedupQueries.simhashHammingCte},\n" +
+        s"""rawpairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |               count(*) AS common
+          |             FROM shp a JOIN shp b
+          |               ON a.s = b.s AND a.doc_id < b.doc_id
+          |             GROUP BY 1, 2),
+          |cpairs AS (SELECT a_id, b_id FROM rawpairs
+          |           JOIN sizes sa ON sa.doc_id = a_id
+          |           JOIN sizes sb ON sb.doc_id = b_id
+          |           WHERE least(sa.n, sb.n)
+          |                   >= ${DedupQueries.MinContainedShingles}
+          |             AND common * 1.0 / least(sa.n, sb.n)
+          |                   >= ${DedupQueries.ContainmentThreshold}),
+          |upairs AS (SELECT a_id, b_id FROM lshpairs
+          |           UNION SELECT a_id, b_id FROM cpairs
+          |           UNION SELECT a_id, b_id FROM shampairs),
+          |edges AS (SELECT a_id AS src, b_id AS dst FROM upairs
+          |          UNION SELECT b_id, a_id FROM upairs),
           |reach(a, b) AS (
           |  SELECT src, src FROM edges
           |  UNION

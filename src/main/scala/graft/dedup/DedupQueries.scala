@@ -754,6 +754,36 @@ object DedupQueries {
     s"($terms)"
   }
 
+  /** CTE chain ending in `shampairs(a_id, b_id, hamming)` — the
+    * exhaustive per-doc Manku block join; the `dedup_simhash_hamming`
+    * oracle, also composed into the ensemble-cluster oracle. Names
+    * (`hv`, `sim`, `blocks`, `shamcand`) are disjoint from
+    * [[lshPairsCte]]'s so the two chains concatenate. */
+  val simhashHammingCte: String =
+    s"""hv AS (
+      |  SELECT doc_id, list_transform(
+      |    list_filter(string_split(text, ' '), x -> x <> ''),
+      |    x -> ('0x' || substr(sha256(x), 1, 8))::BIGINT) AS hv
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+      |sim AS (SELECT doc_id, $simhashExpr AS simhash FROM hv),
+      |blocks AS (
+      |  SELECT doc_id, simhash, j,
+      |    (simhash >> ($SimhashBlockBits * j)) & ${(1 << SimhashBlockBits) - 1}
+      |      AS key
+      |  FROM sim, (SELECT unnest([${(0 until SimhashNumBlocks).mkString(",")}])
+      |             AS j) js),
+      |shamcand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.simhash AS ha, b.simhash AS hb
+      |  FROM blocks a JOIN blocks b
+      |    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+      |shampairs AS (
+      |  SELECT a_id, b_id, bit_count(xor(ha, hb))::BIGINT AS hamming
+      |  FROM shamcand
+      |  WHERE bit_count(xor(ha, hb)) BETWEEN 1 AND $SimhashHammingK)"""
+      .stripMargin
+
   /** The `dedup_minhash_lsh` oracle — exhaustive signature/band/verify
     * SQL; ALSO bound by `dedup_minhash_lsh_grouped` (the collapse-first
     * twin must reproduce it pair-for-pair). */
@@ -881,26 +911,6 @@ object DedupQueries {
     // the EXHAUSTIVE per-doc form — the collapse-first pipeline must
     // reproduce it pair-for-pair (same certification as the grouped LSH)
     "dedup_simhash_hamming" ->
-      (s"""WITH hv AS (
-        |  SELECT doc_id, list_transform(
-        |    list_filter(string_split(text, ' '), x -> x <> ''),
-        |    x -> ('0x' || substr(sha256(x), 1, 8))::BIGINT) AS hv
-        |  FROM documents
-        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
-        |sim AS (SELECT doc_id, $simhashExpr AS simhash FROM hv),
-        |blocks AS (
-        |  SELECT doc_id, simhash, j,
-        |    (simhash >> ($SimhashBlockBits * j)) & ${(1 << SimhashBlockBits) - 1}
-        |      AS key
-        |  FROM sim, (SELECT unnest([${(0 until SimhashNumBlocks).mkString(",")}])
-        |             AS j) js),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    a.simhash AS ha, b.simhash AS hb
-        |  FROM blocks a JOIN blocks b
-        |    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id)
-        |SELECT a_id, b_id, bit_count(xor(ha, hb))::BIGINT AS hamming
-        |FROM cand
-        |WHERE bit_count(xor(ha, hb)) BETWEEN 1 AND $SimhashHammingK"""
-        .stripMargin))
+      (s"WITH $simhashHammingCte\n" +
+        """SELECT a_id, b_id, hamming FROM shampairs""".stripMargin))
 }

@@ -103,6 +103,9 @@ object ScaleValidate {
     ("knn-graph-ivf", "cell self-join: shuffle ∝ vectors; in-join pairs " +
       "∝ Σn_cell², pinned by the shared nListsFor dial (fixture NLists " +
       "fixed → occupancy ∝F)", Seq("knn_graph_ivf")),
+    ("ensemble-cluster", "edges = union of three candidate-bounded pair " +
+      "relations (output-sized); CC rounds ∝ component diameter", Seq(
+      "dedup_clusters_multi")),
     ("embedding-cluster", "verified pairs ∝ planted dups ≈F×; CC rounds " +
       "∝ component diameter (tiny), per-round shuffle ∝ edges", Seq(
       "semantic_clusters")),
