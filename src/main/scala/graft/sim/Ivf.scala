@@ -239,9 +239,79 @@ object Ivf {
   def ivfTopkProbeAll(s: SparkSession, dir: String): DataFrame =
     ivfTopkProbing(s, dir, NLists).drop("cell")
 
+  /** Per-cell SIMPLIFIED silhouette — the standard clustering-quality
+    * readout (Rousseeuw 1987's silhouette with the centroid
+    * simplification: a(i)/b(i) are distances to the own / nearest-other
+    * CENTROID, O(n·k) instead of O(n²)): for each vector, d_j =
+    * score_j + 1 is the exact squared Euclidean distance between the
+    * L2-normalized vector and centroid j (see [[cellExpr]]'s algebra),
+    * s = (d_next − d_own) / max(d_own, d_next) ∈ [−1, 1], rolled up per
+    * cell. The quality dial for the shared quantizer every IVF consumer
+    * rides (ivf_topk, semdedup, the kNN graph): collapsing silhouettes
+    * mean the cell structure stopped separating the corpus and nLists
+    * needs retuning. Cross-engine exactness: per-vector silhouettes are
+    * fixed-pointed (floor(s·10⁶ + ½) as BIGINT) before the per-cell sum,
+    * so the aggregation is integer and order-free; only the final mean
+    * divides doubles. Scale: one corpus scan (the memoized assignment),
+    * k dot products per row in-codegen, partials ∝ cells. */
+  def ivfSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val (asg, centers) = assignments(s, dir)
+    synchronized { lastSilOracle = Some(silhouetteOracleSql(centers)) }
+    val dists = array(centroidScores(centers).map(_ + lit(1.0)).toSeq: _*)
+    val dOwn = element_at(dists, (col("cell") + 1).cast("int"))
+    val dNext = array_min(filter(dists, (_, i) => i =!= col("cell")))
+    val sil = when(greatest(dOwn, dNext) === 0.0, lit(0.0))
+      .otherwise((dNext - dOwn) / greatest(dOwn, dNext))
+    asg.select(col("cell"),
+        floor(sil * lit(1000000.0) + lit(0.5)).cast("long").as("sfx"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"), sum("sfx").as("sum_fx"))
+      .select(col("cell"), col("n_vectors"),
+        round(col("sum_fx") / lit(1000000.0) / col("n_vectors"), 4)
+          .as("mean_silhouette"))
+  }
+
+  private var lastSilOracle: Option[String] = None
+
+  /** Post-training oracle for [[ivfSilhouette]] — the same centroid
+    * literals, argmin assignment, distance shift and fixed-point
+    * rollup in SQL. */
+  private def silhouetteOracleSql(centers: Array[Array[Double]]): String = {
+    val rows = centers.zipWithIndex.map { case (c, j) =>
+      s"($j, ${fmtD(c.map(x => x * x).sum)}, " +
+        s"[${c.map(fmtD).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH cents(j, c2, c) AS (VALUES
+       |    $rows),
+       |sc AS (SELECT e.vec_id, c.j,
+       |         c.c2 - 2 * (${SimilarityQueries.sqlDot("e.embedding", "c.c")})
+       |           / sqrt(${SimilarityQueries.sqlDot("e.embedding", "e.embedding")})
+       |           AS score
+       |       FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, j AS cell
+       |        FROM (SELECT *, row_number() OVER (
+       |                PARTITION BY vec_id ORDER BY score ASC, j ASC) AS rn
+       |              FROM sc)
+       |        WHERE rn = 1),
+       |agg AS (SELECT s.vec_id, a.cell,
+       |          min(CASE WHEN s.j = a.cell THEN s.score + 1 END) AS d_own,
+       |          min(CASE WHEN s.j <> a.cell THEN s.score + 1 END) AS d_next
+       |        FROM sc s JOIN asg a ON a.vec_id = s.vec_id
+       |        GROUP BY s.vec_id, a.cell),
+       |fx AS (SELECT cell,
+       |         floor((CASE WHEN greatest(d_own, d_next) = 0 THEN 0.0
+       |                ELSE (d_next - d_own) / greatest(d_own, d_next) END)
+       |               * 1000000.0 + 0.5)::BIGINT AS sfx
+       |       FROM agg)
+       |SELECT cell, count(*)::BIGINT AS n_vectors,
+       |  round(sum(sfx) / 1000000.0 / count(*), 4) AS mean_silhouette
+       |FROM fx GROUP BY cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_topk" -> ivfTopk,
-    "ivf_topk_probeall" -> ivfTopkProbeAll)
+    "ivf_topk_probeall" -> ivfTopkProbeAll,
+    "ivf_silhouette" -> ivfSilhouette)
 
   /** The recall/latency dial, measured: for each nprobe, recall@TopK
     * against the exact top-k and the fraction of the corpus the probe
@@ -358,9 +428,13 @@ object Ivf {
           |  round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine
           |FROM d ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
           |LIMIT $TopK""".stripMargin)
-    synchronized(lastIvfOracle) match {
+    val withTopk = synchronized(lastIvfOracle) match {
       case Some(sql) => base + ("ivf_topk" -> sql)
       case None => base
+    }
+    synchronized(lastSilOracle) match {
+      case Some(sql) => withTopk + ("ivf_silhouette" -> sql)
+      case None => withTopk
     }
   }
 }

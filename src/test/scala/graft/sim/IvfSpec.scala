@@ -51,4 +51,22 @@ class IvfSpec extends AnyFunSuite {
     assert(all == exact,
       s"nprobe=NLists must equal brute force: $all vs $exact")
   }
+
+  test("silhouette: every cell reported, bounded values, counts sum up") {
+    val rows = Ivf.ivfSilhouette(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet == (0 until Ivf.NLists).toSet,
+      "a trained cell is missing from the silhouette report")
+    rows.foreach { case (cell, n, s) =>
+      assert(n >= 1)
+      assert(s >= -1.0 && s <= 1.0, s"cell $cell silhouette $s out of range")
+    }
+    val corpus = graft.Tables(spark, sf, "embeddings").count()
+    assert(rows.map(_._2).sum == corpus,
+      "per-cell counts do not partition the corpus")
+    // every vector sits closest to ITS centroid (argmin assignment), so
+    // d_next >= d_own and the simplified silhouette is never negative
+    assert(rows.forall(_._3 >= 0.0),
+      "negative mean silhouette under argmin assignment")
+  }
 }
