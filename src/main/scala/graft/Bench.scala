@@ -74,6 +74,8 @@ object Bench {
         graft.dedup.DedupQueries.lshArtifacts(spark, sfDir); () }),
       ("dedup_clusters", () => {
         graft.dedup.ConnectedComponents.dedupClusters(spark, sfDir); () }),
+      ("simhash_pairs", () => {
+        graft.dedup.DedupQueries.dedupSimhashHamming(spark, sfDir); () }),
       ("prefix_docsets", () => graft.dedup.PrefixJoin.warm(spark, sfDir)),
       ("ivf_quantizer", () => { graft.sim.Ivf.assignments(spark, sfDir); () }),
       ("knn_edges", () => { graft.sim.GraphStats.mutualEdges(spark, sfDir); () }),

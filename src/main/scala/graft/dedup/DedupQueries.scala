@@ -129,6 +129,7 @@ object DedupQueries {
   def releasePrunedShingles(): Unit = synchronized {
     prunedMemo = None
     lshMemo = None // derived artifacts go with their source relation
+    shamMemo = None
   }
 
   /** SQL twin of [[prunedShingles]] (CTE `shp(doc_id, s)`; requires `sh`). */
@@ -633,7 +634,26 @@ object DedupQueries {
     * the 32-bit hash with 8-bit blocks; a production corpus grows the
     * hash width (64-bit simhash, 6+ blocks) to pin bucket occupancy,
     * the same dial as the kNN-graph planes. */
-  def dedupSimhashHamming(s: SparkSession, dir: String): DataFrame = {
+  // One-slot memo for the verified Hamming pair relation — TWO
+  // consumers (the gate itself and the ensemble clustering) would
+  // otherwise each rebuild signatures + block joins. Same policy and
+  // stamp-keying as lshArtifacts; released with the pruned-shingle memo.
+  private var shamMemo: Option[((SparkSession, String, Long), DataFrame)] =
+    None
+
+  def dedupSimhashHamming(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = (s, dir, Tables.sourceStamp(dir, "documents"))
+      shamMemo match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val v = simhashHammingBuild(s, dir).localCheckpoint(true)
+          shamMemo = Some((key, v))
+          v
+      }
+    }
+
+  private def simhashHammingBuild(s: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.parallel(s, dir, "documents")
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= 1)
