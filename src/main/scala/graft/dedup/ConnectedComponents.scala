@@ -331,6 +331,31 @@ object ConnectedComponents {
     (exactRemoved, nearRemoved)
   }
 
+  /** Per-SOURCE dedup accounting — the view that decides which sources
+    * to drop or deprioritize: the same disjoint removal tiers as
+    * [[dedupApply]] ([[removalTiers]] reused verbatim, so the rates
+    * cannot drift from the corpus-level gate), attributed to the
+    * `source` column. A crawl source whose removal_rate spikes is
+    * re-serving content the corpus already holds. Scale: two
+    * membership joins against the tier relations (pair-bound) over one
+    * corpus scan; partials ∝ sources. */
+  def dedupBySource(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    val (exactRemoved, nearRemoved) = removalTiers(s, dir)
+    docs
+      .join(exactRemoved.withColumn("f_ex", lit(1L)), Seq("doc_id"), "left")
+      .join(nearRemoved.withColumn("f_nr", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("f_ex"), lit(0L)).as("n_exact_removed"),
+        coalesce(sum("f_nr"), lit(0L)).as("n_neardup_removed"))
+      .select(col("source"), col("n_docs"), col("n_exact_removed"),
+        col("n_neardup_removed"),
+        round((col("n_exact_removed") + col("n_neardup_removed"))
+          / col("n_docs"), 4).as("removal_rate"))
+  }
+
   def dedupApply(s: SparkSession, dir: String): DataFrame = {
     import graft.Tables
     val docs = Tables(s, dir, "documents").select(col("doc_id"))
@@ -348,7 +373,8 @@ object ConnectedComponents {
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_multi" -> dedupClustersMulti,
     "dedup_keep_best" -> dedupKeepBest,
-    "dedup_apply" -> dedupApply)
+    "dedup_apply" -> dedupApply,
+    "dedup_by_source" -> dedupBySource)
 
   /** DuckDB oracle: transitive closure by recursive CTE over the same
     * LSH-verified pair SQL — `reach(a, b)` = b reachable from a, component
@@ -456,5 +482,35 @@ object ConnectedComponents {
           |  (SELECT count(*) FROM ex) AS n_exact_removed,
           |  (SELECT count(*) FROM near) AS n_neardup_removed,
           |  (SELECT count(*) FROM documents) - (SELECT count(*) FROM ex)
-          |    - (SELECT count(*) FROM near) AS n_survivors""".stripMargin))
+          |    - (SELECT count(*) FROM near) AS n_survivors""".stripMargin),
+    "dedup_by_source" ->
+      (s"WITH RECURSIVE ${DedupQueries.lshPairsCte},\n" +
+        """edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+          |          UNION SELECT b_id, a_id FROM lshpairs),
+          |reach(a, b) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+          |         FROM reach GROUP BY a),
+          |ex AS (SELECT doc_id FROM (
+          |         SELECT doc_id,
+          |           min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+          |         FROM documents)
+          |       WHERE doc_id <> keeper),
+          |near AS (SELECT doc_id FROM comp
+          |         WHERE doc_id <> cluster_id
+          |           AND doc_id NOT IN (SELECT doc_id FROM ex)),
+          |f AS (SELECT d.source,
+          |        CASE WHEN d.doc_id IN (SELECT doc_id FROM ex)
+          |          THEN 1 ELSE 0 END AS f_ex,
+          |        CASE WHEN d.doc_id IN (SELECT doc_id FROM near)
+          |          THEN 1 ELSE 0 END AS f_nr
+          |      FROM documents d)
+          |SELECT source, count(*)::BIGINT AS n_docs,
+          |  sum(f_ex)::BIGINT AS n_exact_removed,
+          |  sum(f_nr)::BIGINT AS n_neardup_removed,
+          |  round((sum(f_ex) + sum(f_nr)) * 1.0 / count(*), 4)
+          |    AS removal_rate
+          |FROM f GROUP BY source""".stripMargin))
 }

@@ -78,4 +78,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // rounds and if a change over-propagates within a round
     assert(labels(15L) == 11L)
   }
+
+  test("dedup_by_source tiers sum to the corpus-level dedup_apply row") {
+    val sf = "/root/testdata/sf0.001"
+    val bySrc = ConnectedComponents.dedupBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val apply = ConnectedComponents.dedupApply(spark, sf).collect().head
+    assert(bySrc.map(_._2).sum == apply.getLong(0), "n_docs mismatch")
+    assert(bySrc.map(_._3).sum == apply.getLong(1), "exact tier mismatch")
+    assert(bySrc.map(_._4).sum == apply.getLong(2), "near tier mismatch")
+    assert(bySrc.nonEmpty && bySrc.map(_._1).distinct.length == bySrc.length)
+  }
 }
