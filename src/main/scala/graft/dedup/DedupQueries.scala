@@ -682,8 +682,35 @@ object DedupQueries {
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"), col("hamming"))
   }
 
+  /** Dedup-threshold sensitivity curve — the readout that picks
+    * [[JaccardThreshold]] for a corpus: histogram the LSH-verified pair
+    * similarities into 0.05-wide buckets and carry the top-down
+    * cumulative pair count ("pairs removed if the threshold were set at
+    * this bucket's lower edge"), plus exact e4-integer sums of the true
+    * and estimated Jaccard per bucket (the per-bucket estimator
+    * calibration, summed as exact integers so the cross-engine hash
+    * cannot drift on float summation order). Rides the memoized
+    * verified-pair relation ([[lshArtifacts]]); partials ∝ 11 buckets,
+    * the cumulative window orders ≤11 rows. */
+  def dedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e4 = dedupMinhashLsh(s, dir).select(
+      round(col("jaccard") * 10000).cast("long").as("je4"),
+      round(col("est_jaccard") * 10000).cast("long").as("ee4"))
+    e4.withColumn("bucket", expr("je4 DIV 500"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("ee4").as("est_e4_sum"), sum("je4").as("jac_e4_sum"))
+      .withColumn("cum_pairs",
+        sum("n_pairs").over(Window.orderBy(col("bucket").desc)))
+      .select(col("bucket"), round(col("bucket") / 20.0, 2).as("lo"),
+        col("n_pairs"), col("cum_pairs"),
+        col("est_e4_sum"), col("jac_e4_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_threshold_curve" -> dedupThresholdCurve,
     "dedup_shingle_jaccard" -> dedupShingleJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -915,6 +942,26 @@ object DedupQueries {
     // the grouped twin is PAIR-IDENTICAL by construction — it binds the
     // very same exhaustive oracle, which is the whole point of the gate
     "dedup_minhash_lsh_grouped" -> lshGateOracleSql,
+    "dedup_threshold_curve" ->
+      (s"WITH $lshPairsCte,\n" +
+        s"""est AS (SELECT p.jaccard,
+          |    round((${(0 until NumPerms).map(j =>
+                s"CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END")
+                .mkString(" + ")}) * 1.0 / $NumPerms, 4) AS est_jaccard
+          |  FROM lshpairs p
+          |  JOIN mh ma ON ma.doc_id = p.a_id
+          |  JOIN mh mb ON mb.doc_id = p.b_id),
+          |e4 AS (SELECT CAST(round(jaccard * 10000) AS BIGINT) AS je4,
+          |         CAST(round(est_jaccard * 10000) AS BIGINT) AS ee4
+          |       FROM est),
+          |h AS (SELECT je4 // 500 AS bucket, count(*)::BIGINT AS n_pairs,
+          |        sum(ee4)::BIGINT AS est_e4_sum,
+          |        sum(je4)::BIGINT AS jac_e4_sum
+          |      FROM e4 GROUP BY 1)
+          |SELECT bucket, round(bucket / 20.0, 2) AS lo, n_pairs,
+          |  (sum(n_pairs) OVER (ORDER BY bucket DESC))::BIGINT AS cum_pairs,
+          |  est_e4_sum, jac_e4_sum
+          |FROM h""".stripMargin),
     "dedup_simhash" ->
       (s"""WITH hv AS (
         |  SELECT doc_id, list_transform(

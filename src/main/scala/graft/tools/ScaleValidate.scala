@@ -39,7 +39,8 @@ object ScaleValidate {
       "r8 on the fixed-dup-rate corpora (generateFixedDup): ≈3.0 for every " +
       "member in the shuffle regime", Seq(
       "dedup_bbit_minhash", "pipeline_funnel", "split_leakage",
-      "dedup_weighted_jaccard", "dedup_keep_best", "dedup_by_source")),
+      "dedup_weighted_jaccard", "dedup_keep_best", "dedup_by_source",
+      "dedup_threshold_curve")),
     ("projection", "shuffle ≈ 0 at any scale", Seq(
       "text_quality", "quality_gopher", "doc_fingerprint",
       "embed_quantize", "train_split", "chunk_documents",
