@@ -263,7 +263,74 @@ object Sampling {
       .select(col("doc_id"), col("j"), col("neg_id"))
   }
 
+  /** Epoch-cap water-filling budget (numerator/denominator of the
+    * total-mass multiple): B = 3·M/2 — more than one epoch of the
+    * corpus, so low-cap sources bind and their excess flows to
+    * high-cap sources. */
+  val EpochBudgetNum = 3L
+  val EpochBudgetDen = 2L
+
+  /** Global token-budget allocation with per-source MAX-EPOCH caps —
+    * the data-recipe constraint ("never repeat a source more than E
+    * times") solved as water-filling in CLOSED FORM, no iteration:
+    * every uncapped source trains the same number of epochs e (the
+    * water level), a source is capped iff its cap lies below e, and
+    * sorting sources by cap makes the capped set a PREFIX — so e falls
+    * out of prefix sums: for the boundary after row k (caps
+    * ascending), e = (B − Σ_{i≤k} E_i·m_i) / (M − Σ_{i≤k} m_i), valid
+    * iff E_k ≤ e < E_{k+1}. Exactly one boundary satisfies that (a
+    * sentinel cap-0 row covers the nobody-capped case; the last row,
+    * where the denominator is 0, covers everybody-capped), and ALL
+    * selection arithmetic is integer cross-multiplication — no float
+    * enters until the final epochs readout. Caps are hash-derived
+    * (1..4) as the gate's stand-in for the per-source policy table.
+    * Scale: one per-source aggregation (partials ∝ sources), a window
+    * over S+1 rows, one broadcast of the single selected boundary;
+    * the alloc products need hugeint/decimal above ~10^18
+    * token-mass × budget, noted here, gate-exact in int64. */
+  def epochCapMix(s: SparkSession, dir: String): DataFrame =
+    waterFill(s, Tables(s, dir, "documents")
+      .groupBy("source").agg(sum(nTokens).as("mass"))
+      .withColumn("cap",
+        (pmod(hex32(concat(lit("cap|"), col("source"))), lit(4)) + 1)
+          .cast("long")))
+
+  /** The allocator core over any `(source, mass, cap)` relation —
+    * factored out so the water-filling laws are property-testable on
+    * synthetic inputs. */
+  def waterFill(s: SparkSession, srcs: DataFrame): DataFrame = {
+    val byCap = Window.orderBy("cap", "source")
+    val cum = byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSentinel = srcs.unionByName(
+      s.range(1).select(lit("~sentinel").as("source"), lit(0L).as("mass"),
+        lit(0L).as("cap")))
+    val totals = srcs.agg(sum("mass").as("m_total"))
+      .withColumn("budget",
+        expr(s"($EpochBudgetNum * m_total) DIV $EpochBudgetDen"))
+    val boundary = withSentinel
+      .crossJoin(broadcast(totals))
+      .withColumn("cum_em", sum(col("cap") * col("mass")).over(cum))
+      .withColumn("cum_m", sum("mass").over(cum))
+      .withColumn("next_cap", lead("cap", 1).over(byCap))
+      .withColumn("w_num", col("budget") - col("cum_em"))
+      .withColumn("w_den", col("m_total") - col("cum_m"))
+      .filter(col("w_num") >= col("cap") * col("w_den") &&
+        (col("next_cap").isNull ||
+          col("w_num") < col("next_cap") * col("w_den")))
+      .select("w_num", "w_den")
+    srcs.crossJoin(broadcast(boundary))
+      .withColumn("capped",
+        when(col("cap") * col("w_den") <= col("w_num"), 1L).otherwise(0L))
+      .withColumn("alloc_tokens",
+        when(col("capped") === 1L, col("cap") * col("mass"))
+          .otherwise(expr("w_num * mass DIV w_den")))
+      .select(col("source"), col("mass"), col("cap").as("cap_epochs"),
+        col("capped"), col("alloc_tokens"),
+        round(col("alloc_tokens") * lit(1.0) / col("mass"), 4).as("epochs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "epoch_cap_mix" -> epochCapMix,
     "negative_pairs" -> negativePairs,
     "mix_weights" -> mixWeights,
     "mix_weights_temp" -> mixWeightsTemp,
@@ -276,6 +343,45 @@ object Sampling {
     "pack_sequences" -> packSequences)
 
   val oracles: Map[String, String] = Map(
+    "epoch_cap_mix" ->
+      s"""WITH d AS (
+        |  SELECT source,
+        |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
+        |      AS mass
+        |  FROM documents GROUP BY source),
+        |c AS (
+        |  SELECT source, mass,
+        |    1 + ('0x' || substr(sha256('cap|' || source), 1, 8))::BIGINT % 4
+        |      AS cap
+        |  FROM d
+        |  UNION ALL SELECT '~sentinel', 0::BIGINT, 0::BIGINT),
+        |t AS (SELECT sum(mass)::BIGINT AS m_total,
+        |        ($EpochBudgetNum * sum(mass)::BIGINT) // $EpochBudgetDen
+        |          AS budget
+        |      FROM d),
+        |w AS (
+        |  SELECT c.*, t.m_total, t.budget,
+        |    (sum(cap * mass) OVER (ORDER BY cap, source
+        |       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_em,
+        |    (sum(mass) OVER (ORDER BY cap, source
+        |       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_m,
+        |    lead(cap) OVER (ORDER BY cap, source) AS next_cap
+        |  FROM c, t),
+        |b AS (
+        |  SELECT (budget - cum_em) AS w_num, (m_total - cum_m) AS w_den
+        |  FROM w
+        |  WHERE budget - cum_em >= cap * (m_total - cum_m)
+        |    AND (next_cap IS NULL
+        |         OR budget - cum_em < next_cap * (m_total - cum_m)))
+        |SELECT source, mass, cap AS cap_epochs,
+        |  (CASE WHEN cap * w_den <= w_num THEN 1 ELSE 0 END)::BIGINT
+        |    AS capped,
+        |  (CASE WHEN cap * w_den <= w_num THEN cap * mass
+        |        ELSE w_num * mass // w_den END)::BIGINT AS alloc_tokens,
+        |  round((CASE WHEN cap * w_den <= w_num THEN cap * mass
+        |              ELSE w_num * mass // w_den END) * 1.0 / mass, 4)
+        |    AS epochs
+        |FROM c, b WHERE source <> '~sentinel'""".stripMargin,
     "negative_pairs" ->
       s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |a AS (SELECT doc_id FROM documents WHERE doc_id % $AnchorStride = 0),

@@ -54,7 +54,7 @@ object ScaleValidate {
     ("corpus-shaping", "hash-deterministic sample/pack/mix: row shuffle " +
       "∝ selected docs ≈F×, per-group partials ≪F×", Seq(
       "stratified_sample", "sample_per_group", "sample_per_group_agg",
-      "mix_weights", "mix_weights_temp", "token_budget_mix",
+      "mix_weights", "mix_weights_temp", "token_budget_mix", "epoch_cap_mix",
       "negative_pairs", "pack_sequences")),
     ("banded-pairs", "band equi-self-join: shuffle ∝ images × bands ≈F×; " +
       "in-join pairs ∝ Σn_b² over 16-bit band buckets", Seq(
