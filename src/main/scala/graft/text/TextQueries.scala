@@ -411,7 +411,36 @@ object TextQueries {
       (lenOk && meanOk && alphaOk && stopOk).as("pass"))
   }
 
+  /** Cross-document diversity per source — the templated-crawl detector
+    * [[docRepetition]] (within-doc) cannot see: a source whose pages
+    * share navigation/boilerplate text has low distinct-trigram
+    * diversity and a high boilerplate ratio (fraction of trigram
+    * OCCURRENCES whose trigram appears in more than one of the
+    * source's documents), even when every individual page looks
+    * non-repetitive. Shuffle ∝ trigram occurrences (one explode, two
+    * hash aggregations, no self-join — the linear-token family);
+    * output ∝ sources. */
+  def sourceDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), col("doc_id"),
+        explode(trigrams(col("w"))).as("g"))
+      .groupBy("source", "g")
+      .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("nd"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("nd") > 1, col("cnt")).otherwise(0L))
+          .as("n_boilerplate"))
+      .select(col("source"), col("n_grams"), col("n_distinct_grams"),
+        col("n_boilerplate"),
+        round(col("n_distinct_grams") / col("n_grams"), 4).as("diversity"),
+        round(col("n_boilerplate") / col("n_grams"), 4)
+          .as("boilerplate_ratio"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_diversity" -> sourceDiversity,
     "cooccur_topk" -> cooccurTopk,
     "quality_gopher" -> qualityGopher,
     "pii_scan" -> piiScan,
@@ -450,6 +479,25 @@ object TextQueries {
        |  FROM t LEFT JOIN v USING (tok))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "source_diversity" ->
+      s"""WITH g AS (
+        |  SELECT source, doc_id, unnest($trigramsSql) AS g
+        |  FROM (SELECT source, doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |pg AS (SELECT source, g, count(*) AS cnt,
+        |         count(DISTINCT doc_id) AS nd
+        |       FROM g GROUP BY 1, 2),
+        |a AS (SELECT source, sum(cnt)::BIGINT AS n_grams,
+        |        count(*)::BIGINT AS n_distinct_grams,
+        |        sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END)::BIGINT
+        |          AS n_boilerplate
+        |      FROM pg GROUP BY 1)
+        |SELECT source, n_grams, n_distinct_grams, n_boilerplate,
+        |  round(n_distinct_grams * 1.0 / n_grams, 4) AS diversity,
+        |  round(n_boilerplate * 1.0 / n_grams, 4) AS boilerplate_ratio
+        |FROM a""".stripMargin,
     "cooccur_topk" ->
       (s"WITH $wordsCte,\n" +
         s"""p AS (SELECT unnest(list_filter(flatten(

@@ -20,7 +20,7 @@ object ScaleValidate {
     ("linear-token", "shuffle ∝ tokens: ≈F×", Seq(
       "dedup_substring", "dedup_substring_excise", "kmv_distinct",
       "term_rarity_topk", "cross_doc_ngrams", "doc_repetition",
-      "winnow_fingerprints", "cooccur_topk")),
+      "winnow_fingerprints", "cooccur_topk", "source_diversity")),
     ("sketch-setop", "KMV partials: shuffle ∝ sources × K longs ≪F×; " +
       "pair stage over sources² sketches, corpus-independent", Seq(
       "source_overlap_kmv")),
