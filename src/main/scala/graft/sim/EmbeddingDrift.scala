@@ -81,10 +81,81 @@ object EmbeddingDrift {
           .as("mean_norm_1"))
   }
 
+  /** Mirror-cluster threshold: two labels whose centroids agree above
+    * this cosine are flagged as semantic mirrors. */
+  val MirrorCos = 0.98
+
+  /** Pairwise centroid-cosine matrix over labels — the semantic
+    * MIRROR detector: two labels whose mean embeddings nearly coincide
+    * are the same content under different tags (a mirrored crawl, a
+    * re-ingested dump, a duplicated shard), which per-label dedup can
+    * never see. Same fixed-point discipline as [[embeddingDrift]]:
+    * integer centroid sums (associative, hash-exact), cosine only at
+    * the output. Scale: partials bounded by labels × dim per
+    * partition; the pair stage is a labels² self-join over L rows —
+    * corpus-independent both ways. */
+  def labelCentroidSim(s: SparkSession, dir: String): DataFrame =
+    centroidSimOver(Tables.parallel(s, dir, "embeddings"))
+
+  /** The matrix core over any `(label, embedding)` relation — factored
+    * out so the mirror branch (absent from the gate corpus, whose 10
+    * labels are genuinely distinct clusters: max pair cosine 0.34) is
+    * exercised by a planted-mirror spec. */
+  def centroidSimOver(emb: DataFrame): DataFrame = {
+    val e = emb
+      .withColumn("d", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("q", qCol(col("d")))
+    val cent = e.select(col("label"),
+        posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy("label", "dim")
+      .agg(sum("qv").as("sq"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("sq")))),
+        x => x.getField("sq").cast("double")).as("c"))
+      .join(e.groupBy("label").agg(count(lit(1)).as("n")), "label")
+    def side(p: String) = cent.select(col("label").as(s"label_$p"),
+      col("c").as(s"c_$p"), col("n").as(s"n_$p"))
+    side("a").join(broadcast(side("b")),
+        col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(dot(col("c_a"), col("c_b")) /
+          (sqrt(dot(col("c_a"), col("c_a"))) *
+            sqrt(dot(col("c_b"), col("c_b")))), 4).as("centroid_cos"))
+      .withColumn("is_mirror", col("centroid_cos") >= MirrorCos)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embedding_drift" -> embeddingDrift)
+    "embedding_drift" -> embeddingDrift,
+    "label_centroid_sim" -> labelCentroidSim)
 
   val oracles: Map[String, String] = Map(
+    "label_centroid_sim" ->
+      s"""WITH e AS (
+        |  SELECT label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS d
+        |  FROM embeddings),
+        |qv AS (SELECT label,
+        |    list_transform(d, x -> round(x * ${Q}.0)::BIGINT) AS q
+        |  FROM e),
+        |d1 AS (SELECT label, unnest(list_transform(
+        |    range(1, len(q) + 1), i -> {'dim': i, 'v': q[i]})) AS u
+        |  FROM qv),
+        |sums AS (SELECT label, u.dim AS dim, sum(u.v)::BIGINT AS sq
+        |  FROM d1 GROUP BY 1, 2),
+        |cent AS (SELECT label, list(sq::DOUBLE ORDER BY dim) AS c
+        |  FROM sums GROUP BY 1),
+        |ns AS (SELECT label, count(*)::BIGINT AS n FROM qv GROUP BY 1),
+        |side AS (SELECT cent.label, c, n
+        |  FROM cent JOIN ns ON cent.label = ns.label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  round((${sqlDot("a.c", "b.c")}) /
+        |    (sqrt(${sqlDot("a.c", "a.c")}) * sqrt(${sqlDot("b.c", "b.c")})),
+        |    4) AS centroid_cos,
+        |  round((${sqlDot("a.c", "b.c")}) /
+        |    (sqrt(${sqlDot("a.c", "a.c")}) * sqrt(${sqlDot("b.c", "b.c")})),
+        |    4) >= $MirrorCos AS is_mirror
+        |FROM side a JOIN side b ON a.label < b.label""".stripMargin,
     "embedding_drift" ->
       s"""WITH e AS (
         |  SELECT vec_id, label, (vec_id % 2)::INT AS h,

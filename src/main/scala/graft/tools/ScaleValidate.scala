@@ -25,7 +25,8 @@ object ScaleValidate {
       "pair stage over sources² sketches, corpus-independent", Seq(
       "source_overlap_kmv")),
     ("fixed-point-centroid", "integer partials ∝ labels × 2 × dim per " +
-      "partition, corpus-independent ≪F×", Seq("embedding_drift")),
+      "partition, corpus-independent ≪F×", Seq("embedding_drift",
+      "label_centroid_sim")),
     ("moment-eigen", "decimal moment partials ∝ partitions × d(d+3)/2, " +
       "corpus-independent ≪F×; apply is a zero-shuffle literal " +
       "projection", Seq("embed_pca")),
