@@ -170,6 +170,34 @@ object Sampling {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** Padding-strategy batch planner — the strategy twin of
+    * [[packSequences]]: instead of concatenating docs into fixed bins,
+    * batch docs of similar length and pad to the bucket size. Buckets
+    * are exact powers of two (bucket/2 < n_tokens ≤ bucket, computed
+    * with INTEGER bit arithmetic — `shiftleft(1, length(bin(n-1)))` —
+    * because `ceil(log2(n))` through doubles mis-buckets near powers
+    * of two and `log` carries no cross-engine rounding guarantee).
+    * Per bucket: docs, real tokens, padded tokens, waste ratio — the
+    * readout that decides between padding and packing for a corpus.
+    * Pure projection + one bucket-keyed aggregation (partials ∝
+    * ~20 buckets per partition); zero joins. */
+  def lengthBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("n_tokens", nTokens)
+      .filter(col("n_tokens") >= 1)
+      .withColumn("bucket", expr(
+        "CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT) " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1))) " +
+          "END"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("total_tokens"))
+      .select(col("bucket"), col("n_docs"), col("total_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        round(lit(1.0) -
+          col("total_tokens") / (col("bucket") * col("n_docs")), 4)
+          .as("waste_ratio"))
+
   /** Temperature-weighted source mixture — the sampling-weight table for
     * multi-source training blends: weight_s ∝ tokens_s^α normalized over
     * sources, with α = 0.5 (temperature sampling à la multilingual LM
@@ -340,7 +368,8 @@ object Sampling {
     "split_leakage" -> splitLeakage,
     "split_leakfree" -> splitLeakfree,
     "stratified_sample" -> stratifiedSample,
-    "pack_sequences" -> packSequences)
+    "pack_sequences" -> packSequences,
+    "length_buckets" -> lengthBuckets)
 
   val oracles: Map[String, String] = Map(
     "epoch_cap_mix" ->
@@ -499,6 +528,22 @@ object Sampling {
         |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "length_buckets" ->
+      """WITH d AS (
+        |  SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+        |    AS n_tokens
+        |  FROM documents),
+        |f AS (SELECT n_tokens,
+        |        CASE WHEN n_tokens <= 1 THEN 1::BIGINT
+        |             ELSE (1::BIGINT << length(bin(n_tokens - 1))) END
+        |          AS bucket
+        |      FROM d WHERE n_tokens >= 1)
+        |SELECT bucket, count(*)::BIGINT AS n_docs,
+        |  sum(n_tokens)::BIGINT AS total_tokens,
+        |  (bucket * count(*))::BIGINT AS padded_tokens,
+        |  round(1.0 - sum(n_tokens) * 1.0 / (bucket * count(*)), 4)
+        |    AS waste_ratio
+        |FROM f GROUP BY bucket""".stripMargin,
     "stratified_sample" ->
       """WITH s AS (SELECT doc_id, source,
         |  ('0x' || substr(sha256('frac|' || source), 1, 8))::BIGINT % 100

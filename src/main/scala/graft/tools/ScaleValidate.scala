@@ -51,7 +51,8 @@ object ScaleValidate {
     ("doc-profile", "one corpus scan, partials ∝ partitions × buckets: " +
       "≪F×", Seq(
       "text_stats", "value_histogram", "source_drift", "lang_id_confusion",
-      "profile_numeric", "profile_categorical", "media_histogram")),
+      "profile_numeric", "profile_categorical", "media_histogram",
+      "length_buckets")),
     ("corpus-shaping", "hash-deterministic sample/pack/mix: row shuffle " +
       "∝ selected docs ≈F×, per-group partials ≪F×", Seq(
       "stratified_sample", "sample_per_group", "sample_per_group_agg",

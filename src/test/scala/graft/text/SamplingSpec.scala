@@ -118,4 +118,31 @@ class SamplingSpec extends AnyFunSuite {
       assert(math.abs(t2 - w2(src)) < 1e-9, s"T=2 mismatch at $src")
     }
   }
+
+  test("length_buckets: integer bucket law bucket/2 < n <= bucket " +
+    "for every length 1..1030 (covers the power-of-two boundaries)") {
+    import spark.implicits._
+    val buckets = (1 to 1030)
+      .map(n => (n.toLong, "x " * n)) // n whitespace tokens
+      .toDF("n", "text")
+      .selectExpr("n",
+        """CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+          |ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n - 1)))
+          |END AS bucket""".stripMargin)
+      .collect()
+    buckets.foreach { r =>
+      val (n, b) = (r.getLong(0), r.getLong(1))
+      assert(n <= b && (b == 1 || n > b / 2), s"n=$n bucket=$b")
+      assert((b & (b - 1)) == 0, s"bucket $b must be a power of two")
+    }
+    // the gate query partitions the corpus docs (empty docs excluded)
+    val out = Sampling.lengthBuckets(spark, "/root/testdata/sf0.001")
+      .collect()
+    val nonEmpty = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(size(TextQueries.words(col("text"))) >= 1).count()
+    assert(out.map(_.getLong(1)).sum == nonEmpty)
+    out.foreach(r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 0.5 + 1e-9,
+        "power-of-two padding wastes at most half the bucket"))
+  }
 }
