@@ -4,16 +4,16 @@ import graft.dedup.{BbitMinhash, Bloom, ConnectedComponents, DedupQueries,
   PrefixJoin, SnapshotDedup, SubstringDedup} // KnnGraphIvf registers semantic_clusters
 import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.{CdcChunks, Multimodal}
-import graft.operators.{AsOfJoin, Attribution, Cohort, Funnel, FuzzyJoin,
-  IntervalJoin, Pipeline, RelationalQueries, Resample, RobustStats,
-  SkewJoin, ZOrder}
+import graft.operators.{AsOfJoin, Attribution, Cohort, EventPaths, Funnel,
+  FuzzyJoin, IntervalJoin, MarketBasket, Pipeline, RelationalQueries,
+  Resample, Rfm, RobustStats, SkewJoin, ZOrder}
 import graft.sim.{EmbedPca, EmbeddingDrift, GraphStats, Ivf, KnnGraphIvf,
   LabelProp, PageRank, SemDedup, SemanticDecontam, SimilarityQueries}
 import graft.sources.FormatSources
 import graft.storm.StormQueries
-import graft.text.{BigramLm, Bpe, Chunking, Drift, HybridRetrieval,
-  PiiRedact, Pretokenize, QualityClassifier, Retrieval, Sampling,
-  TextQueries, Unigram, Winnow, WordPiece}
+import graft.text.{BigramLm, Bpe, Chunking, Concentration, Drift,
+  HybridRetrieval, PiiRedact, Pretokenize, QualityClassifier, Readability,
+  Retrieval, Sampling, TextQueries, Unigram, Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -31,6 +31,9 @@ object SparkEntry {
       (Funnel.queries, Funnel.oracles),
       (Cohort.queries, Cohort.oracles),
       (FuzzyJoin.queries, FuzzyJoin.oracles),
+      (Rfm.queries, Rfm.oracles),
+      (MarketBasket.queries, MarketBasket.oracles),
+      (EventPaths.queries, EventPaths.oracles),
       (RobustStats.queries, RobustStats.oracles),
       (Resample.queries, Resample.oracles),
       (ConnectedComponents.queries, ConnectedComponents.oracles),
@@ -38,6 +41,8 @@ object SparkEntry {
       (StormQueries.queries, StormQueries.oracles),
       (FormatSources.queries, FormatSources.oracles),
       (TextQueries.queries, TextQueries.oracles),
+      (Readability.queries, Readability.oracles),
+      (Concentration.queries, Concentration.oracles),
       (QualityClassifier.queries, QualityClassifier.oracles),
       (PiiRedact.queries, PiiRedact.oracles),
       (Chunking.queries, Chunking.oracles),

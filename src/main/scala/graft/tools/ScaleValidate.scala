@@ -47,12 +47,13 @@ object ScaleValidate {
       "embed_quantize", "train_split", "chunk_documents",
       "media_audio_features", "media_phash", "pii_redact", "pii_scan",
       "media_meta", "media_resize", "media_frame_sample",
-      "media_audio_fingerprint", "media_video_fingerprint")),
+      "media_audio_fingerprint", "media_video_fingerprint",
+      "readability")),
     ("doc-profile", "one corpus scan, partials ∝ partitions × buckets: " +
       "≪F×", Seq(
       "text_stats", "value_histogram", "source_drift", "lang_id_confusion",
       "profile_numeric", "profile_categorical", "media_histogram",
-      "length_buckets")),
+      "length_buckets", "readability_bands", "source_concentration")),
     ("corpus-shaping", "hash-deterministic sample/pack/mix: row shuffle " +
       "∝ selected docs ≈F×, per-group partials ≪F×", Seq(
       "stratified_sample", "sample_per_group", "sample_per_group_agg",
@@ -154,7 +155,14 @@ object ScaleValidate {
       "attribution_weights")),
     ("user-state", "hash by user, per-key state fixed: ∝ events ≈F×", Seq(
       "q16_sessionize", "q22_rolling_user_stats", "q24_session_window",
-      "funnel_stages", "cohort_retention", "q21_sliding_windows")),
+      "funnel_stages", "cohort_retention", "q21_sliding_windows",
+      "event_transitions", "scd2_build")),
+    ("basket-pairs", "self-equi-join on order key: shuffle ∝ basket " +
+      "items ≈F×; in-join pairs ≤ C(basket, 2) per order, basket size " +
+      "domain-bounded; rule table dim²-bounded", Seq("market_basket")),
+    ("quartile-score", "custkey agg partials ∝ partitions × customers; " +
+      "quartile histograms bounded by value DOMAINS (days / orders / " +
+      "dollars), broadcast back: ≪F×", Seq("rfm_segments")),
     ("percentile-pair", "exact ∝ rows vs sketch ∝ partitions×groups", Seq(
       "q15_value_percentiles", "q15_approx_percentiles", "outlier_mad",
       "winsorize_events")),
