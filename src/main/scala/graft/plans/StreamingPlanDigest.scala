@@ -191,6 +191,13 @@ object StreamingPlanDigest {
           mem.addData(StreamCohort.UserEvent(1L, new Timestamp(0L)))
         }
       },
+      "transitions" -> { () =>
+        val mem = MemoryStream[StreamTransitions.Ev]
+        run(StreamTransitions.stepsOverStream(mem.toDS()).toDF(),
+          StreamTransitions.outputMode) {
+          mem.addData(StreamTransitions.Ev(1L, new Timestamp(0L), 1L, "view"))
+        }
+      },
       "classifier" -> { () =>
         val mem = MemoryStream[(Long, String)]
         run(StreamClassifier.scoreOverStream(
