@@ -78,6 +78,7 @@ object Bench {
         graft.dedup.DedupQueries.dedupSimhashHamming(spark, sfDir); () }),
       ("prefix_docsets", () => graft.dedup.PrefixJoin.warm(spark, sfDir)),
       ("ivf_quantizer", () => { graft.sim.Ivf.assignments(spark, sfDir); () }),
+      ("pq_model", () => { graft.sim.Pq.encoded(spark, sfDir); () }),
       ("knn_edges", () => { graft.sim.GraphStats.mutualEdges(spark, sfDir); () }),
       ("pca_model", () => { graft.sim.EmbedPca.model(spark, sfDir); () }),
       ("quality_weights", () => {

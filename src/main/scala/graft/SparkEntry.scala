@@ -8,7 +8,7 @@ import graft.operators.{AsOfJoin, Attribution, Cohort, EventPaths, Funnel,
   FuzzyJoin, IntervalJoin, MarketBasket, Pipeline, RelationalQueries,
   Resample, Rfm, RobustStats, SkewJoin, ZOrder}
 import graft.sim.{EmbedPca, EmbeddingDrift, GraphStats, Ivf, KnnGraphIvf,
-  LabelProp, PageRank, SemDedup, SemanticDecontam, SimilarityQueries}
+  LabelProp, PageRank, Pq, SemDedup, SemanticDecontam, SimilarityQueries}
 import graft.sources.FormatSources
 import graft.storm.StormQueries
 import graft.text.{BigramLm, Bpe, Chunking, Concentration, Drift,
@@ -69,6 +69,7 @@ object SparkEntry {
       (Bloom.queries, Bloom.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (Ivf.queries, Ivf.oracles),
+      (Pq.queries, Pq.oracles),
       (KnnGraphIvf.queries, KnnGraphIvf.oracles),
       (EmbeddingDrift.queries, EmbeddingDrift.oracles),
       (EmbedPca.queries, EmbedPca.oracles),

@@ -157,6 +157,9 @@ object ScaleValidate {
       "q16_sessionize", "q22_rolling_user_stats", "q24_session_window",
       "funnel_stages", "cohort_retention", "q21_sliding_windows",
       "event_transitions", "scd2_build")),
+    ("pq-codes", "encode: literal-codebook argmin projection, zero " +
+      "shuffle; ADC query: TakeOrdered partials k-bounded ≪F×", Seq(
+      "pq_encode", "pq_topk")),
     ("basket-pairs", "self-equi-join on order key: shuffle ∝ basket " +
       "items ≈F×; in-join pairs ≤ C(basket, 2) per order, basket size " +
       "domain-bounded; rule table dim²-bounded", Seq("market_basket")),
