@@ -4,16 +4,18 @@ import graft.dedup.{BbitMinhash, Bloom, ConnectedComponents, DedupQueries,
   PrefixJoin, SnapshotDedup, SubstringDedup} // KnnGraphIvf registers semantic_clusters
 import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.{CdcChunks, Multimodal}
-import graft.operators.{AsOfJoin, Attribution, Cohort, EventPaths, Funnel,
-  FuzzyJoin, IntervalJoin, MarketBasket, Pipeline, RelationalQueries,
-  Resample, Rfm, RobustStats, SkewJoin, ZOrder}
-import graft.sim.{EmbedPca, EmbeddingDrift, GraphStats, Ivf, KnnGraphIvf,
-  LabelProp, PageRank, Pq, SemDedup, SemanticDecontam, SimilarityQueries}
+import graft.operators.{AsOfJoin, Attribution, Cohort, EventPaths,
+  EwmaAnomaly, Funnel, FuzzyJoin, IntervalJoin, MarketBasket, Pipeline,
+  RelationalQueries, Resample, Rfm, RobustStats, SkewJoin, ZOrder}
+import graft.sim.{EmbedPca, EmbeddingDrift, GraphStats, Ivf,
+  IvfIncremental, KCore, KnnGraphIvf, LabelProp, PageRank, Pq, SemDedup,
+  SemanticDecontam, SimilarityQueries}
 import graft.sources.FormatSources
 import graft.storm.StormQueries
-import graft.text.{BigramLm, Bpe, Chunking, Concentration, Drift,
-  HybridRetrieval, PiiRedact, Pretokenize, QualityClassifier, Readability,
-  Retrieval, Sampling, TextQueries, Unigram, Winnow, WordPiece}
+import graft.text.{BigramLm, Bpe, Chunking, Concentration, DomainCaps,
+  Drift, HybridRetrieval, Keywords, PiiRedact, Pretokenize,
+  QualityClassifier, QuantileNorm, Readability, Retrieval, Sampling,
+  TextQueries, Unigram, Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -34,6 +36,7 @@ object SparkEntry {
       (Rfm.queries, Rfm.oracles),
       (MarketBasket.queries, MarketBasket.oracles),
       (EventPaths.queries, EventPaths.oracles),
+      (EwmaAnomaly.queries, EwmaAnomaly.oracles),
       (RobustStats.queries, RobustStats.oracles),
       (Resample.queries, Resample.oracles),
       (ConnectedComponents.queries, ConnectedComponents.oracles),
@@ -44,6 +47,8 @@ object SparkEntry {
       (Readability.queries, Readability.oracles),
       (Concentration.queries, Concentration.oracles),
       (QualityClassifier.queries, QualityClassifier.oracles),
+      (QuantileNorm.queries, QuantileNorm.oracles),
+      (DomainCaps.queries, DomainCaps.oracles),
       (PiiRedact.queries, PiiRedact.oracles),
       (Chunking.queries, Chunking.oracles),
       (Sampling.queries, Sampling.oracles),
@@ -53,6 +58,7 @@ object SparkEntry {
       (BigramLm.queries, BigramLm.oracles),
       (WordPiece.queries, WordPiece.oracles),
       (Retrieval.queries, Retrieval.oracles),
+      (Keywords.queries, Keywords.oracles),
       (HybridRetrieval.queries, HybridRetrieval.oracles),
       (Hll.queries, Hll.oracles),
       (Drift.queries, Drift.oracles),
@@ -69,6 +75,7 @@ object SparkEntry {
       (Bloom.queries, Bloom.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (Ivf.queries, Ivf.oracles),
+      (IvfIncremental.queries, IvfIncremental.oracles),
       (Pq.queries, Pq.oracles),
       (KnnGraphIvf.queries, KnnGraphIvf.oracles),
       (EmbeddingDrift.queries, EmbeddingDrift.oracles),
@@ -77,6 +84,7 @@ object SparkEntry {
       (PageRank.queries, PageRank.oracles),
       (GraphStats.queries, GraphStats.oracles),
       (LabelProp.queries, LabelProp.oracles),
+      (KCore.queries, KCore.oracles),
       (SemanticDecontam.queries, SemanticDecontam.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (CdcChunks.queries, CdcChunks.oracles))

@@ -32,8 +32,20 @@ object StreamingPlanDigest {
   val IndexSfDir = "/root/testdata/sf0.001"
 
   def outlineOf(p: SparkPlan): String = {
-    def walk(n: SparkPlan, d: Int): Seq[String] =
-      (" " * d + n.nodeName) +: n.children.flatMap(walk(_, d + 1))
+    def walk(n: SparkPlan, d: Int): Seq[String] = n match {
+      // A stateless micro-batch with an exchange gets wrapped in AQE
+      // (stateful operators suppress it, which is why the other twins
+      // never hit this); the wrapper node alone would pin nothing —
+      // descend into the final executed plan it settled on.
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        (" " * d + a.nodeName) +: walk(a.executedPlan, d + 1)
+      // Query stages are leaves by `children`; their actual subtree
+      // hangs off `plan`.
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        (" " * d + q.nodeName) +: walk(q.plan, d + 1)
+      case _ =>
+        (" " * d + n.nodeName) +: n.children.flatMap(walk(_, d + 1))
+    }
     walk(p, 0).mkString("\n")
   }
 
@@ -252,6 +264,23 @@ object StreamingPlanDigest {
           mem.toDS().toDF("doc_id", "text"), idx, splits),
           StreamSplitLeakage.outputMode) {
           mem.addData((900001L, "a b c d e f"))
+        }
+      },
+      "ewma" -> { () =>
+        val mem = MemoryStream[StreamEwma.Ev]
+        run(StreamEwma.flagsOverStream(mem.toDS()).toDF(),
+          StreamEwma.outputMode) {
+          mem.addData(StreamEwma.Ev(1L, ts0, 1L, 10.0))
+        }
+      },
+      "quantile_norm" -> { () =>
+        val mem = MemoryStream[(Long, String, String)]
+        val cdf = StreamQuantileNorm.frozenCdf(
+          graft.text.QuantileNorm.scored(spark, IndexSfDir))
+        run(StreamQuantileNorm.scoreOverStream(
+          mem.toDS().toDF("doc_id", "source", "text"), cdf),
+          StreamQuantileNorm.outputMode) {
+          mem.addData((1L, "src0", "a b c"))
         }
       },
       "pca" -> { () =>

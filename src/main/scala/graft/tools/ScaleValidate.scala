@@ -72,6 +72,10 @@ object ScaleValidate {
     ("vocab-bounded", "shuffle ∝ vocab/partials: ≪F×", Seq(
       "cms_heavy_hitters", "vocab_topk", "bpe_pairs", "bpe_encode",
       "unigram_encode", "wordpiece_encode", "pretokenize_counts")),
+    ("tfidf-keywords", "tf = (doc,term) hash agg ∝ distinct pairs ≈F×; " +
+      "df over the tf relation (no second scan), vocab-bounded " +
+      "broadcast back; per-doc WindowGroupLimit keeps k rows, " +
+      "partitions ≤ one doc's terms", Seq("keyword_tfidf_topk")),
     ("matching-token-bounded",
       "tf shuffle ∝ query-term matches (base-replica-only terms): ≈flat", Seq(
       "bm25_topk", "hybrid_rrf_topk")),
@@ -79,7 +83,7 @@ object ScaleValidate {
       "decontaminate", "decontam_bloom", "ann_cosine_topk",
       "ann_batch_topk", "ann_lsh_buckets", "ann_lsh_topk",
       "ann_lsh_multiprobe", "ivf_topk", "ivf_topk_probeall",
-      "ivf_silhouette",
+      "ivf_silhouette", "ivf_incremental",
       "dedup_embedding_cosine",
       "quality_lm_score", "dsir_weights", "quality_bigram_score",
       "decontam_report", "decontam_semantic", "decontam_semantic_strict",
@@ -116,7 +120,7 @@ object ScaleValidate {
       "semantic_clusters")),
     ("iterative-graph", "knn build + const iterations × (edges join + " +
       "dst-keyed partials): shuffle ∝ edges ≈F×", Seq(
-      "pagerank_knn")),
+      "pagerank_knn", "kcore_decomposition", "kcore_tiers")),
     ("mutual-knn-stats", "mutual edges ≤ K·N, wedge join Σdeg² ≤ K²·N " +
       "(degree capped at K by construction): ≈F×", Seq(
       "knn_triangle_stats", "knn_degree_hist")),
@@ -156,13 +160,18 @@ object ScaleValidate {
     ("user-state", "hash by user, per-key state fixed: ∝ events ≈F×", Seq(
       "q16_sessionize", "q22_rolling_user_stats", "q24_session_window",
       "funnel_stages", "cohort_retention", "q21_sliding_windows",
-      "event_transitions", "scd2_build")),
+      "event_transitions", "scd2_build", "ewma_anomaly")),
     ("pq-codes", "encode: literal-codebook argmin projection, zero " +
       "shuffle; ADC query: TakeOrdered partials k-bounded ≪F×", Seq(
       "pq_encode", "pq_topk")),
     ("basket-pairs", "self-equi-join on order key: shuffle ∝ basket " +
       "items ≈F×; in-join pairs ≤ C(basket, 2) per order, basket size " +
       "domain-bounded; rule table dim²-bounded", Seq("market_basket")),
+    ("calibrated-select", "per-source score histograms bounded by the e4 " +
+      "score DOMAIN (≤ sources × 10,001 partials, map-side combined) " +
+      "broadcast back over the scan: ≪F×; the cap's tie-break window " +
+      "partitions the threshold SLICE only, never the domain", Seq(
+      "quality_quantile_norm", "domain_caps")),
     ("quartile-score", "custkey agg partials ∝ partitions × customers; " +
       "quartile histograms bounded by value DOMAINS (days / orders / " +
       "dollars), broadcast back: ≪F×", Seq("rfm_segments")),
