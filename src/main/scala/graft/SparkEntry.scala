@@ -6,16 +6,16 @@ import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.{CdcChunks, Multimodal}
 import graft.operators.{AsOfJoin, Attribution, Cohort, EventPaths,
   EwmaAnomaly, Funnel, FuzzyJoin, IntervalJoin, MarketBasket, Pipeline,
-  RelationalQueries, Resample, Rfm, RobustStats, SkewJoin, ZOrder}
-import graft.sim.{EmbedPca, EmbeddingDrift, GraphStats, Ivf,
-  IvfIncremental, KCore, KnnGraphIvf, LabelProp, PageRank, Pq, SemDedup,
-  SemanticDecontam, SimilarityQueries}
+  RelationalQueries, Resample, Rfm, RobustStats, SkewJoin, Streaks, ZOrder}
+import graft.sim.{EmbedPca, EmbeddingDrift, Eigencentrality, GraphStats,
+  Ivf, IvfIncremental, KCore, KnnGraphIvf, LabelProp, PageRank, Pq,
+  SemDedup, SemanticDecontam, SimilarityQueries}
 import graft.sources.FormatSources
 import graft.storm.StormQueries
 import graft.text.{BigramLm, Bpe, Chunking, Concentration, DomainCaps,
-  Drift, HybridRetrieval, Keywords, PiiRedact, Pretokenize,
-  QualityClassifier, QuantileNorm, Readability, Retrieval, Sampling,
-  TextQueries, Unigram, Winnow, WordPiece}
+  Drift, HeavyHitterDelta, HybridRetrieval, Keywords, NgramNovelty,
+  PiiRedact, Pretokenize, QualityClassifier, QuantileNorm, Readability,
+  Retrieval, Sampling, TextQueries, Unigram, Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -37,6 +37,7 @@ object SparkEntry {
       (MarketBasket.queries, MarketBasket.oracles),
       (EventPaths.queries, EventPaths.oracles),
       (EwmaAnomaly.queries, EwmaAnomaly.oracles),
+      (Streaks.queries, Streaks.oracles),
       (RobustStats.queries, RobustStats.oracles),
       (Resample.queries, Resample.oracles),
       (ConnectedComponents.queries, ConnectedComponents.oracles),
@@ -59,6 +60,8 @@ object SparkEntry {
       (WordPiece.queries, WordPiece.oracles),
       (Retrieval.queries, Retrieval.oracles),
       (Keywords.queries, Keywords.oracles),
+      (NgramNovelty.queries, NgramNovelty.oracles),
+      (HeavyHitterDelta.queries, HeavyHitterDelta.oracles),
       (HybridRetrieval.queries, HybridRetrieval.oracles),
       (Hll.queries, Hll.oracles),
       (Drift.queries, Drift.oracles),
@@ -85,6 +88,7 @@ object SparkEntry {
       (GraphStats.queries, GraphStats.oracles),
       (LabelProp.queries, LabelProp.oracles),
       (KCore.queries, KCore.oracles),
+      (Eigencentrality.queries, Eigencentrality.oracles),
       (SemanticDecontam.queries, SemanticDecontam.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (CdcChunks.queries, CdcChunks.oracles))

@@ -1,0 +1,102 @@
+package graft.sim
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Eigenvector centrality over the mutual kNN graph — power iteration
+  * on the symmetric adjacency (Bonacich 1987; the undirected special
+  * case where HITS hubs ≡ authorities): a vector is central when its
+  * neighbors are central, the recursive strengthening of raw degree
+  * that separates "core of the dominant semantic cluster" from "locally
+  * popular hub of a fringe" — the third centrality lens next to
+  * [[PageRank]] (random-walk) and [[GraphStats]] degree (local count).
+  *
+  * Exactness: the same fixed-point discipline as [[PageRank]] — scores
+  * live at 1.0 ≡ [[PageRank.Scale]]; each iteration is an integer
+  * neighbor-sum followed by an L1 renormalization `x := x div q` with
+  * `q = max(Σx' div Scale, 1)` (one global scalar, integer division).
+  * No float accumulates anywhere, so the DuckDB oracle (the identical
+  * update unrolled [[Iterations]] times over the shared
+  * [[GraphStats.edgesCteSql]] graph CTE) reproduces every score
+  * bit-for-bit. Truncation vs real-valued power iteration is ≤ 1 part
+  * in 1e12 per step — irrelevant for ranking, decisive for the gate.
+  *
+  * Scale shape at 100 TB: one iteration = ranks ⋈ edges on src (shuffle
+  * ∝ edges ≤ K·N), a partial-aggregated sum by dst, and a broadcast of
+  * ONE scalar row (the normalizer) — the canonical iterative-join batch
+  * shape; the mutual-edge relation is the memoized [[GraphStats]]
+  * artifact every graph gate shares, built once per corpus stamp. */
+object Eigencentrality {
+
+  val Iterations = 4
+  val TopK = 20
+  private val Scale = PageRank.Scale
+
+  /** Core fixed-point power iteration over any undirected edge relation
+    * `(u, v)` (each edge counted in both directions). */
+  def eigenFp(nodes: DataFrame, undirected: DataFrame, n: Long,
+              iterations: Int = Iterations): DataFrame = {
+    require(n > 0, "empty node set")
+    val ed = undirected.select(col("u").as("src"), col("v").as("dst"))
+      .union(undirected.select(col("v").as("src"), col("u").as("dst")))
+    val x0 = nodes.select(col("id"), lit(Scale / n).as("x"))
+    (1 to iterations).foldLeft(x0) { (x, _) =>
+      // the neighbor-sum relation feeds BOTH the normalizer scalar and
+      // the renormalization join — materialize it (node-bounded) so the
+      // lineage stays linear in iterations, not 2^iterations (the same
+      // double-consumption trap the LSH artifact memo designs out)
+      val c = x.join(ed, col("id") === col("src"))
+        .select(col("dst").as("cid"), col("x").as("xi"))
+        .groupBy("cid").agg(sum("xi").as("cs"))
+        .localCheckpoint(true)
+      val q = c.agg(greatest(
+        expr(s"coalesce(sum(cs), 0) div ${Scale}L"), lit(1L)).as("q"))
+      nodes.select(col("id"))
+        .crossJoin(broadcast(q))
+        .join(c, col("id") === col("cid"), "left")
+        .select(col("id"), expr("coalesce(cs, 0) div q").as("x"))
+    }
+  }
+
+  /** Gate query: top-[[TopK]] vectors by fixed-point eigencentrality on
+    * the memoized mutual kNN graph; isolated vectors decay to 0. */
+  def eigencentralityKnn(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.parallel(s, dir, "embeddings")
+      .select(col("vec_id").as("id"))
+    val n = nodes.count()
+    eigenFp(nodes, GraphStats.mutualEdges(s, dir), n)
+      .orderBy(desc("x"), asc("id"))
+      .limit(TopK)
+      .select(col("id").as("vec_id"), col("x").as("score_fp"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eigencentrality_knn" -> eigencentralityKnn)
+
+  val oracles: Map[String, String] = {
+    val iterCtes = (1 to Iterations).map { i =>
+      s"""c$i AS (
+        |  SELECT ed.dst AS id, sum(p.x)::BIGINT AS cs
+        |  FROM x${i - 1} p JOIN ed ON ed.src = p.id GROUP BY ed.dst),
+        |t$i AS (SELECT greatest(coalesce(sum(cs), 0) // ${Scale}, 1) AS q
+        |        FROM c$i),
+        |x$i AS (
+        |  SELECT nn.id, (coalesce(c.cs, 0) // t.q)::BIGINT AS x
+        |  FROM nn CROSS JOIN t$i t LEFT JOIN c$i c USING (id))""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "eigencentrality_knn" ->
+        s"""WITH ${GraphStats.edgesCteSql},
+          |ed AS (SELECT u AS src, v AS dst FROM e
+          |       UNION ALL SELECT v, u FROM e),
+          |nn AS (SELECT vec_id AS id FROM embeddings),
+          |nx AS (SELECT count(*) AS n FROM nn),
+          |x0 AS (SELECT nn.id, (${Scale}::BIGINT // nx.n) AS x
+          |       FROM nn CROSS JOIN nx),
+          |$iterCtes
+          |SELECT id AS vec_id, x AS score_fp
+          |FROM x$Iterations
+          |ORDER BY x DESC, id ASC LIMIT $TopK""".stripMargin)
+  }
+}

@@ -20,7 +20,8 @@ object ScaleValidate {
     ("linear-token", "shuffle ∝ tokens: ≈F×", Seq(
       "dedup_substring", "dedup_substring_excise", "kmv_distinct",
       "term_rarity_topk", "cross_doc_ngrams", "doc_repetition",
-      "winnow_fingerprints", "cooccur_topk", "source_diversity")),
+      "winnow_fingerprints", "cooccur_topk", "source_diversity",
+      "ngram_novelty")),
     ("sketch-setop", "KMV partials: shuffle ∝ sources × K longs ≪F×; " +
       "pair stage over sources² sketches, corpus-independent", Seq(
       "source_overlap_kmv")),
@@ -71,7 +72,8 @@ object ScaleValidate {
       "cdc_chunks", "cdc_top_chunks")),
     ("vocab-bounded", "shuffle ∝ vocab/partials: ≪F×", Seq(
       "cms_heavy_hitters", "vocab_topk", "bpe_pairs", "bpe_encode",
-      "unigram_encode", "wordpiece_encode", "pretokenize_counts")),
+      "unigram_encode", "wordpiece_encode", "pretokenize_counts",
+      "token_freq_delta")),
     ("tfidf-keywords", "tf = (doc,term) hash agg ∝ distinct pairs ≈F×; " +
       "df over the tf relation (no second scan), vocab-bounded " +
       "broadcast back; per-doc WindowGroupLimit keeps k rows, " +
@@ -120,7 +122,8 @@ object ScaleValidate {
       "semantic_clusters")),
     ("iterative-graph", "knn build + const iterations × (edges join + " +
       "dst-keyed partials): shuffle ∝ edges ≈F×", Seq(
-      "pagerank_knn", "kcore_decomposition", "kcore_tiers")),
+      "pagerank_knn", "kcore_decomposition", "kcore_tiers",
+      "eigencentrality_knn")),
     ("mutual-knn-stats", "mutual edges ≤ K·N, wedge join Σdeg² ≤ K²·N " +
       "(degree capped at K by construction): ≈F×", Seq(
       "knn_triangle_stats", "knn_degree_hist")),
@@ -160,7 +163,8 @@ object ScaleValidate {
     ("user-state", "hash by user, per-key state fixed: ∝ events ≈F×", Seq(
       "q16_sessionize", "q22_rolling_user_stats", "q24_session_window",
       "funnel_stages", "cohort_retention", "q21_sliding_windows",
-      "event_transitions", "scd2_build", "ewma_anomaly")),
+      "event_transitions", "scd2_build", "ewma_anomaly",
+      "user_streaks")),
     ("pq-codes", "encode: literal-codebook argmin projection, zero " +
       "shuffle; ADC query: TakeOrdered partials k-bounded ≪F×", Seq(
       "pq_encode", "pq_topk")),
