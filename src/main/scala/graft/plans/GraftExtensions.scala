@@ -49,6 +49,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"array_dot requires exactly 2 arguments, got ${children.length}")
         graft.functions.ArrayDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler_sim"),
+      new ExpressionInfo(
+        classOf[graft.functions.JaroWinklerSim].getName, "jaro_winkler_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"jaro_winkler_sim requires exactly 2 arguments, got ${children.length}")
+        graft.functions.JaroWinklerSim(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => CollapseIdempotentEnumNormalize)
   }
 }

@@ -194,6 +194,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // a value that actually discriminates the two behaviors
       assert(out.getString(2) == "81.3")
       assert(out.getDouble(3) == 11.0)
+      assert(s2.sql("SELECT jaro_winkler_sim('martha', 'marhta') AS jw")
+        .head().getDouble(0) == 0.9611111111111111)
 
       // idempotent enum normalization collapses to one CaseWhen (use a
       // parquet-backed column so ConvertToLocalRelation can't pre-evaluate)

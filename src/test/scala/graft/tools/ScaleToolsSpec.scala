@@ -162,9 +162,11 @@ object ScaleToolsSpec {
     * would be a degenerate flat line by construction:
     *   - storm_fixture: the 271-record golden storm file (fixed file).
     *   - q10_party_union: union of customer+supplier dims (dims fixed).
-    *   - fuzzy_name_pairs: n-gram self-join over the customer dim
-    *     (dim fixed; the operator's scale shape is the banded-pairs
-    *     law already measured on the growing document corpus). */
+    *   - fuzzy_name_pairs / fuzzy_jaro_pairs: blocked self-join over
+    *     the part dim (dim fixed; the operator's scale shape is the
+    *     banded-pairs law already measured on the growing document
+    *     corpus). */
   val ScaleExempt: Set[String] =
-    Set("storm_fixture", "q10_party_union", "fuzzy_name_pairs")
+    Set("storm_fixture", "q10_party_union", "fuzzy_name_pairs",
+      "fuzzy_jaro_pairs")
 }
