@@ -283,6 +283,15 @@ object StreamingPlanDigest {
           mem.addData((1L, "src0", "a b c"))
         }
       },
+      "novelty" -> { () =>
+        val mem = MemoryStream[(Long, String)]
+        val frozen = StreamNovelty.frozenGrams(spark, IndexSfDir)
+        run(StreamNovelty.novelOverStream(
+          mem.toDS().toDF("doc_id", "text"), frozen),
+          StreamNovelty.outputMode) {
+          mem.addData((900001L, "zq zr zs zt"))
+        }
+      },
       "pca" -> { () =>
         val mem = MemoryStream[(Long, Array[Float])]
         run(StreamPca.projectionsOverStream(
