@@ -67,12 +67,19 @@ object FormatSources {
         fmt match {
           case "orc" => w.orc(path)
           case "jsonl" => w.json(path) // Spark's json sink IS line-delimited
+          case "csv" => w.option("header", true)
+            // the CSV writer TRIMS cell whitespace by default — byte
+            // fidelity (the checksum law) needs both sides preserved
+            .option("ignoreLeadingWhiteSpace", false)
+            .option("ignoreTrailingWhiteSpace", false)
+            .csv(path)
         }
       }
       val r = s.read.schema(DocumentsSchema)
       fmt match {
         case "orc" => r.orc(path)
         case "jsonl" => r.json(path)
+        case "csv" => r.option("header", true).csv(path)
       }
     }
 
@@ -115,6 +122,12 @@ object FormatSources {
   def sourceJsonl(s: SparkSession, dir: String): DataFrame =
     rollup(converted(s, dir, "jsonl"))
 
+  /** CSV round-trip parity (header + explicit schema on read; document
+    * text is tokenized words — no delimiter/quote/newline collisions,
+    * and the checksum would catch any quoting corruption byte-for-byte). */
+  def sourceCsv(s: SparkSession, dir: String): DataFrame =
+    rollup(converted(s, dir, "csv"))
+
   private val rollupSql =
     """SELECT source, count(*) AS n_docs,
       |  sum(n_chars::BIGINT)::BIGINT AS sum_chars,
@@ -126,10 +139,12 @@ object FormatSources {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_orc" -> sourceOrc,
-    "source_jsonl" -> sourceJsonl)
+    "source_jsonl" -> sourceJsonl,
+    "source_csv" -> sourceCsv)
 
   // both oracles read the ORIGINAL parquet: green = converted bytes match
   val oracles: Map[String, String] = Map(
     "source_orc" -> rollupSql,
-    "source_jsonl" -> rollupSql)
+    "source_jsonl" -> rollupSql,
+    "source_csv" -> rollupSql)
 }

@@ -135,7 +135,7 @@ object ScaleValidate {
       "quality_classifier", "classifier_eval", "classifier_calibration")),
     ("format-roundtrip", "one-time parallel format rewrite (no shuffle) + " +
       "rollup partials ∝ sources ≪F×", Seq(
-      "source_orc", "source_jsonl")),
+      "source_orc", "source_jsonl", "source_csv")),
     // Relational / storm families (facts ×F, dims fixed — ScaleGen's
     // star-schema growth shape):
     ("scan-agg", "map-side complete: partials ∝ partitions×groups: ≪F×", Seq(

@@ -4,10 +4,10 @@ import graft.SparkTestSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Format round-trip fidelity: ORC and JSONL conversions of a corpus with
-  * hostile strings (JSON metachars, unicode, leading/trailing spaces)
-  * read back row-identical, and the three physical formats produce the
-  * same rollup. */
+/** Format round-trip fidelity: ORC, JSONL, and CSV conversions of a
+  * corpus with hostile strings (JSON/CSV metachars, unicode,
+  * leading/trailing spaces) read back row-identical, and the four
+  * physical formats produce the same rollup. */
 class FormatSourcesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
@@ -18,7 +18,9 @@ class FormatSourcesSpec extends AnyFunSuite {
       (0L, """quote " backslash \ slash / done""", "en", "src0"),
       (1L, "unicode é中文 mixed", "zh", "src0"),
       (2L, "  leading and trailing  ", "en", "src1"),
-      (3L, "plain words only", "en", "src1"))
+      (3L, "plain words only", "en", "src1"),
+      (4L, "comma, separated, values", "en", "src2"),
+      (5L, "newline-free but; semicolons: and	tabs", "en", "src2"))
       .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -36,10 +38,12 @@ class FormatSourcesSpec extends AnyFunSuite {
     try {
       val orig = spark.read.parquet(s"$dir/documents.parquet")
         .orderBy("doc_id").collect().toSeq
-      assert(orig.size == 4)
+      assert(orig.size == 6)
       val viaOrc = FormatSources.sourceOrc(spark, dir.toString)
         .orderBy("source").collect().toSeq
       val viaJsonl = FormatSources.sourceJsonl(spark, dir.toString)
+        .orderBy("source").collect().toSeq
+      val viaCsv = FormatSources.sourceCsv(spark, dir.toString)
         .orderBy("source").collect().toSeq
       val viaParquet = spark.read.parquet(s"$dir/documents.parquet")
         .groupBy("source")
@@ -52,6 +56,7 @@ class FormatSourcesSpec extends AnyFunSuite {
         .orderBy("source").collect().toSeq
       assert(viaOrc == viaParquet, "ORC rollup drifted from parquet")
       assert(viaJsonl == viaParquet, "JSONL rollup drifted from parquet")
+      assert(viaCsv == viaParquet, "CSV rollup drifted from parquet")
     } finally {
       FormatSources.dropCache(dir.toString)
       rm(dir)
