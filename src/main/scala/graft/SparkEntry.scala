@@ -7,7 +7,7 @@ import graft.multimodal.{CdcChunks, Multimodal}
 import graft.operators.{AsOfJoin, Attribution, Cohort, EventPaths,
   EwmaAnomaly, Funnel, FuzzyJoin, IntervalJoin, MarketBasket, Pipeline,
   RelationalQueries, Resample, Rfm, RobustStats, SkewJoin, Streaks, ZOrder}
-import graft.sim.{EmbedPca, EmbeddingDrift, Eigencentrality, GraphStats,
+import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality, GraphStats,
   Ivf, IvfIncremental, KCore, KnnGraphIvf, LabelProp, PageRank, Pq,
   SemDedup, SemanticDecontam, SimilarityQueries}
 import graft.sources.FormatSources
@@ -89,6 +89,7 @@ object SparkEntry {
       (LabelProp.queries, LabelProp.oracles),
       (KCore.queries, KCore.oracles),
       (Eigencentrality.queries, Eigencentrality.oracles),
+      (Coreset.queries, Coreset.oracles),
       (SemanticDecontam.queries, SemanticDecontam.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (CdcChunks.queries, CdcChunks.oracles))

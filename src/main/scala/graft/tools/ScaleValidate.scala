@@ -165,6 +165,9 @@ object ScaleValidate {
       "funnel_stages", "cohort_retention", "q21_sliding_windows",
       "event_transitions", "scd2_build", "ewma_anomaly",
       "user_streaks")),
+    ("greedy-coreset", "K corpus scans, zero shuffle (TakeOrdered " +
+      "partials 1 row/partition); center state K·dim on the driver: " +
+      "scan ∝F×, shuffle ≈0", Seq("coreset_kcenter")),
     ("pq-codes", "encode: literal-codebook argmin projection, zero " +
       "shuffle; ADC query: TakeOrdered partials k-bounded ≪F×", Seq(
       "pq_encode", "pq_topk")),
