@@ -15,7 +15,7 @@ import graft.storm.StormQueries
 import graft.text.{BigramLm, Bpe, Chunking, Concentration, DomainCaps,
   Drift, HeavyHitterDelta, HybridRetrieval, Keywords, NgramNovelty,
   PiiRedact, Pretokenize, QualityClassifier, QuantileNorm, Readability,
-  Retrieval, Sampling, TextQueries, Unigram, Winnow, WordPiece}
+  Retrieval, Sampling, SourceKs, TextQueries, Unigram, Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -49,6 +49,7 @@ object SparkEntry {
       (Concentration.queries, Concentration.oracles),
       (QualityClassifier.queries, QualityClassifier.oracles),
       (QuantileNorm.queries, QuantileNorm.oracles),
+      (SourceKs.queries, SourceKs.oracles),
       (DomainCaps.queries, DomainCaps.oracles),
       (PiiRedact.queries, PiiRedact.oracles),
       (Chunking.queries, Chunking.oracles),

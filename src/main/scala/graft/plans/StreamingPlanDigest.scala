@@ -283,6 +283,13 @@ object StreamingPlanDigest {
           mem.addData((1L, "src0", "a b c"))
         }
       },
+      "streaks" -> { () =>
+        val mem = MemoryStream[StreamStreaks.Ev]
+        run(StreamStreaks.profilesOverStream(mem.toDS()).toDF(),
+          StreamStreaks.outputMode) {
+          mem.addData(StreamStreaks.Ev(1L, ts0, 1L))
+        }
+      },
       "novelty" -> { () =>
         val mem = MemoryStream[(Long, String)]
         val frozen = StreamNovelty.frozenGrams(spark, IndexSfDir)

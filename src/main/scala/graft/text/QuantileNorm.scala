@@ -88,17 +88,23 @@ object QuantileNorm {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_quantile_norm" -> qualityQuantileNorm)
 
+  /** SQL twin of [[scored]] (CTE `sc(doc_id, source, score_e4)`) —
+    * shared with the source-KS oracle so both gates bind one score
+    * definition. */
+  val scoredCteSql: String =
+    """sc AS (
+      |  SELECT doc_id, source,
+      |    round(len(list_distinct(list_filter(string_split(text, ' '),
+      |            x -> x <> '')))::DOUBLE
+      |        / len(list_filter(string_split(text, ' '),
+      |            x -> x <> ''))::DOUBLE * 10000)::BIGINT AS score_e4
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "quality_quantile_norm" ->
-      s"""WITH sc AS (
-        |  SELECT doc_id, source,
-        |    round(len(list_distinct(list_filter(string_split(text, ' '),
-        |            x -> x <> '')))::DOUBLE
-        |        / len(list_filter(string_split(text, ' '),
-        |            x -> x <> ''))::DOUBLE * 10000)::BIGINT AS score_e4
-        |  FROM documents
-        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
-        |h AS (
+      (s"WITH $scoredCteSql,\n" +
+        s"""h AS (
         |  SELECT source, score_e4, count(*)::BIGINT AS cnt FROM sc
         |  GROUP BY source, score_e4),
         |c AS (
@@ -119,5 +125,5 @@ object QuantileNorm {
         |  CASE WHEN pct_e6 >= $KeepE6 THEN 'keep_top'
         |       WHEN pct_e6 >= $MidE6 THEN 'mid'
         |       ELSE 'tail' END AS calib_band
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin))
 }

@@ -178,7 +178,7 @@ object ScaleValidate {
       "score DOMAIN (≤ sources × 10,001 partials, map-side combined) " +
       "broadcast back over the scan: ≪F×; the cap's tie-break window " +
       "partitions the threshold SLICE only, never the domain", Seq(
-      "quality_quantile_norm", "domain_caps")),
+      "quality_quantile_norm", "domain_caps", "source_ks")),
     ("quartile-score", "custkey agg partials ∝ partitions × customers; " +
       "quartile histograms bounded by value DOMAINS (days / orders / " +
       "dollars), broadcast back: ≪F×", Seq("rfm_segments")),
