@@ -12,7 +12,7 @@ import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality, GraphStats
   SemDedup, SemanticDecontam, SimilarityQueries}
 import graft.sources.FormatSources
 import graft.storm.StormQueries
-import graft.text.{BigramLm, Bpe, Chunking, Concentration, DomainCaps,
+import graft.text.{Allocation, BigramLm, Bpe, Chunking, Concentration, DomainCaps,
   Drift, HeavyHitterDelta, HybridRetrieval, Keywords, NgramNovelty,
   PiiRedact, Pretokenize, QualityClassifier, QuantileNorm, Readability,
   Retrieval, Sampling, SourceKs, TextQueries, Unigram, Winnow, WordPiece}
@@ -54,6 +54,7 @@ object SparkEntry {
       (PiiRedact.queries, PiiRedact.oracles),
       (Chunking.queries, Chunking.oracles),
       (Sampling.queries, Sampling.oracles),
+      (Allocation.queries, Allocation.oracles),
       (Bpe.queries, Bpe.oracles),
       (Pretokenize.queries, Pretokenize.oracles),
       (Unigram.queries, Unigram.oracles),

@@ -53,6 +53,7 @@ object ScaleValidate {
     ("doc-profile", "one corpus scan, partials ∝ partitions × buckets: " +
       "≪F×", Seq(
       "text_stats", "value_histogram", "source_drift", "lang_id_confusion",
+      "split_allocation",
       "profile_numeric", "profile_categorical", "media_histogram",
       "length_buckets", "readability_bands", "source_concentration")),
     ("corpus-shaping", "hash-deterministic sample/pack/mix: row shuffle " +
