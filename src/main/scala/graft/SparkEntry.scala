@@ -5,8 +5,9 @@ import graft.dedup.{BbitMinhash, Bloom, ConnectedComponents, DedupQueries,
 import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.{CdcChunks, Multimodal}
 import graft.operators.{AsOfJoin, Attribution, Cohort, EventPaths,
-  EwmaAnomaly, Funnel, FuzzyJoin, IntervalJoin, MarketBasket, Pipeline,
-  RelationalQueries, Resample, Rfm, RobustStats, SkewJoin, Streaks, ZOrder}
+  EwmaAnomaly, Funnel, FuzzyJoin, IntervalJoin, Lateness, MarketBasket,
+  Pipeline, RelationalQueries, Resample, Rfm, RobustStats, SkewJoin,
+  Streaks, ZOrder}
 import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality, GraphStats,
   Ivf, IvfIncremental, KCore, KnnGraphIvf, LabelProp, PageRank, Pq,
   SemDedup, SemanticDecontam, SimilarityQueries}
@@ -38,6 +39,7 @@ object SparkEntry {
       (EventPaths.queries, EventPaths.oracles),
       (EwmaAnomaly.queries, EwmaAnomaly.oracles),
       (Streaks.queries, Streaks.oracles),
+      (Lateness.queries, Lateness.oracles),
       (RobustStats.queries, RobustStats.oracles),
       (Resample.queries, Resample.oracles),
       (ConnectedComponents.queries, ConnectedComponents.oracles),
