@@ -5,9 +5,9 @@ import graft.dedup.{BbitMinhash, Bloom, ConnectedComponents, DedupQueries,
 import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.{CdcChunks, Multimodal}
 import graft.operators.{AsOfJoin, Attribution, Cohort, EventPaths,
-  EwmaAnomaly, Funnel, FuzzyJoin, IntervalJoin, Lateness, MarketBasket,
-  Pipeline, RelationalQueries, Resample, Rfm, RobustStats, SkewJoin,
-  Streaks, ZOrder}
+  EwmaAnomaly, FilterOverlap, Funnel, FuzzyJoin, IntervalJoin, Lateness,
+  MarketBasket, Pipeline, RelationalQueries, Resample, Rfm, RobustStats,
+  SkewJoin, Streaks, ZOrder}
 import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality, GraphStats,
   Ivf, IvfIncremental, KCore, KnnGraphIvf, LabelProp, PageRank, Pq,
   SemDedup, SemanticDecontam, SimilarityQueries}
@@ -44,6 +44,7 @@ object SparkEntry {
       (Resample.queries, Resample.oracles),
       (ConnectedComponents.queries, ConnectedComponents.oracles),
       (Pipeline.queries, Pipeline.oracles),
+      (FilterOverlap.queries, FilterOverlap.oracles),
       (StormQueries.queries, StormQueries.oracles),
       (FormatSources.queries, FormatSources.oracles),
       (TextQueries.queries, TextQueries.oracles),

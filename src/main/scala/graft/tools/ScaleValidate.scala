@@ -34,7 +34,7 @@ object ScaleValidate {
     ("doc-proportional", "shuffle ∝ docs: ≈F×", Seq(
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
       "dedup_clusters", "dedup_apply", "lm_buckets", "dataset_card",
-      "split_leakfree")),
+      "split_leakfree", "filter_overlap")),
     ("dup-pair-bound", "shuffle ∝ VERIFIED dup pairs (output-sized): " +
       "on the replica scale corpora pairs grow ∝C(F,2) by construction " +
       "(measured 6.8–10×); ∝ docs at real-world dup densities — CONFIRMED " +
