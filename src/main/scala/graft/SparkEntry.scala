@@ -7,7 +7,7 @@ import graft.multimodal.{CdcChunks, Multimodal}
 import graft.operators.{AsOfJoin, Attribution, Cohort, EventPaths,
   EwmaAnomaly, FilterOverlap, Funnel, FuzzyJoin, IntervalJoin, Lateness,
   MarketBasket, Pipeline, RelationalQueries, Resample, Rfm, RobustStats,
-  SkewJoin, Streaks, ZOrder}
+  SessionEntryExit, SkewJoin, Streaks, ZOrder}
 import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality, GraphStats,
   Ivf, IvfIncremental, KCore, KnnGraphIvf, LabelProp, PageRank, Pq,
   SemDedup, SemanticDecontam, SimilarityQueries}
@@ -32,6 +32,7 @@ object SparkEntry {
       (Attribution.queries, Attribution.oracles),
       (SkewJoin.queries, SkewJoin.oracles),
       (Funnel.queries, Funnel.oracles),
+      (SessionEntryExit.queries, SessionEntryExit.oracles),
       (Cohort.queries, Cohort.oracles),
       (FuzzyJoin.queries, FuzzyJoin.oracles),
       (Rfm.queries, Rfm.oracles),
