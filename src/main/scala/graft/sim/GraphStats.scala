@@ -110,9 +110,32 @@ object GraphStats {
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Component-size histogram of the mutual kNN graph — the "semantic
+    * islands" census beside the degree histogram: a census dominated by
+    * mid-size components means the corpus organizes into tight topical
+    * pockets (SemDeDup's hunting ground), a long size-1 tail means
+    * novel content the coverage sampler ([[Coreset]]) must protect.
+    * Isolated vectors (no mutual edge) count as singleton components
+    * via the nodes-side left join. CC is the engine-standard
+    * pointer-doubling core ([[graft.dedup.ConnectedComponents
+    * .connectedComponents]]); the probe-measured component sizes are
+    * small (≤ ~30 at gate SFs), so the oracle's recursive closure is
+    * Σsize²-bounded. */
+  def knnComponents(s: SparkSession, dir: String): DataFrame = {
+    val labels = graft.dedup.ConnectedComponents.connectedComponents(
+      mutualEdges(s, dir).select(col("u").as("src"), col("v").as("dst")))
+    val nodes = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .groupBy("comp").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_components"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_triangle_stats" -> triangleStats,
-    "knn_degree_hist" -> degreeHist)
+    "knn_degree_hist" -> degreeHist,
+    "knn_components" -> knnComponents)
 
   /** Shared oracle CTE: the knn_graph_lsh ranking (verbatim semantics)
     * symmetrized to mutual undirected edges — shared with [[LabelProp]]
@@ -159,5 +182,19 @@ object GraphStats {
          |SELECT coalesce(deg.degree, 0)::BIGINT AS degree,
          |  count(*) AS n_nodes
          |FROM embeddings i LEFT JOIN deg ON i.vec_id = deg.node
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+    "knn_components" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |edges AS (SELECT u AS src, v AS dst FROM e
+         |          UNION SELECT v, u FROM e),
+         |reach(a, b) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.a, g.dst FROM reach r JOIN edges g ON g.src = r.b),
+         |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+         |lab AS (SELECT i.vec_id AS id, coalesce(c.comp, i.vec_id) AS comp
+         |        FROM embeddings i LEFT JOIN comp c ON c.id = i.vec_id),
+         |sz AS (SELECT comp, count(*)::BIGINT AS size FROM lab GROUP BY comp)
+         |SELECT size, count(*)::BIGINT AS n_components
+         |FROM sz GROUP BY size""".stripMargin)
 }

@@ -127,7 +127,7 @@ object ScaleValidate {
       "eigencentrality_knn")),
     ("mutual-knn-stats", "mutual edges ≤ K·N, wedge join Σdeg² ≤ K²·N " +
       "(degree capped at K by construction): ≈F×", Seq(
-      "knn_triangle_stats", "knn_degree_hist")),
+      "knn_triangle_stats", "knn_degree_hist", "knn_components")),
     ("label-prop", "const rounds × (edges⋈labels + (node,label) " +
       "partials), frontier shrinks monotonically: ∝ edges ≈F×", Seq(
       "label_prop_knn", "label_prop_confusion")),
