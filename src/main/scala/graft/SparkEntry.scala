@@ -7,10 +7,10 @@ import graft.multimodal.{CdcChunks, Multimodal}
 import graft.operators.{AsOfJoin, Attribution, Cohort, EventPaths,
   EwmaAnomaly, FilterOverlap, Funnel, FuzzyJoin, IntervalJoin, Lateness,
   MarketBasket, Pipeline, RelationalQueries, Resample, Rfm, RobustStats,
-  SessionEntryExit, SkewJoin, Streaks, ZOrder}
-import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality, GraphStats,
-  Ivf, IvfIncremental, KCore, KnnGraphIvf, LabelProp, PageRank, Pq,
-  SemDedup, SemanticDecontam, SimilarityQueries}
+  SeasonalBaseline, SessionEntryExit, SkewJoin, Streaks, ZOrder}
+import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality,
+  GraphStats, NormProfile, Ivf, IvfIncremental, KCore, KnnGraphIvf,
+  LabelProp, PageRank, Pq, SemDedup, SemanticDecontam, SimilarityQueries}
 import graft.sources.FormatSources
 import graft.storm.StormQueries
 import graft.text.{Allocation, BigramLm, Bpe, Chunking, Concentration, DomainCaps,
@@ -39,6 +39,7 @@ object SparkEntry {
       (MarketBasket.queries, MarketBasket.oracles),
       (EventPaths.queries, EventPaths.oracles),
       (EwmaAnomaly.queries, EwmaAnomaly.oracles),
+      (SeasonalBaseline.queries, SeasonalBaseline.oracles),
       (Streaks.queries, Streaks.oracles),
       (Lateness.queries, Lateness.oracles),
       (RobustStats.queries, RobustStats.oracles),
@@ -88,6 +89,7 @@ object SparkEntry {
       (Pq.queries, Pq.oracles),
       (KnnGraphIvf.queries, KnnGraphIvf.oracles),
       (EmbeddingDrift.queries, EmbeddingDrift.oracles),
+      (NormProfile.queries, NormProfile.oracles),
       (EmbedPca.queries, EmbedPca.oracles),
       (SemDedup.queries, SemDedup.oracles),
       (PageRank.queries, PageRank.oracles),

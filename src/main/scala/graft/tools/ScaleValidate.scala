@@ -55,7 +55,8 @@ object ScaleValidate {
       "text_stats", "value_histogram", "source_drift", "lang_id_confusion",
       "split_allocation",
       "profile_numeric", "profile_categorical", "media_histogram",
-      "length_buckets", "readability_bands", "source_concentration")),
+      "length_buckets", "readability_bands", "source_concentration",
+      "seasonal_anomaly", "embed_norm_profile")),
     ("corpus-shaping", "hash-deterministic sample/pack/mix: row shuffle " +
       "∝ selected docs ≈F×, per-group partials ≪F×", Seq(
       "stratified_sample", "sample_per_group", "sample_per_group_agg",
