@@ -283,6 +283,15 @@ object StreamingPlanDigest {
           mem.addData((1L, "src0", "a b c"))
         }
       },
+      "seasonal" -> { () =>
+        val mem = MemoryStream[(Long, String, Timestamp, Double)]
+        val cells = StreamSeasonal.frozenCells(spark, IndexSfDir)
+        run(StreamSeasonal.flagsOverStream(
+          mem.toDS().toDF("event_id", "event_type", "ts", "value"), cells),
+          StreamSeasonal.outputMode) {
+          mem.addData((1L, "click", ts0, 10.0))
+        }
+      },
       "streaks" -> { () =>
         val mem = MemoryStream[StreamStreaks.Ev]
         run(StreamStreaks.profilesOverStream(mem.toDS()).toDF(),
