@@ -308,10 +308,86 @@ object Ivf {
        |FROM fx GROUP BY cell""".stripMargin
   }
 
+  /** The recall dial as a FIRST-CLASS GATE: for each nprobe in
+    * [[RecallNprobes]], how many of the exhaustive top-[[TopK]] the
+    * probed search returns (`n_hits`) and how many vectors it scanned
+    * (`n_scanned`) — the measured recall/cost curve an index owner
+    * reads before fixing nprobe, promoted from the RecallProbe tool to
+    * an oracle-checked relation (all integers; the oracle replays the
+    * whole curve from the trained centroid literals, the `ivf_topk`
+    * dynamic pattern). Driver state is k- and NLists-bounded. */
+  def ivfRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, centers) = assignments(s, dir)
+    val ranked = rankedCells(s, dir)
+    val exact = ivfTopkProbing(s, dir, NLists, ranked).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val cellSizes = assigned.filter(col("vec_id") =!= 0)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = RecallNprobes.map { np =>
+      val ids = ivfTopkProbing(s, dir, np, ranked).collect()
+        .map(_.getAs[Long]("vec_id"))
+      (np.toLong, ids.count(exact).toLong,
+        ranked.take(np).map(cellSizes.getOrElse(_, 0L)).sum,
+        TopK.toLong)
+    }
+    synchronized {
+      lastRecallOracle = Some(recallOracleSql(centers, ranked))
+    }
+    import s.implicits._
+    rows.toDF("nprobe", "n_hits", "n_scanned", "topk")
+  }
+
+  val RecallNprobes: Seq[Int] = Seq(1, 2, NProbe, NLists)
+
+  private var lastRecallOracle: Option[String] = None
+
+  private def recallOracleSql(centers: Array[Array[Double]],
+      ranked: Seq[Int]): String = {
+    val rows = centers.zipWithIndex.map { case (c, j) =>
+      s"($j, ${fmtD(c.map(x => x * x).sum)}, " +
+        s"[${c.map(fmtD).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    val perNp = RecallNprobes.map { np =>
+      val cells = ranked.take(np).mkString(", ")
+      s"""SELECT ${np}::BIGINT AS nprobe,
+         |  (SELECT count(*) FROM (
+         |     SELECT vec_id FROM d WHERE cell IN ($cells)
+         |     ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
+         |     LIMIT $TopK) t JOIN brute USING (vec_id))::BIGINT AS n_hits,
+         |  (SELECT count(*) FROM asg
+         |     WHERE vec_id <> 0 AND cell IN ($cells))::BIGINT AS n_scanned,
+         |  ${TopK}::BIGINT AS topk""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cents(j, c2, c) AS (VALUES
+       |    $rows),
+       |sc AS (SELECT e.vec_id, e.label, e.embedding, c.j,
+       |         c.c2 - 2 * (${SimilarityQueries.sqlDot("e.embedding", "c.c")})
+       |           / sqrt(${SimilarityQueries.sqlDot("e.embedding", "e.embedding")})
+       |           AS score
+       |       FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, label, embedding, j AS cell
+       |        FROM (SELECT *, row_number() OVER (
+       |                PARTITION BY vec_id ORDER BY score ASC, j ASC) AS rn
+       |              FROM sc)
+       |        WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |d AS (SELECT a.vec_id, a.cell,
+       |  ${SimilarityQueries.sqlDot("a.embedding", "qe")} AS dp,
+       |  ${SimilarityQueries.sqlDot("a.embedding", "a.embedding")} AS na,
+       |  ${SimilarityQueries.sqlDot("qe", "qe")} AS nq
+       |  FROM asg a, q WHERE a.vec_id <> 0),
+       |brute AS (SELECT vec_id FROM d
+       |  ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
+       |  LIMIT $TopK)
+       |$perNp""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_topk" -> ivfTopk,
     "ivf_topk_probeall" -> ivfTopkProbeAll,
-    "ivf_silhouette" -> ivfSilhouette)
+    "ivf_silhouette" -> ivfSilhouette,
+    "ivf_recall_curve" -> ivfRecallCurve)
 
   /** The recall/latency dial, measured: for each nprobe, recall@TopK
     * against the exact top-k and the fraction of the corpus the probe
@@ -432,9 +508,13 @@ object Ivf {
       case Some(sql) => base + ("ivf_topk" -> sql)
       case None => base
     }
-    synchronized(lastSilOracle) match {
+    val withSil = synchronized(lastSilOracle) match {
       case Some(sql) => withTopk + ("ivf_silhouette" -> sql)
       case None => withTopk
+    }
+    synchronized(lastRecallOracle) match {
+      case Some(sql) => withSil + ("ivf_recall_curve" -> sql)
+      case None => withSil
     }
   }
 }

@@ -87,7 +87,7 @@ object ScaleValidate {
       "decontaminate", "decontam_bloom", "ann_cosine_topk",
       "ann_batch_topk", "ann_lsh_buckets", "ann_lsh_topk",
       "ann_lsh_multiprobe", "ivf_topk", "ivf_topk_probeall",
-      "ivf_silhouette", "ivf_incremental",
+      "ivf_silhouette", "ivf_incremental", "ivf_recall_curve",
       "dedup_embedding_cosine",
       "quality_lm_score", "dsir_weights", "quality_bigram_score",
       "decontam_report", "decontam_semantic", "decontam_semantic_strict",
