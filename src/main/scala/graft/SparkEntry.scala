@@ -4,7 +4,7 @@ import graft.dedup.{BbitMinhash, Bloom, ConnectedComponents, DedupQueries,
   PrefixJoin, SnapshotDedup, SubstringDedup} // KnnGraphIvf registers semantic_clusters
 import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.{CdcChunks, Multimodal}
-import graft.operators.{AsOfJoin, Attribution, Cohort, EventPaths,
+import graft.operators.{AsOfJoin, Attribution, Backlog, Cohort, EventPaths,
   EwmaAnomaly, FilterOverlap, Funnel, FuzzyJoin, IntervalJoin, Lateness,
   MarketBasket, Pipeline, RelationalQueries, Resample, Rfm, RobustStats,
   SeasonalBaseline, SessionEntryExit, SkewJoin, Streaks, ZOrder}
@@ -34,6 +34,7 @@ object SparkEntry {
       (Funnel.queries, Funnel.oracles),
       (SessionEntryExit.queries, SessionEntryExit.oracles),
       (Cohort.queries, Cohort.oracles),
+      (Backlog.queries, Backlog.oracles),
       (FuzzyJoin.queries, FuzzyJoin.oracles),
       (Rfm.queries, Rfm.oracles),
       (MarketBasket.queries, MarketBasket.oracles),

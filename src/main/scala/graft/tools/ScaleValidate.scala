@@ -159,6 +159,10 @@ object ScaleValidate {
     ("keyed-topk", "agg keyed by fixed dim / WindowGroupLimit-capped: ≪F×", Seq(
       "q2_top_customers", "q13_top_events_per_type",
       "q11_first_order_per_customer")),
+    ("sweep-line", "two delta rows per order, date-keyed partials; the " +
+      "cumulative window runs over the bounded distinct-day relation, " +
+      "never facts: ∝ orders ≈F× then domain-bounded", Seq(
+      "order_backlog_daily")),
     ("time-align-join", "bucketed equi on time: ∝ events ≈F×", Seq(
       "asof_join", "asof_join_forward", "interval_join", "resample_ffill",
       "attribution_weights")),
