@@ -16,7 +16,9 @@ class StreamNoveltySpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
-    val frozen = StreamNovelty.frozenGrams(spark, sf).cache()
+    // localCheckpoint, NOT cache() — see StreamSeasonalSpec: a cached
+    // plan would leak into the plan-lock spec's identical build
+    val frozen = StreamNovelty.frozenGrams(spark, sf).localCheckpoint(true)
     val corpusGrams = frozen.collect().map(_.getString(0)).toSet
 
     // arrivals: one pure-corpus doc (the first at-rest doc's text), one

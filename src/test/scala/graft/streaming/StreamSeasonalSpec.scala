@@ -16,7 +16,11 @@ class StreamSeasonalSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
-    val cells = StreamSeasonal.frozenCells(spark, sf).cache()
+    // localCheckpoint, NOT cache(): a cached plan would be substituted
+    // into any LATER identical plan in the shared session (the streaming
+    // plan-lock spec builds the same frozenCells) and silently change
+    // its locked outline to an InMemoryRelation scan
+    val cells = StreamSeasonal.frozenCells(spark, sf).localCheckpoint(true)
     val events = graft.Tables(spark, sf, "events")
       .selectExpr("event_id", "event_type", "ts", "value")
       .as[(Long, String, Timestamp, Double)].collect()
