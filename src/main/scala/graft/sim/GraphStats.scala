@@ -42,7 +42,7 @@ object GraphStats {
     lastEdges match {
       case Some((k, v)) if k == key => v
       case _ =>
-        val e = mutualEdgesFrom(SimilarityQueries.knnGraphLsh(s, dir))
+        val e = mutualEdgesFrom(SimilarityQueries.knnGraphLshShared(s, dir))
           .localCheckpoint(true)
         lastEdges = Some((key, e))
         e

@@ -68,9 +68,8 @@ object PageRank {
     val nodes = Tables.parallel(s, dir, "embeddings")
       .select(col("vec_id").as("id"))
     val n = nodes.count()
-    val edges = SimilarityQueries.knnGraphLsh(s, dir)
+    val edges = SimilarityQueries.knnGraphLshShared(s, dir)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .cache()
     pagerankFp(nodes, edges, n)
       .orderBy(desc("r"), asc("id"))
       .limit(TopK)
