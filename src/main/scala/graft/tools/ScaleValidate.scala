@@ -34,7 +34,7 @@ object ScaleValidate {
     ("doc-proportional", "shuffle ∝ docs: ≈F×", Seq(
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
       "dedup_clusters", "dedup_apply", "lm_buckets", "dataset_card",
-      "split_leakfree", "filter_overlap")),
+      "split_leakfree")),
     ("dup-pair-bound", "shuffle ∝ VERIFIED dup pairs (output-sized): " +
       "on the replica scale corpora pairs grow ∝C(F,2) by construction " +
       "(measured 6.8–10×); ∝ docs at real-world dup densities — CONFIRMED " +
@@ -42,7 +42,7 @@ object ScaleValidate {
       "member in the shuffle regime", Seq(
       "dedup_bbit_minhash", "pipeline_funnel", "split_leakage",
       "dedup_weighted_jaccard", "dedup_keep_best", "dedup_by_source",
-      "dedup_threshold_curve")),
+      "dedup_threshold_curve", "filter_overlap")),
     ("projection", "shuffle ≈ 0 at any scale", Seq(
       "text_quality", "quality_gopher", "doc_fingerprint",
       "embed_quantize", "train_split", "chunk_documents",
