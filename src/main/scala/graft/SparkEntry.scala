@@ -7,7 +7,8 @@ import graft.multimodal.{CdcChunks, Multimodal}
 import graft.operators.{AsOfJoin, Attribution, Backlog, Cohort, EventPaths,
   EwmaAnomaly, FilterOverlap, Funnel, FuzzyJoin, IntervalJoin, Lateness,
   MarketBasket, Pipeline, RelationalQueries, Resample, Rfm, RobustStats,
-  SeasonalBaseline, SessionEntryExit, SkewJoin, Streaks, ZOrder}
+  RevenueMom, SeasonalBaseline, SessionEntryExit, SkewJoin, Streaks,
+  ZOrder}
 import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality,
   GraphStats, NormProfile, Ivf, IvfIncremental, KCore, KnnGraphIvf,
   LabelProp, PageRank, Pq, SemDedup, SemanticDecontam, SimilarityQueries}
@@ -27,6 +28,7 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
+      (RevenueMom.queries, RevenueMom.oracles),
       (AsOfJoin.queries, AsOfJoin.oracles),
       (IntervalJoin.queries, IntervalJoin.oracles),
       (Attribution.queries, Attribution.oracles),

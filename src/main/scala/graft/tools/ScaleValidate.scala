@@ -144,7 +144,7 @@ object ScaleValidate {
       "q1_pricing_summary", "q6_forecast", "q14_hourly_events",
       "q18_stats", "q12_status_priority_rollup",
       "q19_brand_cube", "q20_event_props", "q23_status_priority_pivot",
-      "q25_grouping_sets")),
+      "q25_grouping_sets", "q26_revenue_mom")),
     ("referential-audit", "fact×fact key anti-join: broadcast below " +
       "threshold, ONE key shuffle per side ∝ facts ≈F× beyond it; " +
       "bucketing co-locates both sides at 100 TB", Seq("q17_constraints")),
