@@ -7,8 +7,8 @@ import graft.multimodal.{CdcChunks, Multimodal}
 import graft.operators.{AsOfJoin, Attribution, Backlog, Cohort, EventPaths,
   EwmaAnomaly, FilterOverlap, Funnel, FuzzyJoin, IntervalJoin, Lateness,
   MarketBasket, Pipeline, RelationalQueries, Resample, Rfm, RobustStats,
-  RevenueMom, SeasonalBaseline, SessionEntryExit, SkewJoin, Streaks,
-  ZOrder}
+  RevenueMom, SeasonalBaseline, SessionEntryExit, SessionTypePairs,
+  SkewJoin, Streaks, ZOrder}
 import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality,
   GraphStats, NormProfile, Ivf, IvfIncremental, KCore, KnnGraphIvf,
   LabelProp, PageRank, Pq, SemDedup, SemanticDecontam, SimilarityQueries}
@@ -35,6 +35,7 @@ object SparkEntry {
       (SkewJoin.queries, SkewJoin.oracles),
       (Funnel.queries, Funnel.oracles),
       (SessionEntryExit.queries, SessionEntryExit.oracles),
+      (SessionTypePairs.queries, SessionTypePairs.oracles),
       (Cohort.queries, Cohort.oracles),
       (Backlog.queries, Backlog.oracles),
       (FuzzyJoin.queries, FuzzyJoin.oracles),

@@ -170,7 +170,8 @@ object ScaleValidate {
       "q16_sessionize", "q22_rolling_user_stats", "q24_session_window",
       "funnel_stages", "cohort_retention", "q21_sliding_windows",
       "event_transitions", "scd2_build", "ewma_anomaly",
-      "user_streaks", "lateness_profile", "session_entry_exit")),
+      "user_streaks", "lateness_profile", "session_entry_exit",
+      "session_type_pairs")),
     ("greedy-coreset", "K corpus scans, zero shuffle (TakeOrdered " +
       "partials 1 row/partition); center state K·dim on the driver: " +
       "scan ∝F×, shuffle ≈0", Seq("coreset_kcenter")),
