@@ -237,6 +237,21 @@ object ConnectedComponents {
     }
   }
 
+  /** Near-dup cluster-size census — the one-glance dedup severity
+    * readout beside the removal tiers: how many clusters of each size
+    * the verified pair relation induces, and how many documents they
+    * hold. A census dominated by pairs means scattered light
+    * duplication (cheap to keep-best); a heavy tail of large clusters
+    * means template farms worth source-level action
+    * ([[dedupBySource]]). Rides the memoized cluster labels — zero new
+    * heavy work; the census itself is cluster-size-domain-bounded. */
+  def dedupClusterHist(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+      .groupBy("cluster_size")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   /** Drop the memoized cluster labels (tests; corpus switches evict via
     * the one-slot policy). */
   def releaseClusters(): Unit = synchronized { clusterMemo = None }
@@ -371,6 +386,7 @@ object ConnectedComponents {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
+    "dedup_cluster_hist" -> dedupClusterHist,
     "dedup_clusters_multi" -> dedupClustersMulti,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_apply" -> dedupApply,
@@ -393,6 +409,21 @@ object ConnectedComponents {
           |SELECT doc_id, cluster_id,
           |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
           |FROM comp""".stripMargin),
+    "dedup_cluster_hist" ->
+      (s"WITH RECURSIVE ${DedupQueries.lshPairsCte},\n" +
+        """edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+          |          UNION SELECT b_id, a_id FROM lshpairs),
+          |reach(a, b) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+          |         FROM reach GROUP BY a),
+          |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+          |       FROM comp GROUP BY cluster_id)
+          |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+          |  (cluster_size * count(*))::BIGINT AS n_docs
+          |FROM sz GROUP BY cluster_size""".stripMargin),
     "dedup_clusters_multi" ->
       (s"WITH RECURSIVE ${DedupQueries.lshPairsCte},\n" +
         s"${DedupQueries.simhashHammingCte},\n" +

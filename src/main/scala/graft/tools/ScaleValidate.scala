@@ -33,7 +33,8 @@ object ScaleValidate {
       "projection", Seq("embed_pca")),
     ("doc-proportional", "shuffle ∝ docs: ≈F×", Seq(
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-      "dedup_clusters", "dedup_apply", "lm_buckets", "dataset_card",
+      "dedup_clusters", "dedup_cluster_hist", "dedup_apply",
+      "lm_buckets", "dataset_card",
       "split_leakfree")),
     ("dup-pair-bound", "shuffle ∝ VERIFIED dup pairs (output-sized): " +
       "on the replica scale corpora pairs grow ∝C(F,2) by construction " +
