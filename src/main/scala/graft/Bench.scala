@@ -32,16 +32,28 @@ object Bench {
     // Host-speed calibration (round-6 verdict: five identical builds
     // spanned 152–212 s on the shared box, making cross-round wall-clock
     // comparison blind). A deterministic CPU-bound task — xxhash64 over a
-    // fixed range, no IO, no shuffle — run 3×, min taken (min is the
-    // stable estimator under one-sided contention noise). calib_sec
-    // lands in the bench JSON; queries_norm rescales per-query seconds
-    // by CalibRef/calib_sec so a slow host inflates both equally.
-    val calibSec = (1 to 3).map { _ =>
+    // fixed range, no IO, no shuffle. Round-8 verdict follow-up: a SINGLE
+    // point-in-time calibration is itself the dominant noise term on a
+    // shared box (observed 0.185–0.255 across runs, ±35% on normalized
+    // totals) because host speed drifts DURING the ~4-minute run. So the
+    // sample is now INTERLEAVED: one sample before the queries, one at
+    // the midpoint, one after; each sample is the min of 2 back-to-back
+    // runs (min absorbs one-sided contention spikes within a sample),
+    // calib_sec is the MEDIAN of the three samples (tracks the run-long
+    // average host speed instead of one moment), and calib_spread
+    // (max−min of the samples) lands in the JSON so a drifting host is
+    // visible in the artifact instead of silently poisoning the
+    // normalization.
+    def calibOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(256L * 1000 * 1000).selectExpr("bit_xor(xxhash64(id))")
         .collect() // bit_xor: overflow-free under ANSI, same hash work
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    calibOnce() // un-timed JIT warm-up of the calibration task itself
+    val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def calibSample(): Unit = calibSamples += math.min(calibOnce(), calibOnce())
+    calibSample() // sample 1: before memo builds + queries
     // Compile the largest codegen unit (the storm enrich projection) once,
     // un-timed: its first-run whole-stage-codegen + JIT is several seconds
     // of ONE-TIME cost that would otherwise be attributed to whichever
@@ -100,7 +112,10 @@ object Bench {
     // ShuffleByGroup (shared with ScaleValidate).
     val shuffle = new ShuffleByGroup
     spark.sparkContext.addSparkListener(shuffle)
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val midpoint = ordered.size / 2
+    val timed = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == midpoint) calibSample() // sample 2: mid-run host speed
       val t0 = System.nanoTime()
       shuffle.measure(spark.sparkContext, name) {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -111,6 +126,10 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9)
     }
     shuffle.drain()
+    calibSample() // sample 3: after the last query
+    val sortedSamples = calibSamples.toSeq.sorted
+    val calibSec = sortedSamples(sortedSamples.size / 2) // median of 3
+    val calibSpread = sortedSamples.last - sortedSamples.head
     def mbOf(name: String): Double = shuffle.mbOf(name)
     def recOf(name: String): Long = shuffle.recOf(name)
     val qs = timed.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -130,7 +149,8 @@ object Bench {
       .mkString("{", ",", "}")
     val ms = memoTimed.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"value_norm":${total * scale}%.3f,"memo_total":$memoTotal%.3f,"memo_sec":$ms,"queries":$qs,"queries_norm":$qn,"shuffle_mb":$sh,"shuffle_rec":$rec,"sf":"$sfDir"}""")
+    val cs = calibSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_spread":$calibSpread%.3f,"calib_samples":$cs,"value_norm":${total * scale}%.3f,"memo_total":$memoTotal%.3f,"memo_sec":$ms,"queries":$qs,"queries_norm":$qn,"shuffle_mb":$sh,"shuffle_rec":$rec,"sf":"$sfDir"}""")
     // Short trailer for the driver's stdout-tail parser: the full
     // per-query JSON above outgrows a bounded tail window (BENCH_r04/
     // r05 both recorded "parsed": null), so the LAST line is a compact
@@ -139,7 +159,7 @@ object Bench {
     // the driver's parser through round 6 ("parsed": null); stderr
     // passes through sbt un-prefixed.
     val trailer =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"value_norm":${total * scale}%.3f,"n_queries":${timed.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_spread":$calibSpread%.3f,"value_norm":${total * scale}%.3f,"n_queries":${timed.size},"sf":"$sfDir"}"""
     println(trailer)
     System.err.println(trailer)
     System.out.flush(); System.err.flush()

@@ -12,10 +12,10 @@ import graft.operators.{AsOfJoin, Attribution, Backlog, Cohort, EventPaths,
 import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality,
   GraphStats, NormProfile, Ivf, IvfIncremental, KCore, KnnGraphIvf,
   LabelProp, PageRank, Pq, SemDedup, SemanticDecontam, SimilarityQueries}
-import graft.sources.FormatSources
+import graft.sources.{CorpusManifest, FormatSources}
 import graft.storm.StormQueries
 import graft.text.{Allocation, BigramLm, Bpe, Chunking, Concentration, DomainCaps,
-  Drift, HeavyHitterDelta, HybridRetrieval, Keywords, NgramNovelty,
+  Drift, HeavyHitterDelta, HtmlExtract, HybridRetrieval, Keywords, NgramNovelty,
   PiiRedact, Pretokenize, QualityClassifier, QuantileNorm, Readability,
   Retrieval, Sampling, SourceKs, TextQueries, Unigram, Winnow, WordPiece}
 
@@ -53,6 +53,7 @@ object SparkEntry {
       (FilterOverlap.queries, FilterOverlap.oracles),
       (StormQueries.queries, StormQueries.oracles),
       (FormatSources.queries, FormatSources.oracles),
+      (CorpusManifest.queries, CorpusManifest.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (Readability.queries, Readability.oracles),
       (Concentration.queries, Concentration.oracles),
@@ -61,6 +62,7 @@ object SparkEntry {
       (SourceKs.queries, SourceKs.oracles),
       (DomainCaps.queries, DomainCaps.oracles),
       (PiiRedact.queries, PiiRedact.oracles),
+      (HtmlExtract.queries, HtmlExtract.oracles),
       (Chunking.queries, Chunking.oracles),
       (Sampling.queries, Sampling.oracles),
       (Allocation.queries, Allocation.oracles),

@@ -1,0 +1,142 @@
+package graft.sources
+
+import graft.Tables
+import graft.dedup.ConnectedComponents
+import graft.text.TextQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus MATERIALIZATION — the write-side story the engine
+  * computes everything for but (through round 8) never shipped: the
+  * final funnel survivors (exact-dup keeper ∩ near-dup keeper ∩ Gopher
+  * pass — the [[ConnectedComponents.removalTiers]] →
+  * [[TextQueries.gopherFlags]] chain, both already hash-certified
+  * gates) written out as a real partitioned corpus artifact, re-read,
+  * and checksummed. The gate result is the MANIFEST relation a
+  * downstream trainer would consume:
+  *
+  *   source | n_files | n_rows | min/max_doc_id | total_chars | content_xor
+  *
+  * computed FROM THE RE-READ FILES, so it certifies the full
+  * write → read round trip, not just the in-memory funnel:
+  *  - `n_files` proves the layout discipline: `repartition(source)`
+  *    routes every source to exactly one task, so `partitionBy(source)`
+  *    yields exactly ONE file per source regardless of
+  *    `shuffle.partitions` — a nondeterministic task split would show
+  *    n_files > 1 and red the hash against the oracle's literal 1;
+  *  - `content_xor` is an order-independent content checksum (XOR of a
+  *    60-bit sha256 prefix of `doc_id|text` per row) — any lost, dup'd
+  *    or corrupted row flips it; XOR commutes, so file/row order (which
+  *    Spark does not promise on read) cannot;
+  *  - rows are sorted by `doc_id` within each file
+  *    (`sortWithinPartitions(source, doc_id)`) — the scan-friendly
+  *    layout; `CorpusManifestSpec` asserts the physical order.
+  *
+  * The DuckDB oracle replays the funnel (the same LSH-pair +
+  * recursive-CC + exact-tier + Gopher SQL as the dedup/apply gates)
+  * and aggregates per source directly — so the manifest matches iff
+  * the written artifact holds EXACTLY the survivor set.
+  *
+  * Scale: the funnel legs are proven elsewhere (pair-bound tiers,
+  * projection-shaped Gopher); the write adds one `repartition(source)`
+  * shuffle of the survivor rows — work ∝ survivors — and file count is
+  * bounded by the source domain, not the corpus. At 100 TB, sources
+  * are replaced by finer buckets (e.g. `source × doc_id div N`) to cap
+  * file size; the manifest relation and its checks are unchanged.
+  */
+object CorpusManifest {
+
+  /** Deterministic per-(sf-dir) output location under the build dir. */
+  def outDir(dir: String): String = {
+    val name = new java.io.File(dir).getName
+    s"target/corpus_out/${name}_${Integer.toHexString(dir.hashCode)}"
+  }
+
+  /** The survivor relation: docs that keep their exact-content group,
+    * keep their near-dup cluster, and pass the Gopher rules. */
+  def survivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val (exactRemoved, nearRemoved) = ConnectedComponents.removalTiers(s, dir)
+    val pass = TextQueries.gopherFlags(Tables.parallel(s, dir, "documents"))
+      .filter(col("pass")).select("doc_id")
+    docs
+      .join(exactRemoved, Seq("doc_id"), "left_anti")
+      .join(nearRemoved, Seq("doc_id"), "left_anti")
+      .join(pass, Seq("doc_id"), "left_semi")
+  }
+
+  /** Gate: write the survivor corpus (one sorted file per source), read
+    * it back, and emit the per-source manifest. */
+  def corpusManifest(s: SparkSession, dir: String): DataFrame = {
+    val out = outDir(dir)
+    survivors(s, dir)
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    val back = s.read.parquet(out)
+    back
+      .withColumn("h", conv(substring(
+        sha2(concat(col("doc_id"), lit("|"), col("text")), 256), 1, 15),
+        16, 10).cast("long"))
+      .withColumn("f", input_file_name())
+      .groupBy("source")
+      .agg(
+        countDistinct(col("f")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        expr("bit_xor(h)").as("content_xor"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_manifest" -> corpusManifest)
+
+  /** Funnel survivors replayed in DuckDB: LSH pairs → recursive CC →
+    * exact/near tiers (verbatim from the dedup_apply oracle) ∩ Gopher
+    * pass (verbatim from the dedup_keep_best oracle). */
+  val oracles: Map[String, String] = Map(
+    "corpus_manifest" -> {
+      import graft.text.TextQueries._
+      (s"WITH RECURSIVE ${graft.dedup.DedupQueries.lshPairsCte},\n" +
+        s"""edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+          |          UNION SELECT b_id, a_id FROM lshpairs),
+          |reach(a, b) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+          |         FROM reach GROUP BY a),
+          |ex AS (SELECT doc_id FROM (
+          |         SELECT doc_id,
+          |           min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+          |         FROM documents)
+          |       WHERE doc_id <> keeper),
+          |near AS (SELECT doc_id FROM comp
+          |         WHERE doc_id <> cluster_id
+          |           AND doc_id NOT IN (SELECT doc_id FROM ex)),
+          |wq AS (SELECT doc_id,
+          |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+          |       FROM documents),
+          |g AS (SELECT doc_id FROM wq WHERE len(w) >= 1
+          |        AND (len(w) BETWEEN $GopherMinWords AND $GopherMaxWords)
+          |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
+          |            / len(w) >= $GopherMinMeanLen
+          |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
+          |            / len(w) <= $GopherMaxMeanLen
+          |        AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          |            * 1.0 / len(w) >= $GopherMinAlphaFrac
+          |        AND len(list_filter(w, x -> x IN ($stopListSql)))
+          |            >= $GopherMinStopHits),
+          |surv AS (SELECT d.* FROM documents d
+          |         WHERE d.doc_id NOT IN (SELECT doc_id FROM ex)
+          |           AND d.doc_id NOT IN (SELECT doc_id FROM near)
+          |           AND d.doc_id IN (SELECT doc_id FROM g))
+          |SELECT source, 1::BIGINT AS n_files, count(*)::BIGINT AS n_rows,
+          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+          |  sum(length(text))::BIGINT AS total_chars,
+          |  bit_xor(CAST('0x' || substr(sha256(doc_id || '|' || text), 1, 15)
+          |    AS BIGINT))::BIGINT AS content_xor
+          |FROM surv GROUP BY source""".stripMargin)
+    })
+}

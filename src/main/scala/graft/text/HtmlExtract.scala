@@ -1,0 +1,230 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw-crawl HTML main-content extraction — the pipeline stage BEFORE
+  * every text operator this engine ships: real LLM corpora start from
+  * crawled HTML, and quality/dedup/tokenizer tiers all assume the
+  * boilerplate (nav, header, footer, scripts, styles, asides) is
+  * already gone. This family makes that stage a first-class, oracle-
+  * gated operator.
+  *
+  * The fixture corpus is clean text by design, so — the `pii_redact`
+  * playbook — the dirt is synthesized deterministically in-query: each
+  * document is wrapped into a full page (title/style/script head,
+  * header, link-heavy nav, content div, aside, link+copyright footer)
+  * whose boilerplate derives only from `doc_id`/`source`, so both
+  * engines build the byte-identical page. Extraction then proceeds
+  * exactly as a production boilerplate stripper would:
+  *
+  *  1. remove `<script>`/`<style>` subtrees (their TEXT is not content);
+  *  2. segment the page into candidate blocks (header/nav/div/aside/
+  *     footer);
+  *  3. score each block by text MASS — stripped-text length × text
+  *     density (len_text²/len_block), the CETR/boilerpipe-family
+  *     heuristic: content blocks carry much text with little markup,
+  *     nav/footer blocks are markup- and link-heavy;
+  *  4. the max-mass block is the main content; everything else is
+  *     boilerplate, reported as `boilerplate_ratio` =
+  *     1 − main_text/all_text.
+  *
+  * `recovered` closes the loop: extraction succeeded iff the main text
+  * equals the whitespace-normalized original document. The whole chain
+  * is per-row `regexp_replace`/`regexp_extract` projections — zero
+  * shuffle at any scale ([[boilerplateRatio]] adds one
+  * sources-bounded rollup). The oracle replays page synthesis,
+  * stripping, block scoring and selection in DuckDB, so one byte of
+  * divergence (a regex dialect difference, a tie-break order bug) reds
+  * the hash.
+  */
+object HtmlExtract {
+
+  // Page template pieces, shared verbatim by the Spark projection and
+  // the DuckDB oracle (no single quotes — they are inlined into SQL
+  // string literals).
+  val P1 = "<html><head><title>Doc "
+  val P2 = "</title><style>body{margin:0;font:14px sans}</style><script>var page="
+  val P3 = ";track(\""
+  val P4 = "\");</script></head><body><header><h1>"
+  val P5 = " portal</h1></header><nav><a href=\"/\">home</a><a href=\"/"
+  val P6 = "\">"
+  val P7 = "</a><a href=\"/p/"
+  val P8 = "\">archive</a></nav><div id=\"main\"><p>"
+  val P9 = "</p></div><aside><a href=\"/r/"
+  val P10 = "\">related</a></aside><footer><a href=\"/tos\">terms</a>" +
+    "<a href=\"/privacy\">privacy</a> copyright "
+  val P11 = " "
+  val P12 = "</footer></body></html>"
+
+  val ScriptRe = "(?s)<script>.*?</script>"
+  val StyleRe = "(?s)<style>.*?</style>"
+  val TagRe = "<[^>]*>"
+  val WsRe = "\\s+"
+  /** Candidate blocks in fixed precedence order (ties in the mass
+    * score resolve to the earlier tag — part of the contract). */
+  val BlockTags = Seq("div", "header", "nav", "aside", "footer")
+  def blockRe(tag: String): String = s"(?s)<$tag[^>]*>.*?</$tag>"
+
+  /** Every ParkedMod-th page is "parked": an empty content div — the
+    * all-boilerplate page (redirect stubs, domain-parking, cookie
+    * walls) every real crawl contains. These drive the non-div
+    * selection branches and the `recovered = false` path, so the gate
+    * exercises the block competition instead of div winning 100% of
+    * rows. */
+  val ParkedMod = 13
+
+  /** The deterministic synthetic page for one document row. */
+  def pageCol: Column = concat(
+    lit(P1), col("doc_id"), lit(P2), col("doc_id"), lit(P3), col("source"),
+    lit(P4), col("source"), lit(P5), col("source"), lit(P6), col("source"),
+    lit(P7), col("doc_id") % 10, lit(P8),
+    when(col("doc_id") % ParkedMod === 0, lit("")).otherwise(col("text")),
+    lit(P9), col("doc_id") % 7, lit(P10), (col("doc_id") % 25) + 2000,
+    lit(P11), col("source"), lit(P12))
+
+  /** Tag-strip + whitespace-normalize: what a block "says". */
+  private def stripped(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, TagRe, " "), WsRe, " "))
+
+  /** Extraction over an arbitrary (doc_id, source, text[, page]) frame —
+    * the page defaults to the synthetic wrap, the spec feeds real
+    * hand-built pages through `pageOverride`. */
+  def extract(docs: DataFrame, pageOverride: Option[Column] = None): DataFrame = {
+    val withPage = docs.withColumn("page", pageOverride.getOrElse(pageCol))
+    val noss = regexp_replace(regexp_replace(col("page"), ScriptRe, " "),
+      StyleRe, " ")
+    var df = withPage.withColumn("noss", noss)
+    for (t <- BlockTags) {
+      df = df.withColumn(s"b_$t", regexp_extract(col("noss"), blockRe(t), 0))
+        .withColumn(s"t_$t", stripped(col(s"b_$t")))
+        .withColumn(s"m_$t", when(length(col(s"b_$t")) > 0,
+          (length(col(s"t_$t")) * length(col(s"t_$t"))).cast("double") /
+            length(col(s"b_$t"))).otherwise(lit(0.0)))
+    }
+    // argmax by mass with the fixed BlockTags precedence on ties
+    val mainTag = BlockTags.init.zipWithIndex.foldLeft(
+      null.asInstanceOf[Column]) { case (acc, (t, i)) =>
+        val rest = BlockTags.drop(i + 1).map(u => col(s"m_$u"))
+        val cond = col(s"m_$t") >= (if (rest.size == 1) rest.head
+          else greatest(rest: _*))
+        if (acc == null) when(cond, t) else acc.when(cond, t)
+      }.otherwise(BlockTags.last)
+    val pick = (f: String => Column) => BlockTags.init.foldRight(
+      f(BlockTags.last)) { (t, acc) => when(col("main_tag") === t, f(t))
+        .otherwise(acc) }
+    df.withColumn("main_tag", mainTag)
+      .withColumn("main_txt", pick(t => col(s"t_$t")))
+      .withColumn("all_txt", stripped(col("noss")))
+      .select(col("doc_id"), col("source"), col("main_tag"),
+        length(col("main_txt")).cast("long").as("main_len"),
+        // a fully empty page (no text anywhere) is all boilerplate
+        when(length(col("all_txt")) > 0,
+          round(lit(1.0) - length(col("main_txt")).cast("double") /
+            length(col("all_txt")), 4)).otherwise(lit(1.0))
+          .as("boilerplate_ratio"),
+        (col("main_txt") === trim(regexp_replace(col("text"), WsRe, " ")))
+          .as("recovered"),
+        substring(sha2(col("main_txt"), 256), 1, 16).as("main_sha"))
+  }
+
+  /** Gate: per-document extraction verdict over the synthetic crawl. */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame =
+    extract(Tables.parallel(s, dir, "documents"))
+      .drop("source")
+
+  /** Gate: the per-source boilerplate readout a crawl operator watches —
+    * recovery rate and boilerplate mass by source. Sources-bounded
+    * rollup (≤ 20 groups) over the zero-shuffle extraction scan. */
+  def boilerplateRatio(s: SparkSession, dir: String): DataFrame =
+    extract(Tables.parallel(s, dir, "documents"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("recovered"), 1L).otherwise(0L)).as("n_recovered"),
+        round(avg(col("boilerplate_ratio")), 4).as("mean_boilerplate"),
+        round(max(col("boilerplate_ratio")), 4).as("max_boilerplate"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "html_extract" -> htmlExtract,
+    "boilerplate_ratio" -> boilerplateRatio)
+
+  /** Shared extraction CTE chain (DuckDB). */
+  val htmlCte: String = {
+    val blocks = BlockTags.map { t =>
+      s"regexp_extract(noss, '(?s)<$t[^>]*>.*?</$t>', 0) AS b_$t"
+    }.mkString(",\n|    ")
+    val texts = BlockTags.map { t =>
+      s"trim(regexp_replace(regexp_replace(b_$t, '<[^>]*>', ' ', 'g'), " +
+        s"'\\s+', ' ', 'g')) AS t_$t"
+    }.mkString(",\n|    ")
+    val masses = BlockTags.map { t =>
+      s"CASE WHEN length(b_$t) > 0 THEN length(t_$t) * length(t_$t) " +
+        s"* 1.0 / length(b_$t) ELSE 0.0 END AS m_$t"
+    }.mkString(",\n|    ")
+    val mainTag = BlockTags.init.zipWithIndex.map { case (t, i) =>
+      val rest = BlockTags.drop(i + 1).map(u => s"m_$u")
+      val cmp = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"WHEN m_$t >= $cmp THEN '$t'"
+    }.mkString("CASE ", " ", s" ELSE '${BlockTags.last}' END AS main_tag")
+    val mainTxt = BlockTags.init.map { t =>
+      s"WHEN main_tag = '$t' THEN t_$t"
+    }.mkString("CASE ", " ", s" ELSE t_${BlockTags.last} END AS main_txt")
+    // NB: continuation lines here must never START with "||" — this CTE
+    // is re-interpolated into outer stripMargin strings, which would
+    // strip a leading whitespace+| as a second margin.
+    s"""pg AS (SELECT doc_id, source, text,
+      |    '$P1' || doc_id || '$P2' || doc_id || '$P3' || source ||
+      |      '$P4' || source || '$P5' || source || '$P6' || source ||
+      |      '$P7' || (doc_id % 10) || '$P8' ||
+      |      (CASE WHEN doc_id % $ParkedMod = 0 THEN '' ELSE text END) ||
+      |      '$P9' || (doc_id % 7) || '$P10' || (doc_id % 25 + 2000) ||
+      |      '$P11' || source || '$P12' AS page
+      |  FROM documents),
+      |ns AS (SELECT doc_id, source, text,
+      |    regexp_replace(regexp_replace(page,
+      |      '$ScriptRe', ' ', 'g'), '$StyleRe', ' ', 'g') AS noss
+      |  FROM pg),
+      |bl AS (SELECT doc_id, source, text, noss,
+      |    $blocks
+      |  FROM ns),
+      |tx AS (SELECT *,
+      |    $texts
+      |  FROM bl),
+      |ms AS (SELECT *,
+      |    $masses
+      |  FROM tx),
+      |mt AS (SELECT *,
+      |    $mainTag
+      |  FROM ms),
+      |ex AS (SELECT doc_id, source, main_tag,
+      |    $mainTxt,
+      |    trim(regexp_replace(regexp_replace(noss, '<[^>]*>', ' ', 'g'),
+      |      '\\s+', ' ', 'g')) AS all_txt,
+      |    text
+      |  FROM mt),
+      |res AS (SELECT doc_id, source, main_tag,
+      |    length(main_txt)::BIGINT AS main_len,
+      |    CASE WHEN length(all_txt) > 0
+      |      THEN round(1.0 - length(main_txt) * 1.0 / length(all_txt), 4)
+      |      ELSE 1.0 END AS boilerplate_ratio,
+      |    main_txt = trim(regexp_replace(text, '\\s+', ' ', 'g'))
+      |      AS recovered,
+      |    substr(sha256(main_txt), 1, 16) AS main_sha
+      |  FROM ex)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "html_extract" ->
+      s"""WITH $htmlCte
+        |SELECT doc_id, main_tag, main_len, boilerplate_ratio, recovered,
+        |  main_sha
+        |FROM res""".stripMargin,
+    "boilerplate_ratio" ->
+      s"""WITH $htmlCte
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN recovered THEN 1 ELSE 0 END)::BIGINT AS n_recovered,
+        |  round(avg(boilerplate_ratio), 4) AS mean_boilerplate,
+        |  round(max(boilerplate_ratio), 4) AS max_boilerplate
+        |FROM res GROUP BY source""".stripMargin)
+}

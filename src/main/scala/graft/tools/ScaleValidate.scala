@@ -50,14 +50,14 @@ object ScaleValidate {
       "media_audio_features", "media_phash", "pii_redact", "pii_scan",
       "media_meta", "media_resize", "media_frame_sample",
       "media_audio_fingerprint", "media_video_fingerprint",
-      "readability")),
+      "readability", "html_extract")),
     ("doc-profile", "one corpus scan, partials ∝ partitions × buckets: " +
       "≪F×", Seq(
       "text_stats", "value_histogram", "source_drift", "lang_id_confusion",
       "split_allocation",
       "profile_numeric", "profile_categorical", "media_histogram",
       "length_buckets", "readability_bands", "source_concentration",
-      "seasonal_anomaly", "embed_norm_profile")),
+      "seasonal_anomaly", "embed_norm_profile", "boilerplate_ratio")),
     ("corpus-shaping", "hash-deterministic sample/pack/mix: row shuffle " +
       "∝ selected docs ≈F×, per-group partials ≪F×", Seq(
       "stratified_sample", "sample_per_group", "sample_per_group_agg",
@@ -139,6 +139,10 @@ object ScaleValidate {
     ("format-roundtrip", "one-time parallel format rewrite (no shuffle) + " +
       "rollup partials ∝ sources ≪F×", Seq(
       "source_orc", "source_jsonl", "source_csv")),
+    ("corpus-write", "survivor rows repartitioned by source (write work " +
+      "∝ survivors ≈F×, riding the pair-bound funnel tiers); read-back " +
+      "manifest partials ∝ sources ≪F×; file count bounded by the " +
+      "source domain", Seq("corpus_manifest")),
     // Relational / storm families (facts ×F, dims fixed — ScaleGen's
     // star-schema growth shape):
     ("scan-agg", "map-side complete: partials ∝ partitions×groups: ≪F×", Seq(
