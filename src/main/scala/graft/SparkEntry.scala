@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.dedup.{BbitMinhash, Bloom, ConnectedComponents, DedupQueries,
-  PrefixJoin, SnapshotDedup, SubstringDedup} // KnnGraphIvf registers semantic_clusters
+  IncrementalClusters, PrefixJoin, SnapshotDedup, SubstringDedup} // KnnGraphIvf registers semantic_clusters
 import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.{CdcChunks, Multimodal}
 import graft.operators.{AsOfJoin, Attribution, Backlog, Cohort, EventPaths,
@@ -87,6 +87,7 @@ object SparkEntry {
       (PrefixJoin.queries, PrefixJoin.oracles),
       (BbitMinhash.queries, BbitMinhash.oracles),
       (SnapshotDedup.queries, SnapshotDedup.oracles),
+      (IncrementalClusters.queries, IncrementalClusters.oracles),
       (SubstringDedup.queries, SubstringDedup.oracles),
       (Bloom.queries, Bloom.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),

@@ -217,6 +217,15 @@ object StreamingPlanDigest {
           Array(0.1, 0.01, 0.0, 0.0, 0.0, 0.0)),
           StreamClassifier.outputMode) { mem.addData((1L, "some words")) }
       },
+      "html_extract" -> { () =>
+        val mem = MemoryStream[(Long, String)]
+        run(StreamHtmlExtract.extractOverStream(
+          mem.toDS().toDF("doc_id", "page")),
+          StreamHtmlExtract.outputMode) {
+          mem.addData((1L, "<html><body><div><p>words here</p></div>" +
+            "<footer>ft</footer></body></html>"))
+        }
+      },
       "media" -> { () =>
         val mem = MemoryStream[graft.multimodal.Multimodal.MediaRecord]
         run(StreamMedia.featuresOverStream(mem.toDS()),

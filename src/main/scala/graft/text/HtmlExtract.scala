@@ -88,11 +88,12 @@ object HtmlExtract {
   private def stripped(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, TagRe, " "), WsRe, " "))
 
-  /** Extraction over an arbitrary (doc_id, source, text[, page]) frame —
-    * the page defaults to the synthetic wrap, the spec feeds real
-    * hand-built pages through `pageOverride`. */
-  def extract(docs: DataFrame, pageOverride: Option[Column] = None): DataFrame = {
-    val withPage = docs.withColumn("page", pageOverride.getOrElse(pageCol))
+  /** Strip/segment/score/select over a frame that already carries a
+    * `page` column — the raw-HTML core shared by the batch gate and the
+    * streaming ingest twin ([[graft.streaming.StreamHtmlExtract]]),
+    * which has no original `text` to compare against. Adds `main_tag`,
+    * `main_txt`, `all_txt`. */
+  def scored(withPage: DataFrame): DataFrame = {
     val noss = regexp_replace(regexp_replace(col("page"), ScriptRe, " "),
       StyleRe, " ")
     var df = withPage.withColumn("noss", noss)
@@ -117,17 +118,35 @@ object HtmlExtract {
     df.withColumn("main_tag", mainTag)
       .withColumn("main_txt", pick(t => col(s"t_$t")))
       .withColumn("all_txt", stripped(col("noss")))
-      .select(col("doc_id"), col("source"), col("main_tag"),
-        length(col("main_txt")).cast("long").as("main_len"),
-        // a fully empty page (no text anywhere) is all boilerplate
-        when(length(col("all_txt")) > 0,
-          round(lit(1.0) - length(col("main_txt")).cast("double") /
-            length(col("all_txt")), 4)).otherwise(lit(1.0))
-          .as("boilerplate_ratio"),
-        (col("main_txt") === trim(regexp_replace(col("text"), WsRe, " ")))
-          .as("recovered"),
-        substring(sha2(col("main_txt"), 256), 1, 16).as("main_sha"))
   }
+
+  /** The extraction verdict columns shared by batch and stream. */
+  private def verdictCols: Seq[Column] = Seq(
+    col("main_tag"),
+    length(col("main_txt")).cast("long").as("main_len"),
+    // a fully empty page (no text anywhere) is all boilerplate
+    when(length(col("all_txt")) > 0,
+      round(lit(1.0) - length(col("main_txt")).cast("double") /
+        length(col("all_txt")), 4)).otherwise(lit(1.0))
+      .as("boilerplate_ratio"))
+
+  /** Extraction over an arbitrary (doc_id, source, text[, page]) frame —
+    * the page defaults to the synthetic wrap, the spec feeds real
+    * hand-built pages through `pageOverride`. */
+  def extract(docs: DataFrame, pageOverride: Option[Column] = None): DataFrame =
+    scored(docs.withColumn("page", pageOverride.getOrElse(pageCol)))
+      .select(col("doc_id") +: col("source") +: verdictCols :+
+        (col("main_txt") === trim(regexp_replace(col("text"), WsRe, " ")))
+          .as("recovered") :+
+        substring(sha2(col("main_txt"), 256), 1, 16).as("main_sha"): _*)
+
+  /** Raw-page extraction (no reference text, so no `recovered`): the
+    * shape a crawl ingest actually runs — also the streaming twin's
+    * projection. */
+  def extractPages(pages: DataFrame): DataFrame =
+    scored(pages)
+      .select(col("doc_id") +: verdictCols :+
+        substring(sha2(col("main_txt"), 256), 1, 16).as("main_sha"): _*)
 
   /** Gate: per-document extraction verdict over the synthetic crawl. */
   def htmlExtract(s: SparkSession, dir: String): DataFrame =

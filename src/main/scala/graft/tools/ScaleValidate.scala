@@ -120,6 +120,11 @@ object ScaleValidate {
     ("ensemble-cluster", "edges = union of three candidate-bounded pair " +
       "relations (output-sized); CC rounds ∝ component diameter", Seq(
       "dedup_clusters_multi")),
+    ("delta-cluster", "maintenance step: delta graph = batch pairs + " +
+      "touched-component star edges, shuffle ∝ batch + touched members " +
+      "(never corpus); the gate additionally pays the frozen-label " +
+      "simulation (old-old CC ∝ old pairs) that production reads from " +
+      "storage", Seq("dedup_clusters_delta")),
     ("embedding-cluster", "verified pairs ∝ planted dups ≈F×; CC rounds " +
       "∝ component diameter (tiny), per-round shuffle ∝ edges", Seq(
       "semantic_clusters")),
