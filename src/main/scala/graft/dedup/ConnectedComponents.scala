@@ -371,6 +371,29 @@ object ConnectedComponents {
           / col("n_docs"), 4).as("removal_rate"))
   }
 
+  /** Soft-dedup sampling weights — the de-weighting alternative to hard
+    * removal (train on everything, but a near-dup cluster of k docs
+    * contributes total mass 1, not k): per doc weight = 1/cluster_size,
+    * singletons weight 1, rolled up per source. Weights are FIXED-POINT
+    * micro-units (`1000000 div k` — integer, order-free sums, exact in
+    * both engines) per the engine-wide integer-moments idiom, so the
+    * per-source mass is bit-stable under any partitioning. Rides the
+    * memoized cluster labels; one membership join over one corpus scan,
+    * partials ∝ sources. */
+  def dedupSampleWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    val labels = dedupClusters(s, dir).select(col("doc_id"), col("cluster_size"))
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("w_micro",
+        expr("1000000L div coalesce(cluster_size, 1L)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w_micro")).as("mass_micro"))
+      .select(col("source"), col("n_docs"), col("mass_micro"),
+        (col("n_docs") * 1000000L - col("mass_micro")).as("saved_micro"))
+  }
+
   def dedupApply(s: SparkSession, dir: String): DataFrame = {
     import graft.Tables
     val docs = Tables(s, dir, "documents").select(col("doc_id"))
@@ -390,7 +413,8 @@ object ConnectedComponents {
     "dedup_clusters_multi" -> dedupClustersMulti,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_apply" -> dedupApply,
-    "dedup_by_source" -> dedupBySource)
+    "dedup_by_source" -> dedupBySource,
+    "dedup_sample_weights" -> dedupSampleWeights)
 
   /** DuckDB oracle: transitive closure by recursive CTE over the same
     * LSH-verified pair SQL — `reach(a, b)` = b reachable from a, component
@@ -514,6 +538,26 @@ object ConnectedComponents {
           |  (SELECT count(*) FROM near) AS n_neardup_removed,
           |  (SELECT count(*) FROM documents) - (SELECT count(*) FROM ex)
           |    - (SELECT count(*) FROM near) AS n_survivors""".stripMargin),
+    "dedup_sample_weights" ->
+      (s"WITH RECURSIVE ${DedupQueries.lshPairsCte},\n" +
+        """edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+          |          UNION SELECT b_id, a_id FROM lshpairs),
+          |reach(a, b) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+          |         FROM reach GROUP BY a),
+          |sz AS (SELECT cluster_id, count(*)::BIGINT AS k
+          |       FROM comp GROUP BY cluster_id),
+          |lab AS (SELECT comp.doc_id, sz.k FROM comp
+          |        JOIN sz ON sz.cluster_id = comp.cluster_id),
+          |f AS (SELECT d.source, coalesce(l.k, 1) AS k
+          |      FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id)
+          |SELECT source, count(*)::BIGINT AS n_docs,
+          |  sum(1000000 // k)::BIGINT AS mass_micro,
+          |  (count(*) * 1000000 - sum(1000000 // k))::BIGINT AS saved_micro
+          |FROM f GROUP BY source""".stripMargin),
     "dedup_by_source" ->
       (s"WITH RECURSIVE ${DedupQueries.lshPairsCte},\n" +
         """edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs

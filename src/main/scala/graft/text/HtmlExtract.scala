@@ -164,9 +164,59 @@ object HtmlExtract {
         round(avg(col("boilerplate_ratio")), 4).as("mean_boilerplate"),
         round(max(col("boilerplate_ratio")), 4).as("max_boilerplate"))
 
+  /** href-attribute pattern shared with the oracle (group 1 = target). */
+  val HrefRe = "href=\"([^\"]*)\""
+
+  /** Gate: outlink extraction — the crawl-frontier stage: every href
+    * target across the page corpus with link and page counts. Per-row
+    * `regexp_extract_all` + explode; the rollup is bounded by the link
+    * TARGET domain (site nav/footer targets + per-source/per-bucket
+    * paths — tens of rows here; at 100 TB targets grow with distinct
+    * URLs, the standard crawl-frontier shuffle ∝ links). */
+  def htmlLinks(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(s, dir, "documents")
+      .withColumn("page", pageCol)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("page"), lit(HrefRe), lit(1)))
+          .as("href"))
+      .groupBy("href")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_pages"))
+
+  /** Gate: the crawl→quality composition — Gopher rules evaluated on
+    * the EXTRACTED main text (not the fixture's clean column), per
+    * source: pages, content-found pages, and extracted-text quality
+    * passes. Proves the two stages compose: parked pages (no content
+    * block) can never pass, recovered pages pass iff their original
+    * text does. One extraction scan + sources-bounded rollup. */
+  def crawlQualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ex = scored(Tables.parallel(s, dir, "documents")
+      .withColumn("page", pageCol))
+    val w = filter(split(col("main_txt"), " "), x => x =!= "")
+    val nWords = size(w).cast("long")
+    val sumLen = aggregate(transform(w, x => length(x).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+    val nStop = size(filter(w,
+      x => array_contains(TextQueries.stopArr, x))).cast("long")
+    val pass = nWords >= 1 &&
+      nWords.between(TextQueries.GopherMinWords, TextQueries.GopherMaxWords) &&
+      (sumLen / nWords) >= TextQueries.GopherMinMeanLen &&
+      (sumLen / nWords) <= TextQueries.GopherMaxMeanLen &&
+      (nAlpha / nWords) >= TextQueries.GopherMinAlphaFrac &&
+      nStop >= TextQueries.GopherMinStopHits
+    ex.groupBy("source")
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("main_tag") === "div", 1L).otherwise(0L))
+          .as("n_content"),
+        sum(when(pass, 1L).otherwise(0L)).as("n_quality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "html_extract" -> htmlExtract,
-    "boilerplate_ratio" -> boilerplateRatio)
+    "boilerplate_ratio" -> boilerplateRatio,
+    "html_links" -> htmlLinks,
+    "crawl_quality_funnel" -> crawlQualityFunnel)
 
   /** Shared extraction CTE chain (DuckDB). */
   val htmlCte: String = {
@@ -245,5 +295,37 @@ object HtmlExtract {
         |  sum(CASE WHEN recovered THEN 1 ELSE 0 END)::BIGINT AS n_recovered,
         |  round(avg(boilerplate_ratio), 4) AS mean_boilerplate,
         |  round(max(boilerplate_ratio), 4) AS max_boilerplate
-        |FROM res GROUP BY source""".stripMargin)
+        |FROM res GROUP BY source""".stripMargin,
+    "html_links" ->
+      s"""WITH $htmlCte
+        |SELECT href, count(*)::BIGINT AS n_links,
+        |  count(DISTINCT doc_id)::BIGINT AS n_pages
+        |FROM (SELECT doc_id,
+        |        unnest(regexp_extract_all(page, '$HrefRe', 1)) AS href
+        |      FROM pg)
+        |GROUP BY href""".stripMargin,
+    "crawl_quality_funnel" -> {
+      import TextQueries._
+      s"""WITH $htmlCte,
+        |wq AS (SELECT source, main_tag,
+        |    list_filter(string_split(main_txt, ' '), x -> x <> '') AS w
+        |  FROM ex),
+        |q AS (SELECT source, main_tag,
+        |    (CASE WHEN len(w) = 0 THEN false ELSE
+        |      (len(w) BETWEEN $GopherMinWords AND $GopherMaxWords)
+        |      AND list_sum(list_transform(w, x -> length(x))) * 1.0
+        |          / len(w) >= $GopherMinMeanLen
+        |      AND list_sum(list_transform(w, x -> length(x))) * 1.0
+        |          / len(w) <= $GopherMaxMeanLen
+        |      AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |          * 1.0 / len(w) >= $GopherMinAlphaFrac
+        |      AND len(list_filter(w, x -> x IN ($stopListSql)))
+        |          >= $GopherMinStopHits END) AS pass
+        |  FROM wq)
+        |SELECT source, count(*)::BIGINT AS n_pages,
+        |  sum(CASE WHEN main_tag = 'div' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_content,
+        |  sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_quality
+        |FROM q GROUP BY source""".stripMargin
+    })
 }

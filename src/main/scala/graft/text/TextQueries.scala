@@ -51,7 +51,8 @@ object TextQueries {
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
-  private val stopArr = array(stopwords.map(lit): _*)
+  // shared with HtmlExtract.crawlQualityFunnel (Gopher on extracted text)
+  val stopArr: org.apache.spark.sql.Column = array(stopwords.map(lit): _*)
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric chars. */

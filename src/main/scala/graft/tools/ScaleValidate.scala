@@ -43,7 +43,7 @@ object ScaleValidate {
       "member in the shuffle regime", Seq(
       "dedup_bbit_minhash", "pipeline_funnel", "split_leakage",
       "dedup_weighted_jaccard", "dedup_keep_best", "dedup_by_source",
-      "dedup_threshold_curve", "filter_overlap")),
+      "dedup_threshold_curve", "filter_overlap", "dedup_sample_weights")),
     ("projection", "shuffle ≈ 0 at any scale", Seq(
       "text_quality", "quality_gopher", "doc_fingerprint",
       "embed_quantize", "train_split", "chunk_documents",
@@ -57,7 +57,8 @@ object ScaleValidate {
       "split_allocation",
       "profile_numeric", "profile_categorical", "media_histogram",
       "length_buckets", "readability_bands", "source_concentration",
-      "seasonal_anomaly", "embed_norm_profile", "boilerplate_ratio")),
+      "seasonal_anomaly", "embed_norm_profile", "boilerplate_ratio",
+      "crawl_quality_funnel")),
     ("corpus-shaping", "hash-deterministic sample/pack/mix: row shuffle " +
       "∝ selected docs ≈F×, per-group partials ≪F×", Seq(
       "stratified_sample", "sample_per_group", "sample_per_group_agg",
@@ -144,6 +145,10 @@ object ScaleValidate {
     ("format-roundtrip", "one-time parallel format rewrite (no shuffle) + " +
       "rollup partials ∝ sources ≪F×", Seq(
       "source_orc", "source_jsonl", "source_csv")),
+    ("link-extract", "href explode + target-keyed partials, map-side " +
+      "combined: bounded target domain here ≪F×; production targets ∝ " +
+      "distinct URLs — the standard crawl-frontier shuffle ∝ links", Seq(
+      "html_links")),
     ("corpus-write", "survivor rows repartitioned by source (write work " +
       "∝ survivors ≈F×, riding the pair-bound funnel tiers); read-back " +
       "manifest partials ∝ sources ≪F×; file count bounded by the " +

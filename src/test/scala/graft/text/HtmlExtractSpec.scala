@@ -87,6 +87,40 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(r.getAs[Long]("main_len") == 0L)
   }
 
+  test("html_links: every page contributes its full link set") {
+    val dir = "/root/testdata/sf0.001"
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    val links = HtmlExtract.htmlLinks(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // site-wide targets appear once per page (parked pages keep their
+    // chrome — only the content div empties)
+    Seq("/", "/tos", "/privacy").foreach { t =>
+      assert(links(t) == ((nDocs, nDocs)), s"$t: ${links(t)}")
+    }
+    // per-page targets partition the corpus
+    assert((0 until 10).map(i => links(s"/p/$i")._2).sum == nDocs)
+    assert((0 until 7).map(i => links(s"/r/$i")._2).sum == nDocs)
+    // exactly 6 href targets per page: /, /{source}, /p/k, /r/k, /tos,
+    // /privacy
+    assert(links.values.map(_._1).sum == 6 * nDocs)
+  }
+
+  test("crawl_quality_funnel: parked pages never pass; recovered match batch gopher") {
+    val dir = "/root/testdata/sf0.001"
+    val f = HtmlExtract.crawlQualityFunnel(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(f.forall { case (_, pages, content, quality) =>
+      quality <= content && content <= pages })
+    // extracted-text quality == original-text gopher pass for recovered
+    // pages (extraction is lossless modulo whitespace), so corpus-wide:
+    // n_quality = gopher passes among non-parked docs
+    val expected = graft.text.TextQueries
+      .gopherFlags(graft.Tables(spark, dir, "documents"))
+      .filter(col("pass") && col("doc_id") % HtmlExtract.ParkedMod =!= 0)
+      .count()
+    assert(f.map(_._4).sum == expected)
+  }
+
   test("gate shape on sf0.001: parked pages flagged, the rest recovered") {
     val df = HtmlExtract.htmlExtract(spark, "/root/testdata/sf0.001")
       .withColumn("parked", col("doc_id") % HtmlExtract.ParkedMod === 0)
