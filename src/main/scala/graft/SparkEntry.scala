@@ -17,7 +17,8 @@ import graft.storm.StormQueries
 import graft.text.{Allocation, BigramLm, Bpe, Chunking, Concentration, DomainCaps,
   Drift, HeavyHitterDelta, HtmlExtract, HybridRetrieval, Keywords, NgramNovelty,
   PiiRedact, Pretokenize, QualityClassifier, QuantileNorm, Readability,
-  Retrieval, Sampling, SourceKs, TextQueries, Unigram, Winnow, WordPiece}
+  Retrieval, Sampling, SourceKs, TextQueries, Unigram, UrlCanonical,
+  Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -63,6 +64,7 @@ object SparkEntry {
       (DomainCaps.queries, DomainCaps.oracles),
       (PiiRedact.queries, PiiRedact.oracles),
       (HtmlExtract.queries, HtmlExtract.oracles),
+      (UrlCanonical.queries, UrlCanonical.oracles),
       (Chunking.queries, Chunking.oracles),
       (Sampling.queries, Sampling.oracles),
       (Allocation.queries, Allocation.oracles),

@@ -65,16 +65,12 @@ object CorpusManifest {
       .join(pass, Seq("doc_id"), "left_semi")
   }
 
-  /** Gate: write the survivor corpus (one sorted file per source), read
-    * it back, and emit the per-source manifest. */
-  def corpusManifest(s: SparkSession, dir: String): DataFrame = {
-    val out = outDir(dir)
-    survivors(s, dir)
-      .repartition(col("source"))
-      .sortWithinPartitions(col("source"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("source").parquet(out)
-    val back = s.read.parquet(out)
-    back
+  /** Per-source manifest of an already-written corpus directory — the
+    * read-back half, shared by the batch gate and the streaming-sink
+    * spec (content columns are layout-independent; `n_files` reports
+    * whatever the writer produced). */
+  def manifestOf(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
       .withColumn("h", conv(substring(
         sha2(concat(col("doc_id"), lit("|"), col("text")), 256), 1, 15),
         16, 10).cast("long"))
@@ -87,6 +83,16 @@ object CorpusManifest {
         max("doc_id").as("max_doc_id"),
         sum(length(col("text")).cast("long")).as("total_chars"),
         expr("bit_xor(h)").as("content_xor"))
+
+  /** Gate: write the survivor corpus (one sorted file per source), read
+    * it back, and emit the per-source manifest. */
+  def corpusManifest(s: SparkSession, dir: String): DataFrame = {
+    val out = outDir(dir)
+    survivors(s, dir)
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    manifestOf(s, out)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

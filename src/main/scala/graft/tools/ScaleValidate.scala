@@ -148,7 +148,10 @@ object ScaleValidate {
     ("link-extract", "href explode + target-keyed partials, map-side " +
       "combined: bounded target domain here ≪F×; production targets ∝ " +
       "distinct URLs — the standard crawl-frontier shuffle ∝ links", Seq(
-      "html_links")),
+      "html_links", "url_canonical")),
+    ("bounded-slice", "fixed-id-slice evidence relations: constant rows " +
+      "at any scale (the doc_id < K filter pushes to the scan)", Seq(
+      "url_canonical_pairs")),
     ("corpus-write", "survivor rows repartitioned by source (write work " +
       "∝ survivors ≈F×, riding the pair-bound funnel tiers); read-back " +
       "manifest partials ∝ sources ≪F×; file count bounded by the " +
