@@ -10,8 +10,9 @@ import graft.operators.{AsOfJoin, Attribution, Backlog, Cohort, EventPaths,
   RevenueMom, SeasonalBaseline, SessionEntryExit, SessionTypePairs,
   SkewJoin, Streaks, ZOrder}
 import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality,
-  GraphStats, NormProfile, Ivf, IvfIncremental, KCore, KnnGraphIvf,
-  LabelProp, PageRank, Pq, SemDedup, SemanticDecontam, SimilarityQueries}
+  GraphStats, Neighborhood, NormProfile, Ivf, IvfIncremental, KCore,
+  KnnGraphIvf, LabelProp, PageRank, Pq, SemDedup, SemanticDecontam,
+  SimilarityQueries}
 import graft.sources.{CorpusManifest, FormatSources}
 import graft.storm.StormQueries
 import graft.text.{Allocation, BigramLm, Bpe, Chunking, Concentration, DomainCaps,
@@ -103,6 +104,7 @@ object SparkEntry {
       (SemDedup.queries, SemDedup.oracles),
       (PageRank.queries, PageRank.oracles),
       (GraphStats.queries, GraphStats.oracles),
+      (Neighborhood.queries, Neighborhood.oracles),
       (LabelProp.queries, LabelProp.oracles),
       (KCore.queries, KCore.oracles),
       (Eigencentrality.queries, Eigencentrality.oracles),

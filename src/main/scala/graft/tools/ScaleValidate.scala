@@ -136,6 +136,11 @@ object ScaleValidate {
     ("mutual-knn-stats", "mutual edges ≤ K·N, wedge join Σdeg² ≤ K²·N " +
       "(degree capped at K by construction): ≈F×", Seq(
       "knn_triangle_stats", "knn_degree_hist", "knn_components")),
+    ("neighborhood-fn", "exact twin: distinct (src, reached) pairs " +
+      "∝ Σ|B(v,3)| (component-bounded here; the pair blow-up ANF " +
+      "exists to avoid); ANF gate: state ∝ nodes × k masks, per round " +
+      "one edges join + bit_or partials ∝ nodes × k ≈F×", Seq(
+      "graph_neighborhood", "graph_neighborhood_anf")),
     ("label-prop", "const rounds × (edges⋈labels + (node,label) " +
       "partials), frontier shrinks monotonically: ∝ edges ≈F×", Seq(
       "label_prop_knn", "label_prop_confusion")),
