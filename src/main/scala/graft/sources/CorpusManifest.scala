@@ -95,8 +95,58 @@ object CorpusManifest {
     manifestOf(s, out)
   }
 
+  /** Manifest-shaped aggregation over an in-memory survivor relation
+    * (no write) — the content columns of [[manifestOf]]. */
+  def contentManifest(df: DataFrame): DataFrame =
+    df.withColumn("h", conv(substring(
+        sha2(concat(col("doc_id"), lit("|"), col("text")), 256), 1, 15),
+        16, 10).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        expr("bit_xor(h)").as("content_xor"))
+
+  /** Gate: INCREMENTAL manifest maintenance — the reason the manifest
+    * columns were chosen the way they were: every one is a MONOID
+    * (counts and chars add, id ranges merge by min/max, and the
+    * order-independent sha-XOR checksum composes by XOR), so a corpus
+    * append updates the stored manifest from the BATCH's manifest
+    * alone — no full re-scan, ever. The query computes the standing
+    * corpus' manifest and the new batch's manifest separately
+    * (doc_id % BatchMod split, the engine-wide snapshot convention)
+    * and emits their ALGEBRAIC MERGE; the oracle recomputes the full
+    * manifest from scratch over all survivors. Hash-green means the
+    * delta-merge law holds exactly — at 100 TB the manifest update
+    * cost is ∝ batch, like [[graft.dedup.IncrementalClusters]] for
+    * labels and `SnapshotDedup` for pairs. */
+  def manifestDelta(s: SparkSession, dir: String): DataFrame = {
+    val surv = survivors(s, dir).localCheckpoint(true) // one funnel pass
+    val batchMod = graft.dedup.SnapshotDedup.BatchMod
+    val mOld = contentManifest(surv.filter(col("doc_id") % batchMod =!= 0))
+    val mNew = contentManifest(surv.filter(col("doc_id") % batchMod === 0))
+    def pre(df: DataFrame, p: String) =
+      df.columns.filter(_ != "source").foldLeft(df) { (d, c) =>
+        d.withColumnRenamed(c, p + c) }
+    pre(mOld, "o_").join(pre(mNew, "n_"), Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("o_n_rows"), lit(0L)) +
+          coalesce(col("n_n_rows"), lit(0L))).as("n_rows"),
+        least(col("o_min_doc_id"), col("n_min_doc_id"))
+          .as("min_doc_id"), // least/greatest skip nulls
+        greatest(col("o_max_doc_id"), col("n_max_doc_id"))
+          .as("max_doc_id"),
+        (coalesce(col("o_total_chars"), lit(0L)) +
+          coalesce(col("n_total_chars"), lit(0L))).as("total_chars"),
+        // XOR identity is 0: an absent side contributes nothing
+        expr("coalesce(o_content_xor, 0L) ^ coalesce(n_content_xor, 0L)")
+          .as("content_xor"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_manifest" -> corpusManifest)
+    "corpus_manifest" -> corpusManifest,
+    "manifest_delta" -> manifestDelta)
 
   /** Funnel survivors replayed in DuckDB: LSH pairs → recursive CC →
     * exact/near tiers (verbatim from the dedup_apply oracle) ∩ Gopher
@@ -139,6 +189,52 @@ object CorpusManifest {
           |           AND d.doc_id NOT IN (SELECT doc_id FROM near)
           |           AND d.doc_id IN (SELECT doc_id FROM g))
           |SELECT source, 1::BIGINT AS n_files, count(*)::BIGINT AS n_rows,
+          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+          |  sum(length(text))::BIGINT AS total_chars,
+          |  bit_xor(CAST('0x' || substr(sha256(doc_id || '|' || text), 1, 15)
+          |    AS BIGINT))::BIGINT AS content_xor
+          |FROM surv GROUP BY source""".stripMargin)
+    },
+    // the delta-merge law: Spark merges old+batch manifests
+    // algebraically; the oracle recomputes from scratch over ALL
+    // survivors — hash equality proves every column is a monoid
+    "manifest_delta" -> {
+      import graft.text.TextQueries._
+      (s"WITH RECURSIVE ${graft.dedup.DedupQueries.lshPairsCte},\n" +
+        s"""edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+          |          UNION SELECT b_id, a_id FROM lshpairs),
+          |reach(a, b) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+          |         FROM reach GROUP BY a),
+          |ex AS (SELECT doc_id FROM (
+          |         SELECT doc_id,
+          |           min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+          |         FROM documents)
+          |       WHERE doc_id <> keeper),
+          |near AS (SELECT doc_id FROM comp
+          |         WHERE doc_id <> cluster_id
+          |           AND doc_id NOT IN (SELECT doc_id FROM ex)),
+          |wq AS (SELECT doc_id,
+          |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+          |       FROM documents),
+          |g AS (SELECT doc_id FROM wq WHERE len(w) >= 1
+          |        AND (len(w) BETWEEN $GopherMinWords AND $GopherMaxWords)
+          |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
+          |            / len(w) >= $GopherMinMeanLen
+          |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
+          |            / len(w) <= $GopherMaxMeanLen
+          |        AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          |            * 1.0 / len(w) >= $GopherMinAlphaFrac
+          |        AND len(list_filter(w, x -> x IN ($stopListSql)))
+          |            >= $GopherMinStopHits),
+          |surv AS (SELECT d.* FROM documents d
+          |         WHERE d.doc_id NOT IN (SELECT doc_id FROM ex)
+          |           AND d.doc_id NOT IN (SELECT doc_id FROM near)
+          |           AND d.doc_id IN (SELECT doc_id FROM g))
+          |SELECT source, count(*)::BIGINT AS n_rows,
           |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
           |  sum(length(text))::BIGINT AS total_chars,
           |  bit_xor(CAST('0x' || substr(sha256(doc_id || '|' || text), 1, 15)

@@ -75,15 +75,26 @@ object UrlCanonical {
   }
 
   /** Gate: per-host frontier rollup — raw links, distinct raw URLs,
-    * canonical targets: the dedup ratio canonicalization buys. */
+    * canonical targets: the dedup ratio canonicalization buys.
+    * Two-level aggregation with a SINGLE distinct aggregate: the
+    * (host, u, c) pre-combine collapses repeat links map-side AND
+    * keeps the plan deterministic — two `countDistinct`s in one
+    * aggregate let `RewriteDistinctAggregates` order its Expand
+    * groups by a hash that flips across JVMs (observed: the
+    * url_canonical plan digest was bistable), while one distinct
+    * group has nothing to reorder. `u` determines `c`, so
+    * count(*) over the pre-combined relation IS the distinct-URL
+    * count. */
   def urlCanonical(s: SparkSession, dir: String): DataFrame =
     Tables.parallel(s, dir, "documents")
       .select(explode(rawUrls).as("u"))
       .withColumn("c", canonicalize(col("u")))
       .withColumn("host", regexp_extract(col("c"), SchemeHostRe, 2))
+      .groupBy("host", "u", "c")
+      .agg(count(lit(1)).as("n"))
       .groupBy("host")
-      .agg(count(lit(1)).as("n_links"),
-        countDistinct(col("u")).as("n_raw_urls"),
+      .agg(sum(col("n")).as("n_links"),
+        count(lit(1)).as("n_raw_urls"),
         countDistinct(col("c")).as("n_targets"))
 
   /** Gate: rule-by-rule evidence — every (raw, canonical) pair for a

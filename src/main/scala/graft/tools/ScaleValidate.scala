@@ -160,7 +160,7 @@ object ScaleValidate {
     ("corpus-write", "survivor rows repartitioned by source (write work " +
       "∝ survivors ≈F×, riding the pair-bound funnel tiers); read-back " +
       "manifest partials ∝ sources ≪F×; file count bounded by the " +
-      "source domain", Seq("corpus_manifest")),
+      "source domain", Seq("corpus_manifest", "manifest_delta")),
     // Relational / storm families (facts ×F, dims fixed — ScaleGen's
     // star-schema growth shape):
     ("scan-agg", "map-side complete: partials ∝ partitions×groups: ≪F×", Seq(

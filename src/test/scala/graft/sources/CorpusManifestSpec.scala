@@ -58,6 +58,36 @@ class CorpusManifestSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("manifest_delta: algebraic merge == one-pass recompute; both sides real") {
+    val surv = CorpusManifest.survivors(spark, dir).localCheckpoint(true)
+    val direct = CorpusManifest.contentManifest(surv)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val merged = CorpusManifest.manifestDelta(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(merged == direct)
+    // the split is non-degenerate: both halves carry rows
+    val bm = graft.dedup.SnapshotDedup.BatchMod
+    assert(surv.filter(col("doc_id") % bm === 0).count() > 0)
+    assert(surv.filter(col("doc_id") % bm =!= 0).count() > 0)
+  }
+
+  test("manifest_delta: a source present on one side only merges intact") {
+    import spark.implicits._
+    val one = Seq((3L, "only batch side", "en", "solo", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val empty = one.filter(col("doc_id") < 0)
+    val mOne = CorpusManifest.contentManifest(one).collect().head
+    // merging with an empty other side must reproduce the same row —
+    // XOR identity 0, sums with 0, min/max skip the absent side
+    val both = CorpusManifest.contentManifest(one.unionByName(empty))
+      .collect().head
+    assert(mOne.toSeq == both.toSeq)
+  }
+
   test("content_xor detects a corrupted artifact") {
     val out = CorpusManifest.outDir(dir)
     val good = manifest.select("source", "content_xor").collect()
