@@ -257,4 +257,55 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("Partial"),
       s"token count not map-side partial:\n$plan")
   }
+
+  test("html_extract is a pure projection: no exchange beyond the spread, no join, no aggregate") {
+    val plan = graft.text.HtmlExtract.htmlExtract(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"extraction plans a join:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"extraction plans an aggregate:\n$plan")
+    // the only allowed exchange is Tables.parallel's round-robin spread
+    // of the single-row-group fixture (self-disabling on real inputs)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"unexpected exchanges ($exchanges):\n$plan")
+  }
+
+  test("url_canonical_pairs: the doc-id slice pushes to the parquet scan") {
+    val plan = graft.text.UrlCanonical.urlCanonicalPairs(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:"), "no pushdown section")
+    assert(plan.contains("LessThan(doc_id,40)"),
+      s"doc_id slice not pushed to the scan:\n$plan")
+  }
+
+  test("url_canonical aggregates partially before its single distinct group") {
+    val plan = graft.text.UrlCanonical.urlCanonical(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one Expand would mean RewriteDistinctAggregates multi-group form
+    // came back (the nondeterministic-plan regression fixed in r9)
+    assert(!plan.contains("Expand"),
+      s"multi-distinct Expand reappeared:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"pre-combine not map-side partial:\n$plan")
+  }
+
+  test("dedup_clusters_delta: every join is hash/broadcast equi, never nested-loop") {
+    val plan = graft.dedup.IncrementalClusters
+      .dedupClustersDelta(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"delta merge fell back to a non-equi join:\n$plan")
+  }
+
+  test("manifest_delta merges two sources-bounded aggregates with one outer join") {
+    val plan = graft.sources.CorpusManifest.manifestDelta(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter") || plan.contains("full_outer") ||
+      plan.contains("FullOuterJoin") || plan.contains("Join FullOuter"),
+      s"merge is not the full-outer manifest join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"manifest merge planned a cartesian:\n$plan")
+  }
 }
