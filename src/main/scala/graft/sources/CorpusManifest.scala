@@ -71,6 +71,11 @@ object CorpusManifest {
     * whatever the writer produced). */
   def manifestOf(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
+      // partition-directory recovery of `source` runs Spark's partition-
+      // column TYPE INFERENCE: a numeric-looking source value ("01")
+      // would come back as an int and change the group key vs the
+      // oracle's string source. Pin the round-trip type explicitly.
+      .withColumn("source", col("source").cast("string"))
       .withColumn("h", conv(substring(
         sha2(concat(col("doc_id"), lit("|"), col("text")), 256), 1, 15),
         16, 10).cast("long"))

@@ -61,7 +61,13 @@ object HtmlExtract {
   val ScriptRe = "(?s)<script>.*?</script>"
   val StyleRe = "(?s)<style>.*?</style>"
   val TagRe = "<[^>]*>"
-  val WsRe = "\\s+"
+  /** Whitespace class spelled out explicitly rather than `\s`: Java
+    * regex (Spark) and RE2 (the DuckDB oracle) disagree on `\s` —
+    * Java includes `\x0B` (vertical tab), RE2 does not — so a VT in a
+    * document would normalize differently per engine. The explicit
+    * class is dialect-independent (both escapes below are interpreted
+    * identically by Java regex and RE2). */
+  val WsRe = "[ \\t\\n\\x0B\\f\\r]+"
   /** Candidate blocks in fixed precedence order (ties in the mass
     * score resolve to the earlier tag — part of the contract). */
   val BlockTags = Seq("div", "header", "nav", "aside", "footer")
@@ -100,8 +106,12 @@ object HtmlExtract {
     for (t <- BlockTags) {
       df = df.withColumn(s"b_$t", regexp_extract(col("noss"), blockRe(t), 0))
         .withColumn(s"t_$t", stripped(col(s"b_$t")))
+        // square in DOUBLE: length() is IntegerType, and int*int overflows
+        // 32 bits at ~46 kchars of block text (ANSI throws; non-ANSI
+        // silently diverges from DuckDB's BIGINT length) — cast the first
+        // factor so the product is 64-bit like the oracle's
         .withColumn(s"m_$t", when(length(col(s"b_$t")) > 0,
-          (length(col(s"t_$t")) * length(col(s"t_$t"))).cast("double") /
+          length(col(s"t_$t")).cast("double") * length(col(s"t_$t")) /
             length(col(s"b_$t"))).otherwise(lit(0.0)))
     }
     // argmax by mass with the fixed BlockTags precedence on ties
@@ -225,7 +235,7 @@ object HtmlExtract {
     }.mkString(",\n|    ")
     val texts = BlockTags.map { t =>
       s"trim(regexp_replace(regexp_replace(b_$t, '<[^>]*>', ' ', 'g'), " +
-        s"'\\s+', ' ', 'g')) AS t_$t"
+        s"'$WsRe', ' ', 'g')) AS t_$t"
     }.mkString(",\n|    ")
     val masses = BlockTags.map { t =>
       s"CASE WHEN length(b_$t) > 0 THEN length(t_$t) * length(t_$t) " +
@@ -269,7 +279,7 @@ object HtmlExtract {
       |ex AS (SELECT doc_id, source, main_tag,
       |    $mainTxt,
       |    trim(regexp_replace(regexp_replace(noss, '<[^>]*>', ' ', 'g'),
-      |      '\\s+', ' ', 'g')) AS all_txt,
+      |      '$WsRe', ' ', 'g')) AS all_txt,
       |    text
       |  FROM mt),
       |res AS (SELECT doc_id, source, main_tag,
@@ -277,7 +287,7 @@ object HtmlExtract {
       |    CASE WHEN length(all_txt) > 0
       |      THEN round(1.0 - length(main_txt) * 1.0 / length(all_txt), 4)
       |      ELSE 1.0 END AS boilerplate_ratio,
-      |    main_txt = trim(regexp_replace(text, '\\s+', ' ', 'g'))
+      |    main_txt = trim(regexp_replace(text, '$WsRe', ' ', 'g'))
       |      AS recovered,
       |    substr(sha256(main_txt), 1, 16) AS main_sha
       |  FROM ex)""".stripMargin

@@ -57,7 +57,18 @@ object UrlCanonical {
     concat(lit("https://cdn.example.org:8443/static/"), col("doc_id") % 10))
 
   val SchemeHostRe = "^([a-zA-Z]+)://([^/?#]*)(.*)$"
-  val UtmRe = "utm_[a-z]+=[^&#]*&?"
+
+  /** Tracking-param strip, anchored to a parameter BOUNDARY: the match
+    * must start at `?` or `&` (kept via group 1), so a non-tracking
+    * parameter whose name merely ends in `utm_*` (`?myutm_source=1`)
+    * is never touched — an unanchored `utm_...` would corrupt it to
+    * `?my`. The repeated inner group eats a whole RUN of consecutive
+    * utm params (each inner match ends at the next `&`) in one
+    * replacement, so `?utm_a=1&utm_b=2&p=3` → `?p=3` in a single
+    * pass. Replacement is the captured delimiter (`$1` Java / `\1`
+    * RE2); a dangling `?`/`&` that leaves at end-of-query is tidied by
+    * the next rule. */
+  val UtmRe = "([?&])(?:utm_[a-z]+=[^&#]*&?)+"
 
   /** Canonicalize one URL column (the shared rule chain). */
   def canonicalize(u: Column): Column = {
@@ -68,7 +79,7 @@ object UrlCanonical {
       .when(scheme === "https", regexp_replace(host0, ":443$", ""))
       .otherwise(host0)
     val noFrag = regexp_replace(rest0, "#.*$", "")
-    val noUtm = regexp_replace(noFrag, UtmRe, "")
+    val noUtm = regexp_replace(noFrag, UtmRe, "$1")
     val tidy = regexp_replace(noUtm, "[?&]+$", "")
     val noSlash = regexp_replace(tidy, "^(/.+)/$", "$1")
     concat(scheme, lit("://"), host, noSlash)
@@ -121,7 +132,7 @@ object UrlCanonical {
       s"WHEN $scheme = 'https' " +
       s"THEN regexp_replace($host0, ':443$$', '') ELSE $host0 END)"
     val noFrag = s"regexp_replace($rest0, '#.*$$', '')"
-    val noUtm = s"regexp_replace($noFrag, '$UtmRe', '', 'g')"
+    val noUtm = s"regexp_replace($noFrag, '$UtmRe', '\\1', 'g')"
     val tidy = s"regexp_replace($noUtm, '[?&]+$$', '')"
     val noSlash = s"regexp_replace($tidy, '^(/.+)/$$', '\\1')"
     s"$scheme || '://' || $host || $noSlash"

@@ -87,6 +87,33 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(r.getAs[Long]("main_len") == 0L)
   }
 
+  test("production-sized block: 50k-char text does not overflow the mass") {
+    // length() is IntegerType; an int*int square overflows 32 bits past
+    // ~46,340 chars (ANSI mode throws ArithmeticException) — the mass is
+    // squared in DOUBLE, so a page-sized block must extract cleanly
+    val big = Array.fill(10000)("word").mkString(" ") // 49,999 chars
+    val page = "<html><body><nav><a href=\"/\">x</a></nav>" +
+      s"<div><p>$big</p></div><footer>ft</footer></body></html>"
+    val r = one(page, big)
+    assert(r.getAs[String]("main_tag") == "div")
+    assert(r.getAs[Boolean]("recovered"))
+    assert(r.getAs[Long]("main_len") == big.length.toLong)
+  }
+
+  test("vertical tab normalizes as whitespace (explicit ws class)") {
+    // \x0B is in Java's \s but not RE2's; WsRe spells the class out so
+    // both engines agree — on the Spark side, a VT-separated text must
+    // extract to the same content as its space-separated twin
+    val spaced = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val vt = spaced.replace(' ', '\u000B')
+    def pageFor(t: String) = "<html><body><nav><a href=\"/\">x</a></nav>" +
+      s"<div><p>$t</p></div><footer>ft</footer></body></html>"
+    val a = one(pageFor(spaced), spaced)
+    val b = one(pageFor(vt), vt)
+    assert(b.getAs[Boolean]("recovered"), "VT text must round-trip")
+    assert(a.getAs[String]("main_sha") == b.getAs[String]("main_sha"))
+  }
+
   test("html_links: every page contributes its full link set") {
     val dir = "/root/testdata/sf0.001"
     val nDocs = graft.Tables(spark, dir, "documents").count()

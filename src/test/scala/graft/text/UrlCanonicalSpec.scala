@@ -25,6 +25,8 @@ class UrlCanonicalSpec extends AnyFunSuite {
       "http://site.com/a?utm_source=x&p=1",  // utm first
       "http://site.com/a?p=1&utm_medium=y",  // utm last
       "http://site.com/a?p=1&utm_a=x&q=2",   // utm middle
+      "http://site.com/a?utm_a=1&utm_b=2&p=3", // consecutive utm RUN
+      "http://site.com/a?myutm_source=1", // non-utm param NOT corrupted
       "http://site.com/a/b/",            // trailing slash
       "http://site.com/"                 // root slash KEPT
     ) == Seq(
@@ -37,6 +39,8 @@ class UrlCanonicalSpec extends AnyFunSuite {
       "http://site.com/a?p=1",
       "http://site.com/a?p=1",
       "http://site.com/a?p=1&q=2",
+      "http://site.com/a?p=3",
+      "http://site.com/a?myutm_source=1",
       "http://site.com/a/b",
       "http://site.com/"))
   }
