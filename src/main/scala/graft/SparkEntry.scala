@@ -15,7 +15,8 @@ import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality,
   SimilarityQueries}
 import graft.sources.{CorpusManifest, FormatSources}
 import graft.storm.StormQueries
-import graft.text.{Allocation, BigramLm, Bpe, Chunking, Concentration, DomainCaps,
+import graft.text.{Allocation, BigramLm, Bpe, Chunking, Concentration, CrawlDedup,
+  DomainCaps,
   Drift, HeavyHitterDelta, HtmlExtract, HybridRetrieval, Keywords, NgramNovelty,
   PiiRedact, Pretokenize, QualityClassifier, QuantileNorm, Readability,
   Retrieval, Sampling, SourceKs, TextQueries, Unigram, UrlCanonical,
@@ -66,6 +67,7 @@ object SparkEntry {
       (PiiRedact.queries, PiiRedact.oracles),
       (HtmlExtract.queries, HtmlExtract.oracles),
       (UrlCanonical.queries, UrlCanonical.oracles),
+      (CrawlDedup.queries, CrawlDedup.oracles),
       (Chunking.queries, Chunking.oracles),
       (Sampling.queries, Sampling.oracles),
       (Allocation.queries, Allocation.oracles),

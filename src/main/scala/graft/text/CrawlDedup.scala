@@ -1,0 +1,180 @@
+package graft.text
+
+import graft.Tables
+import graft.dedup.ConnectedComponents
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl-level URL ↔ content dedup — the join the crawl tier computed
+  * both halves of but never ran: [[UrlCanonical]] canonicalizes fetch
+  * targets and the dedup tier fingerprints content (near-dup cluster
+  * labels over MinHash-LSH verified pairs), and every real crawl store
+  * runs the two queries that CONNECT them:
+  *
+  *  - **mirror detection** (`url_mirror_sets`): the same content family
+  *    served at ≥ 2 distinct canonical URLs. Content identity is the
+  *    near-dup CLUSTER label (the memoized
+  *    [[ConnectedComponents.dedupClusters]] relation) rather than an
+  *    exact byte hash: mirrors in the wild differ by banners/dates, so
+  *    byte equality under-detects — the fingerprint that groups them is
+  *    the same one the dedup tier already certifies. Each cluster's
+  *    members carry their canonical page URL ([[UrlCanonical.u0]]
+  *    canonicalized); a cluster spanning ≥ 2 distinct URLs is a mirror
+  *    set, reported with its URL/host spread and deterministic min/max
+  *    representative URLs. The fixture's planted near-dup clusters span
+  *    sources (probed: 20 of 21 clusters at sf0.001), so cross-HOST
+  *    mirror sets genuinely fire at every SF.
+  *
+  *  - **recrawl delta** (`url_recrawl_delta`): the same canonical
+  *    target fetched in two snapshots with CHANGED extracted content —
+  *    the fetch-scheduling signal. Snapshot B is synthesized
+  *    deterministically in-query (the `pii_redact`/[[HtmlExtract]]
+  *    playbook): every [[EditMod]]-th doc's text gains one word, both
+  *    snapshots run the full [[HtmlExtract]] pipeline, and per-target
+  *    content is summarized by the order-independent sha-XOR
+  *    ([[graft.sources.CorpusManifest]]'s checksum monoid) so a target
+  *    serving several docs compares as a set. The subtle (and correct)
+  *    interaction: an edit on a PARKED page (empty content div) never
+  *    reaches the extracted content, so its target reports UNCHANGED —
+  *    recrawl scheduling on extracted content deliberately ignores
+  *    changes invisible to extraction.
+  *
+  * Scale: mirror sets ride the memoized cluster labels (∝ clustered
+  * docs, already paid by the dedup tier) joined to a zero-shuffle URL
+  * projection — one doc_id-keyed join + one cluster-keyed rollup, both
+  * output-sized. Recrawl delta is two extraction scans (pure per-row
+  * projections) + two target-keyed rollups + one target-keyed join —
+  * shuffle ∝ distinct targets, the crawl frontier's own size.
+  */
+object CrawlDedup {
+
+  /** Every EditMod-th doc's page content changes between snapshots —
+    * coprime to [[HtmlExtract.ParkedMod]] (13) so edited-parked docs
+    * exist (the change-invisible-to-extraction population) and to the
+    * u0 target moduli so targets mix edited and clean docs. */
+  val EditMod = 3
+
+  /** Snapshot B's text: one appended word for every EditMod-th doc. */
+  def editedText: Column =
+    when(col("doc_id") % EditMod === 0,
+      concat(col("text"), lit(" updated"))).otherwise(col("text"))
+
+  /** Gate: mirror sets — near-dup clusters served at ≥ 2 distinct
+    * canonical page URLs, with URL/host spread and representative
+    * URLs. */
+  def urlMirrorSets(s: SparkSession, dir: String): DataFrame = {
+    val labels = ConnectedComponents.dedupClusters(s, dir)
+    val pages = Tables.parallel(s, dir, "documents")
+      .select(col("doc_id"),
+        UrlCanonical.canonicalize(UrlCanonical.u0).as("url"))
+    // distinct (cluster, url) — cluster_size is functional on cluster_id
+    // so it rides along without widening the key
+    pages.join(labels, "doc_id")
+      .select(col("cluster_id"), col("cluster_size"), col("url"))
+      .distinct()
+      .withColumn("host",
+        regexp_extract(col("url"), UrlCanonical.SchemeHostRe, 2))
+      .groupBy("cluster_id")
+      .agg(max(col("cluster_size")).as("n_docs"),
+        count(lit(1)).as("n_urls"), // pre-distinct ⇒ count(*) IS distinct
+        countDistinct(col("host")).as("n_hosts"), // single distinct agg
+        min(col("url")).as("first_url"),
+        max(col("url")).as("last_url"))
+      .filter(col("n_urls") >= 2)
+  }
+
+  /** One snapshot's per-target content manifest: doc count + sha-XOR
+    * of the EXTRACTED main content (60-bit prefix, order-free). */
+  private def snapManifest(s: SparkSession, dir: String, edited: Boolean,
+                           p: String): DataFrame = {
+    val docs0 = Tables.parallel(s, dir, "documents")
+    val docs = if (edited) docs0.withColumn("text", editedText) else docs0
+    HtmlExtract.scored(docs.withColumn("page", HtmlExtract.pageCol))
+      .select(UrlCanonical.canonicalize(UrlCanonical.u0).as("target"),
+        conv(substring(sha2(col("main_txt"), 256), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("target")
+      .agg(count(lit(1)).as(s"${p}n"), expr("bit_xor(h)").as(s"${p}xor"))
+  }
+
+  /** Gate: recrawl delta — every canonical target with its old/new
+    * extracted-content checksum and the changed flag. Inner join is
+    * total: both snapshots cover the identical doc set, so the target
+    * domains coincide. */
+  def urlRecrawlDelta(s: SparkSession, dir: String): DataFrame = {
+    val a = snapManifest(s, dir, edited = false, "a_")
+    val b = snapManifest(s, dir, edited = true, "b_")
+    a.join(b, Seq("target"))
+      .select(col("target"),
+        regexp_extract(col("target"), UrlCanonical.SchemeHostRe, 2)
+          .as("host"),
+        col("a_n").as("n_docs"),
+        col("a_xor").as("old_xor"), col("b_xor").as("new_xor"),
+        (col("a_xor") =!= col("b_xor")).as("changed"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "url_mirror_sets" -> urlMirrorSets,
+    "url_recrawl_delta" -> urlRecrawlDelta)
+
+  /** doc_id → canonical page URL in DuckDB (u0 synthesized then run
+    * through the shared canonicalization chain). */
+  private def urlsCte: String =
+    s"""urls AS (SELECT doc_id, ${UrlCanonical.canonExpr} AS url
+      |         FROM (SELECT doc_id, ${UrlCanonical.U0Sql} AS u
+      |               FROM documents))""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    // near-dup CC labels (the dedup_clusters oracle's recursive closure)
+    // joined to canonical page URLs, rolled up per cluster
+    "url_mirror_sets" ->
+      (s"WITH RECURSIVE ${graft.dedup.DedupQueries.lshPairsCte},\n" +
+        s"""edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+          |          UNION SELECT b_id, a_id FROM lshpairs),
+          |reach(a, b) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+          |         FROM reach GROUP BY a),
+          |sz AS (SELECT cluster_id, count(*) AS cluster_size
+          |       FROM comp GROUP BY 1),
+          |$urlsCte,
+          |uo AS (SELECT DISTINCT c.cluster_id, sz.cluster_size, u.url
+          |       FROM comp c
+          |       JOIN sz USING (cluster_id)
+          |       JOIN urls u ON u.doc_id = c.doc_id)
+          |SELECT cluster_id, max(cluster_size)::BIGINT AS n_docs,
+          |  count(*)::BIGINT AS n_urls,
+          |  count(DISTINCT regexp_extract(url, '${UrlCanonical.SchemeHostRe}', 2))::BIGINT
+          |    AS n_hosts,
+          |  min(url) AS first_url, max(url) AS last_url
+          |FROM uo GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
+    // the html extraction chain replayed TWICE (base + edited snapshot),
+    // then per-target sha-XOR manifests compared
+    "url_recrawl_delta" -> {
+      val docs2 =
+        s"""docs2 AS (SELECT doc_id, source,
+          |  CASE WHEN doc_id % $EditMod = 0 THEN text || ' updated'
+          |       ELSE text END AS text
+          |  FROM documents)""".stripMargin
+      s"""WITH $docs2,
+        |${HtmlExtract.htmlCteFrom("documents", "")},
+        |${HtmlExtract.htmlCteFrom("docs2", "b")},
+        |$urlsCte,
+        |ma AS (SELECT u.url AS target, count(*) AS n_docs,
+        |         bit_xor(CAST('0x' || substr(r.main_sha, 1, 15) AS BIGINT))
+        |           AS old_xor
+        |       FROM urls u JOIN res r USING (doc_id) GROUP BY 1),
+        |mb AS (SELECT u.url AS target,
+        |         bit_xor(CAST('0x' || substr(r.main_sha, 1, 15) AS BIGINT))
+        |           AS new_xor
+        |       FROM urls u JOIN bres r USING (doc_id) GROUP BY 1)
+        |SELECT ma.target,
+        |  regexp_extract(ma.target, '${UrlCanonical.SchemeHostRe}', 2) AS host,
+        |  ma.n_docs::BIGINT AS n_docs,
+        |  ma.old_xor::BIGINT AS old_xor, mb.new_xor::BIGINT AS new_xor,
+        |  ma.old_xor <> mb.new_xor AS changed
+        |FROM ma JOIN mb ON ma.target = mb.target""".stripMargin
+    })
+}

@@ -228,8 +228,12 @@ object HtmlExtract {
     "html_links" -> htmlLinks,
     "crawl_quality_funnel" -> crawlQualityFunnel)
 
-  /** Shared extraction CTE chain (DuckDB). */
-  val htmlCte: String = {
+  /** Shared extraction CTE chain (DuckDB), parameterized by the source
+    * relation (must expose doc_id, source, text) and a CTE-name prefix —
+    * [[CrawlDedup]]'s recrawl oracle replays the chain TWICE (base and
+    * edited snapshot) in one query, so the second chain's CTE names
+    * must not collide with the first's. */
+  def htmlCteFrom(docsRel: String, p: String): String = {
     val blocks = BlockTags.map { t =>
       s"regexp_extract(noss, '(?s)<$t[^>]*>.*?</$t>', 0) AS b_$t"
     }.mkString(",\n|    ")
@@ -252,37 +256,37 @@ object HtmlExtract {
     // NB: continuation lines here must never START with "||" — this CTE
     // is re-interpolated into outer stripMargin strings, which would
     // strip a leading whitespace+| as a second margin.
-    s"""pg AS (SELECT doc_id, source, text,
+    s"""${p}pg AS (SELECT doc_id, source, text,
       |    '$P1' || doc_id || '$P2' || doc_id || '$P3' || source ||
       |      '$P4' || source || '$P5' || source || '$P6' || source ||
       |      '$P7' || (doc_id % 10) || '$P8' ||
       |      (CASE WHEN doc_id % $ParkedMod = 0 THEN '' ELSE text END) ||
       |      '$P9' || (doc_id % 7) || '$P10' || (doc_id % 25 + 2000) ||
       |      '$P11' || source || '$P12' AS page
-      |  FROM documents),
-      |ns AS (SELECT doc_id, source, text,
+      |  FROM $docsRel),
+      |${p}ns AS (SELECT doc_id, source, text,
       |    regexp_replace(regexp_replace(page,
       |      '$ScriptRe', ' ', 'g'), '$StyleRe', ' ', 'g') AS noss
-      |  FROM pg),
-      |bl AS (SELECT doc_id, source, text, noss,
+      |  FROM ${p}pg),
+      |${p}bl AS (SELECT doc_id, source, text, noss,
       |    $blocks
-      |  FROM ns),
-      |tx AS (SELECT *,
+      |  FROM ${p}ns),
+      |${p}tx AS (SELECT *,
       |    $texts
-      |  FROM bl),
-      |ms AS (SELECT *,
+      |  FROM ${p}bl),
+      |${p}ms AS (SELECT *,
       |    $masses
-      |  FROM tx),
-      |mt AS (SELECT *,
+      |  FROM ${p}tx),
+      |${p}mt AS (SELECT *,
       |    $mainTag
-      |  FROM ms),
-      |ex AS (SELECT doc_id, source, main_tag,
+      |  FROM ${p}ms),
+      |${p}ex AS (SELECT doc_id, source, main_tag,
       |    $mainTxt,
       |    trim(regexp_replace(regexp_replace(noss, '<[^>]*>', ' ', 'g'),
       |      '$WsRe', ' ', 'g')) AS all_txt,
       |    text
-      |  FROM mt),
-      |res AS (SELECT doc_id, source, main_tag,
+      |  FROM ${p}mt),
+      |${p}res AS (SELECT doc_id, source, main_tag,
       |    length(main_txt)::BIGINT AS main_len,
       |    CASE WHEN length(all_txt) > 0
       |      THEN round(1.0 - length(main_txt) * 1.0 / length(all_txt), 4)
@@ -290,8 +294,12 @@ object HtmlExtract {
       |    main_txt = trim(regexp_replace(text, '$WsRe', ' ', 'g'))
       |      AS recovered,
       |    substr(sha256(main_txt), 1, 16) AS main_sha
-      |  FROM ex)""".stripMargin
+      |  FROM ${p}ex)""".stripMargin
   }
+
+  /** The unprefixed chain over `documents` — the form every existing
+    * oracle composes (`pg`/`ex`/`res` names unchanged). */
+  val htmlCte: String = htmlCteFrom("documents", "")
 
   val oracles: Map[String, String] = Map(
     "html_extract" ->

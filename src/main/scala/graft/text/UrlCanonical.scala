@@ -40,13 +40,18 @@ object UrlCanonical {
     * 20 for u1), so distinct raw URLs genuinely COLLIDE onto one
     * canonical target across docs — the dedup ratio the gate reports
     * is real, not an artifact of every raw URL being unique anyway. */
-  def rawUrls: Column = array(
-    // mixed-case scheme+host, default :80, utm first AND last, frag
+  /** Slot-0 raw URL — the doc's PAGE url (mixed-case scheme+host,
+    * default :80, utm first AND last, fragment); factored out because
+    * [[CrawlDedup]] uses it as the per-doc fetch target. */
+  def u0: Column =
     concat(lit("HTTP://WWW."), col("source"),
       lit(".Example.COM:80/Art/item"), col("doc_id") % 50,
       lit("?utm_source=feed&page="), col("doc_id") % 3,
       lit("&utm_campaign=c"), col("doc_id") % 11,
-      lit("#sec"), col("doc_id") % 7),
+      lit("#sec"), col("doc_id") % 7)
+
+  def rawUrls: Column = array(
+    u0,
     // explicit default https port; every 4th doc: bare trailing slash
     concat(lit("https://"), col("source"), lit(".example.com:443/cat/"),
       col("doc_id") % 20,
@@ -122,8 +127,9 @@ object UrlCanonical {
     "url_canonical" -> urlCanonical,
     "url_canonical_pairs" -> urlCanonicalPairs)
 
-  /** The same rule chain as a DuckDB expression over column `u`. */
-  private def canonExpr: String = {
+  /** The same rule chain as a DuckDB expression over column `u` —
+    * shared with the [[CrawlDedup]] oracles. */
+  private[text] def canonExpr: String = {
     val scheme = s"lower(regexp_extract(u, '$SchemeHostRe', 1))"
     val host0 = s"lower(regexp_extract(u, '$SchemeHostRe', 2))"
     val rest0 = s"regexp_extract(u, '$SchemeHostRe', 3)"
@@ -140,13 +146,16 @@ object UrlCanonical {
 
   // NB: no line may START with "||" — this CTE is re-interpolated into
   // outer stripMargin strings (see HtmlExtract.htmlCte for the same rule)
+  /** SQL twin of [[u0]] (shared with the [[CrawlDedup]] oracles). */
+  private[text] val U0Sql: String =
+    "'HTTP://WWW.' || source || '.Example.COM:80/Art/item' || " +
+      "(doc_id % 50) || '?utm_source=feed&page=' || (doc_id % 3) || " +
+      "'&utm_campaign=c' || (doc_id % 11) || '#sec' || (doc_id % 7)"
+
   private val rawCte =
-    """raw AS (
+    s"""raw AS (
       |  SELECT doc_id, 0 AS slot,
-      |    'HTTP://WWW.' || source || '.Example.COM:80/Art/item' ||
-      |      (doc_id % 50) || '?utm_source=feed&page=' || (doc_id % 3) ||
-      |      '&utm_campaign=c' || (doc_id % 11) ||
-      |      '#sec' || (doc_id % 7) AS u
+      |    $U0Sql AS u
       |  FROM documents
       |  UNION ALL
       |  SELECT doc_id, 1,

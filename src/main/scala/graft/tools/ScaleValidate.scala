@@ -157,6 +157,14 @@ object ScaleValidate {
     ("bounded-slice", "fixed-id-slice evidence relations: constant rows " +
       "at any scale (the doc_id < K filter pushes to the scan)", Seq(
       "url_canonical_pairs")),
+    ("mirror-join", "memoized cluster labels (paid by the dedup tier) " +
+      "⋈ URL projection by doc_id, then cluster-keyed rollup: shuffle " +
+      "∝ docs (URL side) + clustered docs (labels), output ∝ mirror " +
+      "sets", Seq("url_mirror_sets")),
+    ("recrawl-delta", "two snapshot extraction scans (pure projections) " +
+      "+ two target-keyed rollups + one target equi-join, map-side " +
+      "combined: shuffle ∝ distinct targets (domain-bounded here; " +
+      "production targets ∝ distinct URLs ≈F×)", Seq("url_recrawl_delta")),
     ("corpus-write", "survivor rows repartitioned by source (write work " +
       "∝ survivors ≈F×, riding the pair-bound funnel tiers); read-back " +
       "manifest partials ∝ sources ≪F×; file count bounded by the " +
