@@ -10,7 +10,7 @@ import graft.operators.{AsOfJoin, Attribution, Backlog, Cohort, EventPaths,
   RevenueMom, SeasonalBaseline, SessionEntryExit, SessionTypePairs,
   SkewJoin, Streaks, ZOrder}
 import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality,
-  GraphStats, Neighborhood, NormProfile, Ivf, IvfIncremental, KCore,
+  GraphStats, Neighborhood, NormProfile, Ivf, IvfIncremental, IvfModel, KCore,
   KnnGraphIvf, LabelProp, PageRank, Pq, SemDedup, SemanticDecontam,
   SimilarityQueries}
 import graft.sources.{CorpusManifest, FormatSources}
@@ -98,6 +98,7 @@ object SparkEntry {
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (Ivf.queries, Ivf.oracles),
       (IvfIncremental.queries, IvfIncremental.oracles),
+      (IvfModel.queries, IvfModel.oracles),
       (Pq.queries, Pq.oracles),
       (KnnGraphIvf.queries, KnnGraphIvf.oracles),
       (EmbeddingDrift.queries, EmbeddingDrift.oracles),

@@ -181,7 +181,7 @@ object Ivf {
     }
   }
 
-  private def cellExpr(centers: Array[Array[Double]]): Column = {
+  private[sim] def cellExpr(centers: Array[Array[Double]]): Column = {
     val scores = centroidScores(centers)
     val m = least(scores.toSeq: _*)
     scores.zipWithIndex.tail
@@ -190,7 +190,7 @@ object Ivf {
       }
   }
 
-  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+  private[sim] def cosine(a: Array[Double], b: Array[Double]): Double = {
     var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     dp / (math.sqrt(na) * math.sqrt(nb))
@@ -218,6 +218,13 @@ object Ivf {
     if (nprobe == NProbe) synchronized {
       lastIvfOracle = Some(ivfOracleSql(centers, probeCells))
     }
+    topkFrom(assigned, probeCells)
+  }
+
+  /** The probe/re-rank stage over an already-assigned relation — shared
+    * with [[IvfModel]], which replays it from a RELOADED quantizer. */
+  private[sim] def topkFrom(assigned: DataFrame,
+                            probeCells: Array[Int]): DataFrame = {
     val q = assigned.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"),
         sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
@@ -425,10 +432,16 @@ object Ivf {
     import s.implicits._
     val qEmb = assigned.filter(col("vec_id") === 0)
       .select("embedding").as[Array[Float]].head().map(_.toDouble)
+    rankCellsFor(qEmb, centers)
+  }
+
+  /** All cells ranked by centroid cosine to an explicit query vector —
+    * shared with [[IvfModel]]'s reloaded-quantizer path. */
+  private[sim] def rankCellsFor(qEmb: Array[Double],
+      centers: Array[Array[Double]]): Seq[Int] =
     centers.zipWithIndex
       .map { case (ctr, i) => (cosine(qEmb, ctr), i) }
       .sortBy(-_._1).map(_._2).toSeq
-  }
 
   /** The probe set ivfTopkProbing(nprobe) scans: cells of the nprobe
     * centroids nearest the query — factored out so the sweep reports the
@@ -450,7 +463,7 @@ object Ivf {
     * driver-picked probe cells) inlined as literals; assignment = the same
     * (‖c_j‖² − 2·(x·c_j)/‖x‖, j) argmin [[cellExpr]] computes, then the
     * exact-cosine re-rank of the probed cells. */
-  private def ivfOracleSql(centers: Array[Array[Double]],
+  private[sim] def ivfOracleSql(centers: Array[Array[Double]],
       probes: Array[Int]): String = {
     val rows = centers.zipWithIndex.map { case (c, j) =>
       s"($j, ${fmtD(c.map(x => x * x).sum)}, " +

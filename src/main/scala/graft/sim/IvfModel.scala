@@ -1,0 +1,131 @@
+package graft.sim
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained-model ARTIFACT persistence — the index lifecycle story: in
+  * production the coarse quantizer is trained once (a batch job),
+  * shipped as a versioned artifact, and every query fleet loads it from
+  * storage; nothing re-trains per session. Through round 9 the engine's
+  * IVF centroids lived only in an in-memory memo. This gate applies the
+  * [[graft.sources.CorpusManifest]] pattern to the model:
+  *
+  *  1. train (the shared memoized quantizer), WRITE the centroids as a
+  *     parquet artifact next to a one-row manifest
+  *     (n_lists, dim, training-sample modulus, centroid checksum);
+  *  2. RELOAD the artifact (driver-side collect — nLists × dim doubles,
+  *     model-bounded at any corpus size);
+  *  3. verify the manifest: the checksum is recomputed FROM THE
+  *     RELOADED coefficients (canonical shortest-round-trip decimal
+  *     serialization, cell-index keyed), so one flipped byte anywhere
+  *     in the artifact reds `manifest_ok`;
+  *  4. re-run the full IVF query path — cell assignment, centroid
+  *     ranking, probe, exact-cosine re-rank — ENTIRELY from the
+  *     reloaded model.
+  *
+  * The oracle is built from the TRAINED centroids (the `ivf_topk`
+  * dynamic-oracle pattern), while the query runs from the RELOADED
+  * ones — hash-green therefore proves the round trip is bit-exact end
+  * to end: a write/read that loses one ulp changes an assignment score
+  * or a cosine and reds the hash, independently of the manifest check.
+  *
+  * Scale: artifact write/read is ∝ nLists × dim (the model, never the
+  * corpus); the replayed query is the standard IVF probe (broadcast-
+  * side law). At production nLists (10⁴–10⁵ cells) the reload is still
+  * megabytes — the artifact is the thing you ship to 1000 executors,
+  * which is exactly why it must be storage-stable and checksummed.
+  */
+object IvfModel {
+
+  /** Deterministic per-(sf-dir) artifact location under the build dir. */
+  def modelDir(dir: String): String = {
+    val name = new java.io.File(dir).getName
+    s"target/ivf_model/${name}_${Integer.toHexString(dir.hashCode)}"
+  }
+
+  /** Canonical centroid checksum: sha256 over the cell-index-keyed,
+    * shortest-round-trip decimal serialization. Any representation the
+    * storage layer could corrupt (a coefficient, an index, a missing
+    * cell) changes the string. */
+  def centroidSha(centers: Array[Array[Double]]): String = {
+    val canon = centers.zipWithIndex
+      .map { case (c, j) => s"$j:" + c.map(Ivf.fmtD).mkString(",") }
+      .mkString(";")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  /** Write the quantizer artifact: `centroids/` (one row per cell,
+    * array<double> coefficients) + `manifest/` (one row: shape, the
+    * training-sample modulus, the checksum). */
+  def writeModel(s: SparkSession, path: String,
+                 centers: Array[Array[Double]]): Unit = {
+    import s.implicits._
+    centers.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("j", "c")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((centers.length, centers.headOption.map(_.length).getOrElse(0),
+        Ivf.SampleMod, centroidSha(centers)))
+      .toDF("n_lists", "dim", "sample_mod", "centroid_sha")
+      .write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Reload the artifact and verify it against its manifest. Returns
+    * (centers sorted by cell index, manifest_ok, n_lists, dim). */
+  def readModel(s: SparkSession, path: String):
+      (Array[Array[Double]], Boolean, Int, Int) = {
+    val centers = s.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val m = s.read.parquet(s"$path/manifest").head()
+    val ok = m.getAs[String]("centroid_sha") == centroidSha(centers) &&
+      m.getAs[Int]("n_lists") == centers.length &&
+      centers.forall(_.length == m.getAs[Int]("dim"))
+    (centers, ok, m.getAs[Int]("n_lists"), m.getAs[Int]("dim"))
+  }
+
+  /** Gate: write → reload → verify → query from the RELOADED model. */
+  def ivfModelRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, trained) = Ivf.assignments(s, dir) // train (memoized)
+    val path = modelDir(dir)
+    writeModel(s, path, trained)
+    val (reloaded, ok, nLists, dim) = readModel(s, path)
+
+    // the full query path, from the reloaded coefficients only
+    val assigned = Tables(s, dir, "embeddings")
+      .withColumn("cell", Ivf.cellExpr(reloaded))
+    val qEmb = assigned.filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head().map(_.toDouble)
+    val probes = Ivf.rankCellsFor(qEmb, reloaded).take(Ivf.NProbe).toArray
+
+    // oracle from the TRAINED model: hash-green ⇔ reload is bit-exact
+    synchronized {
+      lastOracle = Some(
+        s"""SELECT vec_id, label, cell, cosine,
+          |  ${Ivf.NLists}::BIGINT AS n_lists, ${dim}::BIGINT AS dim,
+          |  TRUE AS manifest_ok
+          |FROM (${Ivf.ivfOracleSql(trained,
+                 Ivf.rankCellsFor(qEmb, trained).take(Ivf.NProbe).toArray)})"""
+          .stripMargin)
+    }
+    Ivf.topkFrom(assigned, probes)
+      .withColumn("n_lists", lit(nLists.toLong))
+      .withColumn("dim", lit(dim.toLong))
+      .withColumn("manifest_ok", lit(ok))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_model_roundtrip" -> ivfModelRoundtrip)
+
+  // dynamic oracle (trained-model literals) — the ivf_topk pattern:
+  // Verify runs every query before dumping oracle SQL
+  private var lastOracle: Option[String] = None
+
+  def oracles: Map[String, String] = synchronized(lastOracle) match {
+    case Some(sql) => Map("ivf_model_roundtrip" -> sql)
+    case None => Map.empty
+  }
+}

@@ -161,6 +161,9 @@ object ScaleValidate {
       "⋈ URL projection by doc_id, then cluster-keyed rollup: shuffle " +
       "∝ docs (URL side) + clustered docs (labels), output ∝ mirror " +
       "sets", Seq("url_mirror_sets")),
+    ("model-roundtrip", "artifact write + reload ∝ nLists × dim (model-" +
+      "bounded, corpus-independent); the replayed probe query is the " +
+      "broadcast-side IVF law", Seq("ivf_model_roundtrip")),
     ("recrawl-delta", "two snapshot extraction scans (pure projections) " +
       "+ two target-keyed rollups + one target equi-join, map-side " +
       "combined: shuffle ∝ distinct targets (domain-bounded here; " +
