@@ -317,6 +317,26 @@ object StreamingPlanDigest {
           mem.addData((900001L, "zq zr zs zt"))
         }
       },
+      // foreachBatch twin: the lock pins the micro-batch plan feeding
+      // the manifest maintainer — STATELESS (no StateStore/watermark
+      // nodes), the O(0)-engine-state claim in StreamManifest's scaladoc
+      "corpus_manifest_stream" -> { () =>
+        val mem = MemoryStream[(Long, String, String)]
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-manifest-twin").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-manifest-twin-ckpt").toString
+        val q = StreamManifest.maintain(
+          mem.toDS().toDF("doc_id", "text", "source"), base, ckpt)
+        try {
+          mem.addData((1L, "a b", "s"))
+          q.processAllAvailable()
+          val exec = q.asInstanceOf[StreamingQueryWrapper]
+            .streamingQuery.lastExecution
+          require(exec != null, "no micro-batch executed")
+          outlineOf(exec.executedPlan)
+        } finally q.stop()
+      },
       "pca" -> { () =>
         val mem = MemoryStream[(Long, Array[Float])]
         run(StreamPca.projectionsOverStream(

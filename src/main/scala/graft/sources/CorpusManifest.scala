@@ -131,6 +131,14 @@ object CorpusManifest {
     val batchMod = graft.dedup.SnapshotDedup.BatchMod
     val mOld = contentManifest(surv.filter(col("doc_id") % batchMod =!= 0))
     val mNew = contentManifest(surv.filter(col("doc_id") % batchMod === 0))
+    mergeManifests(mOld, mNew)
+  }
+
+  /** The algebraic manifest merge — every column a monoid, so the
+    * composition is associative and a RUNNING manifest can be folded
+    * batch by batch ([[graft.streaming.StreamManifest]] does exactly
+    * that per micro-batch). */
+  def mergeManifests(mOld: DataFrame, mNew: DataFrame): DataFrame = {
     def pre(df: DataFrame, p: String) =
       df.columns.filter(_ != "source").foldLeft(df) { (d, c) =>
         d.withColumnRenamed(c, p + c) }
