@@ -16,6 +16,38 @@ object Bench {
     * and gets scaled DOWN proportionally. */
   val CalibRef = 0.247
 
+  /** Query names of the PREVIOUS round's kept bench — the carried set.
+    * Cross-round raw-wall diffs must compare the same query set; the
+    * round-9 adjudication needed a hand diff because the kept artifact
+    * only carried this round's total. The previous round's file is the
+    * highest-numbered committed `BENCH_local_r<N>.json` whose query set
+    * DIFFERS from the current one (a file covering exactly the current
+    * set is this round's own kept run — skip past it). */
+  def carriedSet(current: Set[String]): Option[(String, Set[String])] = {
+    val re = "^BENCH_local_r(\\d+)\\.json$".r
+    val files = Option(new java.io.File(".").listFiles())
+      .getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case re(n) => Some((n.toInt, f))
+        case _ => None
+      })
+      .sortBy(-_._1)
+    val nameRe = "\"([a-z0-9_]+)\":-?[0-9.]+".r
+    files.iterator.map { case (_, f) =>
+      val txt = java.nio.file.Files.readString(f.toPath)
+      val qBlock = txt.indexOf("\"queries\":")
+      val names =
+        if (qBlock < 0) Set.empty[String]
+        else {
+          val open = txt.indexOf('{', qBlock)
+          val close = txt.indexOf('}', open)
+          nameRe.findAllMatchIn(txt.substring(open, close + 1))
+            .map(_.group(1)).toSet
+        }
+      (f.getName, names)
+    }.find { case (_, names) => names.nonEmpty && names != current }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -150,7 +182,16 @@ object Bench {
     val ms = memoTimed.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val cs = calibSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_spread":$calibSpread%.3f,"calib_samples":$cs,"value_norm":${total * scale}%.3f,"memo_total":$memoTotal%.3f,"memo_sec":$ms,"queries":$qs,"queries_norm":$qn,"shuffle_mb":$sh,"shuffle_rec":$rec,"sf":"$sfDir"}""")
+    // carried-set raw total: this run's walls summed over the PREVIOUS
+    // round's query set, so cross-round raw diffs are one number on one
+    // host with no hand reconciliation (see carriedSet)
+    val carried = carriedSet(timed.map(_._1).toSet)
+    val carriedRaw = carried.map { case (_, names) =>
+      timed.filter(t => names(t._1)).map(_._2).sum }
+    val cr = carried.zip(carriedRaw).map { case ((src, names), raw) =>
+      f""","carried_raw":$raw%.3f,"carried_n":${names.size},"carried_from":"$src""""
+    }.getOrElse("")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_spread":$calibSpread%.3f,"calib_samples":$cs,"value_norm":${total * scale}%.3f,"memo_total":$memoTotal%.3f,"memo_sec":$ms$cr,"queries":$qs,"queries_norm":$qn,"shuffle_mb":$sh,"shuffle_rec":$rec,"sf":"$sfDir"}""")
     // Short trailer for the driver's stdout-tail parser: the full
     // per-query JSON above outgrows a bounded tail window (BENCH_r04/
     // r05 both recorded "parsed": null), so the LAST line is a compact
@@ -159,7 +200,7 @@ object Bench {
     // the driver's parser through round 6 ("parsed": null); stderr
     // passes through sbt un-prefixed.
     val trailer =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_spread":$calibSpread%.3f,"value_norm":${total * scale}%.3f,"n_queries":${timed.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_spread":$calibSpread%.3f,"value_norm":${total * scale}%.3f,"n_queries":${timed.size}$cr,"sf":"$sfDir"}"""
     println(trailer)
     System.err.println(trailer)
     System.out.flush(); System.err.flush()
