@@ -11,12 +11,12 @@ import graft.operators.{AsOfJoin, Attribution, Backlog, Cohort, EventPaths,
   SkewJoin, Streaks, ZOrder}
 import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality,
   GraphStats, Neighborhood, NormProfile, Ivf, IvfIncremental, IvfModel, KCore,
-  KnnGraphIvf, LabelProp, PageRank, Pq, SemDedup, SemanticDecontam,
+  KnnGraphIvf, LabelProp, PageRank, Pq, PqModel, SemDedup, SemanticDecontam,
   SimilarityQueries}
 import graft.sources.{CorpusManifest, FormatSources}
 import graft.storm.StormQueries
-import graft.text.{Allocation, BigramLm, Bpe, Chunking, Concentration, CrawlDedup,
-  DomainCaps,
+import graft.text.{Allocation, BigramLm, Bpe, BpeModel, Chunking, Concentration,
+  CrawlDedup, DomainCaps,
   Drift, HeavyHitterDelta, HtmlExtract, HybridRetrieval, Keywords, NgramNovelty,
   PiiRedact, Pretokenize, QualityClassifier, QuantileNorm, Readability,
   Retrieval, Sampling, SourceKs, TextQueries, Unigram, UrlCanonical,
@@ -72,6 +72,7 @@ object SparkEntry {
       (Sampling.queries, Sampling.oracles),
       (Allocation.queries, Allocation.oracles),
       (Bpe.queries, Bpe.oracles),
+      (BpeModel.queries, BpeModel.oracles),
       (Pretokenize.queries, Pretokenize.oracles),
       (Unigram.queries, Unigram.oracles),
       (BigramLm.queries, BigramLm.oracles),
@@ -100,6 +101,7 @@ object SparkEntry {
       (IvfIncremental.queries, IvfIncremental.oracles),
       (IvfModel.queries, IvfModel.oracles),
       (Pq.queries, Pq.oracles),
+      (PqModel.queries, PqModel.oracles),
       (KnnGraphIvf.queries, KnnGraphIvf.oracles),
       (EmbeddingDrift.queries, EmbeddingDrift.oracles),
       (NormProfile.queries, NormProfile.oracles),

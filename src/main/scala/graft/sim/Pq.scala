@@ -103,11 +103,8 @@ object Pq {
     }.toArray
     subs.unpersist()
     // encode through the portable literal argmin (not model.transform)
-    val packed = (0 until M).map { m =>
-      shiftleft(codeExpr(codebook(m), m).cast("long"), 4 * m)
-    }.reduceLeft(_ + _)
     val enc = e.select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("pq_code", packed)
+      .withColumn("pq_code", packedCode(codebook))
       .cache()
     enc.count()
     (enc, codebook)
@@ -134,6 +131,13 @@ object Pq {
       }
   }
 
+  /** The packed [[M]]×4-bit code expression for a codebook — shared by
+    * the trainer's encode and [[PqModel]]'s reloaded-codebook encode. */
+  private[sim] def packedCode(codebook: Array[Array[Array[Double]]]): Column =
+    (0 until M).map { m =>
+      shiftleft(codeExpr(codebook(m), m).cast("long"), 4 * m)
+    }.reduceLeft(_ + _)
+
   /** Gate query: every vector's packed PQ code. */
   def pqEncode(s: SparkSession, dir: String): DataFrame = {
     val (enc, codebook) = encoded(s, dir)
@@ -144,22 +148,38 @@ object Pq {
   /** Gate query: ADC top-[[RerankK]] candidates for query vec 0, exact
     * cosine re-rank to top-[[TopK]]. */
   def pqTopk(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val (enc, codebook) = encoded(s, dir)
+    val qnd = queryVec(s, enc)
+    val lut = lutFor(codebook, qnd)
+    synchronized { lastTopkOracle = Some(topkOracleSql(codebook, lut)) }
+    adcQuery(enc, lut)
+  }
+
+  /** L2-normalized query embedding (vec 0) — one driver-side head(). */
+  private[sim] def queryVec(s: SparkSession, enc: DataFrame): Array[Double] = {
+    import s.implicits._
     val q = enc.filter(col("vec_id") === 0)
       .select(col("embedding")).as[Array[Float]].head()
     val qd = q.map(_.toDouble)
     val qn = math.sqrt(qd.map(x => x * x).sum)
-    val qnd = if (qn == 0.0) qd else qd.map(_ / qn)
-    // LUT[m][k] = ‖c‖² − 2·(q̂_m·c): adc(x) = Σ_m LUT[m][code_m(x)]
-    // ranks ‖q̂ − x̃‖² up to the constant ‖q̂‖² = 1
-    val lut: Array[Array[Double]] = (0 until M).map { m =>
+    if (qn == 0.0) qd else qd.map(_ / qn)
+  }
+
+  /** LUT[m][k] = ‖c‖² − 2·(q̂_m·c): adc(x) = Σ_m LUT[m][code_m(x)]
+    * ranks ‖q̂ − x̃‖² up to the constant ‖q̂‖² = 1. */
+  private[sim] def lutFor(codebook: Array[Array[Array[Double]]],
+      qnd: Array[Double]): Array[Array[Double]] =
+    (0 until M).map { m =>
       codebook(m).map { c =>
         val qm = qnd.slice(m * Ds, (m + 1) * Ds)
         c.map(x => x * x).sum - 2.0 * qm.zip(c).map { case (a, b) => a * b }.sum
       }
     }.toArray
-    synchronized { lastTopkOracle = Some(topkOracleSql(codebook, lut)) }
+
+  /** ADC candidate scan + exact re-rank over an encoded relation —
+    * shared with [[PqModel]]'s reloaded-codebook replay. */
+  private[sim] def adcQuery(enc: DataFrame,
+      lut: Array[Array[Double]]): DataFrame = {
     val adc = (0 until M).map { m =>
       element_at(array(lut(m).map(lit).toSeq: _*),
         (shiftright(col("pq_code"), 4 * m).bitwiseAND(lit(15L)) + 1L)
@@ -220,7 +240,7 @@ object Pq {
     s"""WITH ${codesCte(codebook)}
        |SELECT vec_id, label, pq_code FROM codes""".stripMargin
 
-  private def topkOracleSql(codebook: Array[Array[Array[Double]]],
+  private[sim] def topkOracleSql(codebook: Array[Array[Array[Double]]],
       lut: Array[Array[Double]]): String = {
     // fixed-order addition chain, matching the Spark expression exactly
     val adc = (0 until M).map { m =>

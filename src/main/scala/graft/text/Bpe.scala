@@ -210,6 +210,14 @@ object Bpe {
     val docs = Tables.parallel(s, dir, "documents")
     val merges = trainMerges(symbolizeWeighted(docs), KMerges).map(_._1)
     synchronized { lastEncodeOracle = Some(encodeOracleSql(merges)) }
+    encodeWith(docs, merges)
+  }
+
+  /** Encode a corpus with an explicit ordered merge list and emit the
+    * per-source compression rollup — shared by the trainer gate above
+    * and [[BpeModel]]'s reloaded-merges replay. */
+  def encodeWith(docs: DataFrame,
+                 merges: Seq[(String, String)]): DataFrame = {
     val vocab = docs
       .select(col("source"), explode(TextQueries.words(col("text"))).as("t"))
       .groupBy("source", "t").agg(count(lit(1)).as("n_occ"))
@@ -232,7 +240,7 @@ object Bpe {
     * literals; per-merge application = a `list_reduce` over the symbol
     * list wrapped element-per-list (DuckDB's reduce seeds the accumulator
     * with the first element, which matches the fold's empty-acc step). */
-  private def encodeOracleSql(merges: Seq[(String, String)]): String = {
+  private[text] def encodeOracleSql(merges: Seq[(String, String)]): String = {
     val steps = merges.zipWithIndex.map { case ((a, b), i) =>
       val (qa, qb, qm) = (SqlLit.duck(a), SqlLit.duck(b), SqlLit.duck(a + b))
       s"""s${i + 1} AS (SELECT source, t, n_occ,

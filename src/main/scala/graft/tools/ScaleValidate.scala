@@ -163,7 +163,11 @@ object ScaleValidate {
       "sets", Seq("url_mirror_sets")),
     ("model-roundtrip", "artifact write + reload ∝ nLists × dim (model-" +
       "bounded, corpus-independent); the replayed probe query is the " +
-      "broadcast-side IVF law", Seq("ivf_model_roundtrip")),
+      "broadcast-side IVF law; PQ twin: codebook KBs, replayed encode a " +
+      "zero-shuffle projection + k-bounded TakeOrdered; BPE twin: " +
+      "artifact ∝ merges, re-encode vocab-bounded",
+      Seq("ivf_model_roundtrip", "pq_model_roundtrip",
+        "bpe_model_roundtrip")),
     ("recrawl-delta", "two snapshot extraction scans (pure projections) " +
       "+ two target-keyed rollups + one target equi-join, map-side " +
       "combined: shuffle ∝ distinct targets (domain-bounded here; " +
