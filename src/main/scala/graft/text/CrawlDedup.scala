@@ -113,9 +113,33 @@ object CrawlDedup {
         (col("a_xor") =!= col("b_xor")).as("changed"))
   }
 
+  /** Per-cycle politeness budget: fetch slots per host. */
+  val HostBudget = 5
+
+  /** Gate: the fetch schedule a crawler derives FROM the delta — per
+    * host, the top-[[HostBudget]] targets by recrawl priority (changed
+    * content first, then fan-in `n_docs` desc, then target asc for
+    * determinism). The per-host cap is the standard politeness budget;
+    * the rank comes from a host-partitioned window, which Spark
+    * executes as partial+final WindowGroupLimit — only [[HostBudget]]
+    * rows per host ever cross the final shuffle, the same plan
+    * discipline as the q13 top-k gate. Input is the target-keyed delta
+    * relation (∝ distinct targets), never the corpus. */
+  def crawlSchedule(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("changed").desc, col("n_docs").desc, col("target").asc)
+    urlRecrawlDelta(s, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HostBudget)
+      .select(col("host"), col("rank").cast("long").as("rank"),
+        col("target"), col("changed"), col("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_mirror_sets" -> urlMirrorSets,
-    "url_recrawl_delta" -> urlRecrawlDelta)
+    "url_recrawl_delta" -> urlRecrawlDelta,
+    "crawl_schedule" -> crawlSchedule)
 
   /** doc_id → canonical page URL in DuckDB (u0 synthesized then run
     * through the shared canonicalization chain). */
@@ -152,29 +176,46 @@ object CrawlDedup {
           |FROM uo GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
     // the html extraction chain replayed TWICE (base + edited snapshot),
     // then per-target sha-XOR manifests compared
-    "url_recrawl_delta" -> {
-      val docs2 =
-        s"""docs2 AS (SELECT doc_id, source,
-          |  CASE WHEN doc_id % $EditMod = 0 THEN text || ' updated'
-          |       ELSE text END AS text
-          |  FROM documents)""".stripMargin
-      s"""WITH $docs2,
-        |${HtmlExtract.htmlCteFrom("documents", "")},
-        |${HtmlExtract.htmlCteFrom("docs2", "b")},
-        |$urlsCte,
-        |ma AS (SELECT u.url AS target, count(*) AS n_docs,
-        |         bit_xor(CAST('0x' || substr(r.main_sha, 1, 15) AS BIGINT))
-        |           AS old_xor
-        |       FROM urls u JOIN res r USING (doc_id) GROUP BY 1),
-        |mb AS (SELECT u.url AS target,
-        |         bit_xor(CAST('0x' || substr(r.main_sha, 1, 15) AS BIGINT))
-        |           AS new_xor
-        |       FROM urls u JOIN bres r USING (doc_id) GROUP BY 1)
-        |SELECT ma.target,
-        |  regexp_extract(ma.target, '${UrlCanonical.SchemeHostRe}', 2) AS host,
-        |  ma.n_docs::BIGINT AS n_docs,
-        |  ma.old_xor::BIGINT AS old_xor, mb.new_xor::BIGINT AS new_xor,
-        |  ma.old_xor <> mb.new_xor AS changed
-        |FROM ma JOIN mb ON ma.target = mb.target""".stripMargin
-    })
+    "url_recrawl_delta" ->
+      s"""WITH $recrawlCtes
+        |SELECT target, host, n_docs, old_xor, new_xor, changed
+        |FROM delta""".stripMargin,
+    // the delta relation ranked per host with the politeness cap
+    "crawl_schedule" ->
+      s"""WITH $recrawlCtes,
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY host
+        |    ORDER BY changed DESC, n_docs DESC, target ASC) AS rank
+        |  FROM delta)
+        |SELECT host, rank::BIGINT AS rank, target, changed, n_docs
+        |FROM ranked WHERE rank <= $HostBudget""".stripMargin)
+
+  /** CTE chain ending in `delta(target, host, n_docs, old_xor,
+    * new_xor, changed)` — the recrawl relation both oracles read. */
+  private def recrawlCtes: String = {
+    val docs2 =
+      s"""docs2 AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % $EditMod = 0 THEN text || ' updated'
+        |       ELSE text END AS text
+        |  FROM documents)""".stripMargin
+    s"""$docs2,
+      |${HtmlExtract.htmlCteFrom("documents", "")},
+      |${HtmlExtract.htmlCteFrom("docs2", "b")},
+      |$urlsCte,
+      |ma AS (SELECT u.url AS target, count(*) AS n_docs,
+      |         bit_xor(CAST('0x' || substr(r.main_sha, 1, 15) AS BIGINT))
+      |           AS old_xor
+      |       FROM urls u JOIN res r USING (doc_id) GROUP BY 1),
+      |mb AS (SELECT u.url AS target,
+      |         bit_xor(CAST('0x' || substr(r.main_sha, 1, 15) AS BIGINT))
+      |           AS new_xor
+      |       FROM urls u JOIN bres r USING (doc_id) GROUP BY 1),
+      |delta AS (SELECT ma.target,
+      |    regexp_extract(ma.target, '${UrlCanonical.SchemeHostRe}', 2)
+      |      AS host,
+      |    ma.n_docs::BIGINT AS n_docs,
+      |    ma.old_xor::BIGINT AS old_xor, mb.new_xor::BIGINT AS new_xor,
+      |    ma.old_xor <> mb.new_xor AS changed
+      |  FROM ma JOIN mb ON ma.target = mb.target)""".stripMargin
+  }
 }

@@ -171,7 +171,9 @@ object ScaleValidate {
     ("recrawl-delta", "two snapshot extraction scans (pure projections) " +
       "+ two target-keyed rollups + one target equi-join, map-side " +
       "combined: shuffle ∝ distinct targets (domain-bounded here; " +
-      "production targets ∝ distinct URLs ≈F×)", Seq("url_recrawl_delta")),
+      "production targets ∝ distinct URLs ≈F×); the schedule adds a " +
+      "host-partitioned WindowGroupLimit — ≤ budget rows per host cross " +
+      "the final shuffle", Seq("url_recrawl_delta", "crawl_schedule")),
     ("corpus-write", "survivor rows repartitioned by source (write work " +
       "∝ survivors ≈F×, riding the pair-bound funnel tiers); read-back " +
       "manifest partials ∝ sources ≪F×; file count bounded by the " +

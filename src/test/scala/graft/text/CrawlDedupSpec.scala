@@ -80,4 +80,27 @@ class CrawlDedupSpec extends AnyFunSuite {
       assert(!got(t)._2, s"edit invisible to extraction must not flag $t")
     }
   }
+
+  test("crawl_schedule: per-host budget, changed-first order, WGL plan") {
+    val df = CrawlDedup.crawlSchedule(spark, dir)
+    // partial+final WindowGroupLimit: only budget rows per host cross
+    // the final shuffle (the q13 top-k plan discipline)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      "rank cap must push down as partial+final WindowGroupLimit")
+    val byHost = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(3)))
+      .groupBy(_._1)
+    byHost.foreach { case (host, rows) =>
+      assert(rows.length <= CrawlDedup.HostBudget, s"$host over budget")
+      assert(rows.map(_._2).sorted.sameElements(1L to rows.length),
+        s"$host ranks must be dense from 1")
+      // changed targets schedule strictly before unchanged ones
+      val ord = rows.sortBy(_._2).map(_._3)
+      assert(ord.sameElements(ord.sortBy(!_)), s"$host: changed-first")
+    }
+    // the budget genuinely binds somewhere (hosts have > budget targets)
+    assert(byHost.values.exists(_.length == CrawlDedup.HostBudget))
+  }
 }
