@@ -113,6 +113,37 @@ object CrawlDedup {
         (col("a_xor") =!= col("b_xor")).as("changed"))
   }
 
+  /** Gate: the ACTION mirror detection exists for — the fetch-once
+    * frontier: per content family (near-dup cluster, or the doc itself
+    * when unclustered) keep ONE representative URL (the min — the
+    * deterministic canonical pick), and report per host how much fetch
+    * work the collapse saves. One left join against the memoized labels
+    * + two host-keyed rollups; everything ∝ docs. */
+  def urlFetchOnce(s: SparkSession, dir: String): DataFrame = {
+    val labels = ConnectedComponents.dedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val obs = Tables.parallel(s, dir, "documents")
+      .select(col("doc_id"),
+        UrlCanonical.canonicalize(UrlCanonical.u0).as("url"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("fp", coalesce(col("cluster_id"), col("doc_id")))
+    def perHost(urls: DataFrame, n: String) =
+      urls.distinct()
+        .withColumn("host",
+          regexp_extract(col("url"), UrlCanonical.SchemeHostRe, 2))
+        .groupBy("host").agg(count(lit(1)).as(n))
+    val allUrls = perHost(obs.select("url"), "n_urls")
+    val keepUrls = perHost(
+      obs.groupBy("fp").agg(min(col("url")).as("url")).select("url"),
+      "n_fetch")
+    // left join: a host whose every URL is mirrored elsewhere keeps no
+    // representative and must still report (n_fetch = 0)
+    allUrls.join(keepUrls, Seq("host"), "left")
+      .select(col("host"), col("n_urls"),
+        coalesce(col("n_fetch"), lit(0L)).as("n_fetch"),
+        (col("n_urls") - coalesce(col("n_fetch"), lit(0L))).as("n_saved"))
+  }
+
   /** Per-cycle politeness budget: fetch slots per host. */
   val HostBudget = 5
 
@@ -139,7 +170,8 @@ object CrawlDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_mirror_sets" -> urlMirrorSets,
     "url_recrawl_delta" -> urlRecrawlDelta,
-    "crawl_schedule" -> crawlSchedule)
+    "crawl_schedule" -> crawlSchedule,
+    "url_fetch_once" -> urlFetchOnce)
 
   /** doc_id → canonical page URL in DuckDB (u0 synthesized then run
     * through the shared canonicalization chain). */
@@ -174,6 +206,34 @@ object CrawlDedup {
           |    AS n_hosts,
           |  min(url) AS first_url, max(url) AS last_url
           |FROM uo GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
+    // mirror collapse as an action: one representative URL per content
+    // family (cluster or singleton doc), per-host savings rollup
+    "url_fetch_once" ->
+      (s"WITH RECURSIVE ${graft.dedup.DedupQueries.lshPairsCte},\n" +
+        s"""edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+          |          UNION SELECT b_id, a_id FROM lshpairs),
+          |reach(a, b) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+          |         FROM reach GROUP BY a),
+          |$urlsCte,
+          |obs AS (SELECT u.doc_id, u.url,
+          |          coalesce(c.cluster_id, u.doc_id) AS fp
+          |        FROM urls u LEFT JOIN comp c ON c.doc_id = u.doc_id),
+          |au AS (SELECT regexp_extract(url, '${UrlCanonical.SchemeHostRe}', 2)
+          |         AS host, count(*) AS n_urls
+          |       FROM (SELECT DISTINCT url FROM obs) GROUP BY 1),
+          |ku AS (SELECT regexp_extract(url, '${UrlCanonical.SchemeHostRe}', 2)
+          |         AS host, count(*) AS n_fetch
+          |       FROM (SELECT DISTINCT url FROM
+          |               (SELECT fp, min(url) AS url FROM obs GROUP BY fp))
+          |       GROUP BY 1)
+          |SELECT au.host, au.n_urls::BIGINT AS n_urls,
+          |  coalesce(ku.n_fetch, 0)::BIGINT AS n_fetch,
+          |  (au.n_urls - coalesce(ku.n_fetch, 0))::BIGINT AS n_saved
+          |FROM au LEFT JOIN ku ON ku.host = au.host""".stripMargin),
     // the html extraction chain replayed TWICE (base + edited snapshot),
     // then per-target sha-XOR manifests compared
     "url_recrawl_delta" ->

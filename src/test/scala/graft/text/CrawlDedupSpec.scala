@@ -103,4 +103,22 @@ class CrawlDedupSpec extends AnyFunSuite {
     // the budget genuinely binds somewhere (hosts have > budget targets)
     assert(byHost.values.exists(_.length == CrawlDedup.HostBudget))
   }
+
+  test("url_fetch_once: conservation, savings fire, bounds") {
+    val rows = CrawlDedup.urlFetchOnce(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (host, nUrls, nFetch, nSaved) =>
+      assert(nFetch + nSaved == nUrls, s"$host conservation")
+      assert(nFetch >= 0 && nSaved >= 0, host)
+    }
+    // mirrors exist, so the collapse must save fetches somewhere
+    assert(rows.map(_._4).sum > 0, "mirror collapse must save work")
+    // corpus-wide: representatives = distinct kept urls <= content
+    // families; every family keeps at most one url
+    val labels = graft.dedup.ConnectedComponents.dedupClusters(spark, dir)
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    val nFamilies = nDocs - labels.count() +
+      labels.select("cluster_id").distinct().count()
+    assert(rows.map(_._3).sum <= nFamilies)
+  }
 }
