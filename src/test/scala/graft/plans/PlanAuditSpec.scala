@@ -308,4 +308,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"manifest merge planned a cartesian:\n$plan")
   }
+
+  // ---------------------------------------------------- round-10 audits
+
+  test("url_mirror_sets: ONE distinct aggregate, no Expand, equi joins only") {
+    val plan = graft.text.CrawlDedup.urlMirrorSets(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the r9 lesson as a standing rule: a second countDistinct would
+    // bring back RewriteDistinctAggregates' Expand and a bistable digest
+    assert(!plan.contains("Expand"),
+      s"multi-distinct Expand in mirror rollup:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"label join fell back to non-equi:\n$plan")
+  }
+
+  test("url_recrawl_delta: two snapshot scans, target equi-join, no window") {
+    val plan = graft.text.CrawlDedup.urlRecrawlDelta(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"snapshot compare fell back to non-equi:\n$plan")
+    // the per-target compare is a hash aggregate merge, never a
+    // corpus-wide window (which would repartition by a hot key)
+    assert(!plan.contains("Window"),
+      s"recrawl delta planned a window:\n$plan")
+  }
+
+  test("ivf_model_roundtrip: reloaded-model probe is a k-bounded TakeOrdered") {
+    val plan = graft.sim.IvfModel.ivfModelRoundtrip(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"probe re-rank is not a bounded top-k:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"query vector not broadcast:\n$plan")
+  }
+
+  test("bpe_model_roundtrip: reloaded merges apply without UDF barriers") {
+    val plan = graft.text.BpeModel.bpeModelRoundtrip(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"merge application left codegen:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"encode planned a cartesian:\n$plan")
+  }
 }
