@@ -113,6 +113,37 @@ object CrawlDedup {
         (col("a_xor") =!= col("b_xor")).as("changed"))
   }
 
+  /** Gate: the host-pair mirror matrix — for every unordered host pair,
+    * how many content families are mirrored across it and how many
+    * member URL pairs witness that (the readout a crawl operator uses
+    * to find systematic mirror relationships: www↔apex everywhere, a
+    * specific pair of sites mirroring each other's content). Pair
+    * expansion is WITHIN cluster only (cluster sizes are dedup-bounded,
+    * ≤ 4 on this corpus; the df-capped pair relations bound them at
+    * scale), normalized to unordered host pairs via least/greatest. */
+  def urlMirrorHosts(s: SparkSession, dir: String): DataFrame = {
+    val labels = ConnectedComponents.dedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val obs = Tables.parallel(s, dir, "documents")
+      .select(col("doc_id"),
+        UrlCanonical.canonicalize(UrlCanonical.u0).as("url"))
+      .join(labels, "doc_id")
+      .select(col("cluster_id"), col("url"))
+      .distinct()
+      .withColumn("host",
+        regexp_extract(col("url"), UrlCanonical.SchemeHostRe, 2))
+    obs.as("a").join(obs.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.url") < col("b.url"))
+      .select(
+        least(col("a.host"), col("b.host")).as("host_a"),
+        greatest(col("a.host"), col("b.host")).as("host_b"),
+        col("a.cluster_id").as("cluster_id"))
+      .groupBy("host_a", "host_b")
+      .agg(count(lit(1)).as("n_url_pairs"),
+        countDistinct(col("cluster_id")).as("n_contents"))
+  }
+
   /** Gate: the ACTION mirror detection exists for — the fetch-once
     * frontier: per content family (near-dup cluster, or the doc itself
     * when unclustered) keep ONE representative URL (the min — the
@@ -171,7 +202,8 @@ object CrawlDedup {
     "url_mirror_sets" -> urlMirrorSets,
     "url_recrawl_delta" -> urlRecrawlDelta,
     "crawl_schedule" -> crawlSchedule,
-    "url_fetch_once" -> urlFetchOnce)
+    "url_fetch_once" -> urlFetchOnce,
+    "url_mirror_hosts" -> urlMirrorHosts)
 
   /** doc_id → canonical page URL in DuckDB (u0 synthesized then run
     * through the shared canonicalization chain). */
@@ -206,6 +238,29 @@ object CrawlDedup {
           |    AS n_hosts,
           |  min(url) AS first_url, max(url) AS last_url
           |FROM uo GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
+    // within-cluster URL pairs normalized to unordered host pairs
+    "url_mirror_hosts" ->
+      (s"WITH RECURSIVE ${graft.dedup.DedupQueries.lshPairsCte},\n" +
+        s"""edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+          |          UNION SELECT b_id, a_id FROM lshpairs),
+          |reach(a, b) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+          |         FROM reach GROUP BY a),
+          |$urlsCte,
+          |uo AS (SELECT DISTINCT c.cluster_id, u.url,
+          |         regexp_extract(u.url, '${UrlCanonical.SchemeHostRe}', 2)
+          |           AS host
+          |       FROM comp c JOIN urls u ON u.doc_id = c.doc_id)
+          |SELECT least(a.host, b.host) AS host_a,
+          |  greatest(a.host, b.host) AS host_b,
+          |  count(*)::BIGINT AS n_url_pairs,
+          |  count(DISTINCT a.cluster_id)::BIGINT AS n_contents
+          |FROM uo a JOIN uo b
+          |  ON a.cluster_id = b.cluster_id AND a.url < b.url
+          |GROUP BY 1, 2""".stripMargin),
     // mirror collapse as an action: one representative URL per content
     // family (cluster or singleton doc), per-host savings rollup
     "url_fetch_once" ->

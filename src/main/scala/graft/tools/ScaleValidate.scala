@@ -160,8 +160,10 @@ object ScaleValidate {
     ("mirror-join", "memoized cluster labels (paid by the dedup tier) " +
       "⋈ URL projection by doc_id, then cluster-keyed rollup: shuffle " +
       "∝ docs (URL side) + clustered docs (labels), output ∝ mirror " +
-      "sets; fetch-once adds family-keyed min + host rollups, ∝ docs",
-      Seq("url_mirror_sets", "url_fetch_once")),
+      "sets; fetch-once adds family-keyed min + host rollups, ∝ docs; " +
+      "host-pair matrix expands pairs WITHIN cluster only (sizes " +
+      "dedup-bounded), output ≤ hosts²",
+      Seq("url_mirror_sets", "url_fetch_once", "url_mirror_hosts")),
     ("model-roundtrip", "artifact write + reload ∝ nLists × dim (model-" +
       "bounded, corpus-independent); the replayed probe query is the " +
       "broadcast-side IVF law; PQ twin: codebook KBs, replayed encode a " +

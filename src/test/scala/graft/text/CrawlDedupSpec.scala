@@ -121,4 +121,21 @@ class CrawlDedupSpec extends AnyFunSuite {
       labels.select("cluster_id").distinct().count()
     assert(rows.map(_._3).sum <= nFamilies)
   }
+
+  test("url_mirror_hosts: unordered pairs, C(n,2) mass matches the sets") {
+    val pairs = CrawlDedup.urlMirrorHosts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    pairs.foreach { case (a, b, nPairs, nContents) =>
+      assert(a <= b, "host pairs must be normalized (least, greatest)")
+      assert(nContents >= 1 && nContents <= nPairs)
+    }
+    // total witness pairs == Σ C(n_urls, 2) over the mirror sets — the
+    // two gates must describe the same pair mass
+    val expected = CrawlDedup.urlMirrorSets(spark, dir).collect()
+      .map(_.getAs[Long]("n_urls")).map(n => n * (n - 1) / 2).sum
+    assert(pairs.map(_._3).sum == expected,
+      "host-pair mass must equal the set-level C(n,2) total")
+    // cross-host mirror pairs genuinely fire
+    assert(pairs.exists { case (a, b, _, _) => a != b })
+  }
 }
