@@ -217,6 +217,14 @@ object StreamingPlanDigest {
           Array(0.1, 0.01, 0.0, 0.0, 0.0, 0.0)),
           StreamClassifier.outputMode) { mem.addData((1L, "some words")) }
       },
+      "url_canonical" -> { () =>
+        val mem = MemoryStream[(Long, String)]
+        run(StreamUrlCanonical.canonicalOverStream(
+          mem.toDS().toDF("doc_id", "u")),
+          StreamUrlCanonical.outputMode) {
+          mem.addData((1L, "HTTP://A.B:80/x?utm_a=1&p=2#f"))
+        }
+      },
       "html_extract" -> { () =>
         val mem = MemoryStream[(Long, String)]
         run(StreamHtmlExtract.extractOverStream(
