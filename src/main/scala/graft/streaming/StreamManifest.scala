@@ -68,6 +68,31 @@ object StreamManifest {
       .parquet(versionDir(base, batchId))
   }
 
+  /** Retention sweep: delete all but the newest `keep` versions. Safe
+    * at any moment because every merge reads only versions STRICTLY
+    * BEFORE its own batchId, and replay of batch b needs the latest
+    * version < b — so as long as `keep >= 1` the running manifest and
+    * the NEXT batch's merge base both survive; only replays older than
+    * the retained window lose their exact base (they re-merge against
+    * a newer version — the at-least-once window every retention policy
+    * trades; state the trade, keep the default generous). */
+  def compactVersions(base: String, keep: Int): Int = {
+    require(keep >= 1, "retention must keep at least the running manifest")
+    val d = new java.io.File(base)
+    val vs = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .sortBy(_.getName)
+    val drop = vs.dropRight(keep)
+    drop.foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+    drop.length
+  }
+
   /** Maintain the running manifest over a survivor-document stream. */
   def maintain(docs: DataFrame, base: String,
                checkpoint: String): StreamingQuery =

@@ -58,5 +58,20 @@ class StreamManifestSpec extends AnyFunSuite {
       lastV)
     val afterReplay = snapshot(StreamManifest.runningManifest(spark, base).get)
     assert(afterReplay == scratch, "a replayed batch must be a no-op")
+
+    // retention: compacting to the last 2 versions preserves the running
+    // manifest AND the next batch's merge base, and actually deletes
+    val nVersionsBefore = StreamManifest.latestVersion(base, None).get + 1
+    val deleted = StreamManifest.compactVersions(base, 2)
+    assert(deleted == (nVersionsBefore - 2).toInt, "old versions deleted")
+    val afterCompact = snapshot(StreamManifest.runningManifest(spark, base).get)
+    assert(afterCompact == scratch, "compaction must not move the manifest")
+    // a subsequent batch still merges against the retained latest
+    StreamManifest.update(spark, base,
+      Seq((999999L, "tail doc words", "en", "src0", 14L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), lastV + 1)
+    val afterNext = snapshot(StreamManifest.runningManifest(spark, base).get)
+    assert(afterNext("src0")._1 == scratch("src0")._1 + 1,
+      "post-compaction merge must extend the running manifest")
   }
 }
