@@ -117,15 +117,77 @@ object IvfModel {
       .withColumn("manifest_ok", lit(ok))
   }
 
+  /** Gate: the artifact's INGEST face — a new batch of vectors
+    * (`vec_id % BatchMod`, the engine-wide snapshot convention) is
+    * assigned with the RELOADED quantizer, no retraining, and the gate
+    * reports per-cell new-batch occupancy — the skew readout an index
+    * owner watches on every ingest (a cell absorbing the whole batch
+    * means the shipped model no longer fits the data). Oracle = the
+    * TRAINED-literal argmin over the batch slice, so hash-green again
+    * certifies artifact fidelity through a second, independent query
+    * shape. Scale: batch-slice projection + cell-bounded rollup. */
+  def ivfAssignDelta(s: SparkSession, dir: String): DataFrame = {
+    val (_, trained) = Ivf.assignments(s, dir)
+    val path = modelDir(dir)
+    writeModel(s, path, trained) // idempotent overwrite, ∝ model
+    val (reloaded, ok, _, _) = readModel(s, path)
+    val batchMod = graft.dedup.SnapshotDedup.BatchMod
+    synchronized {
+      lastDeltaOracle = Some(
+        s"""SELECT cell, count(*)::BIGINT AS n_new,
+          |  min(vec_id) AS first_vec, max(vec_id) AS last_vec,
+          |  TRUE AS manifest_ok
+          |FROM (${assignOracleSql(trained)})
+          |WHERE vec_id % $batchMod = 0
+          |GROUP BY cell""".stripMargin)
+    }
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") % batchMod === 0)
+      .withColumn("cell", Ivf.cellExpr(reloaded))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_new"),
+        min("vec_id").as("first_vec"), max("vec_id").as("last_vec"))
+      .withColumn("manifest_ok", lit(ok))
+  }
+
+  /** (vec_id, cell) via the literal-centroid argmin — the `ivf_topk`
+    * oracle's assignment sub-query, factored for the delta gate. */
+  private def assignOracleSql(centers: Array[Array[Double]]): String = {
+    val rows = centers.zipWithIndex.map { case (c, j) =>
+      s"($j, ${Ivf.fmtD(c.map(x => x * x).sum)}, " +
+        s"[${c.map(Ivf.fmtD).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""SELECT vec_id, cell FROM (
+       |  SELECT vec_id, j AS cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY score ASC, j ASC) AS rn
+       |  FROM (
+       |    SELECT e.vec_id, c.j,
+       |      c.c2 - 2 * (${SimilarityQueries.sqlDot("e.embedding", "c.c")})
+       |        / sqrt(${SimilarityQueries.sqlDot("e.embedding", "e.embedding")})
+       |        AS score
+       |    FROM embeddings e CROSS JOIN (VALUES
+       |    $rows) AS c(j, c2, c)))
+       |WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ivf_model_roundtrip" -> ivfModelRoundtrip)
+    "ivf_model_roundtrip" -> ivfModelRoundtrip,
+    "ivf_model_assign_delta" -> ivfAssignDelta)
+
+  private var lastDeltaOracle: Option[String] = None
 
   // dynamic oracle (trained-model literals) — the ivf_topk pattern:
   // Verify runs every query before dumping oracle SQL
   private var lastOracle: Option[String] = None
 
-  def oracles: Map[String, String] = synchronized(lastOracle) match {
-    case Some(sql) => Map("ivf_model_roundtrip" -> sql)
-    case None => Map.empty
+  def oracles: Map[String, String] = {
+    val a = synchronized(lastOracle) match {
+      case Some(sql) => Map("ivf_model_roundtrip" -> sql)
+      case None => Map.empty[String, String]
+    }
+    synchronized(lastDeltaOracle) match {
+      case Some(sql) => a + ("ivf_model_assign_delta" -> sql)
+      case None => a
+    }
   }
 }

@@ -168,9 +168,10 @@ object ScaleValidate {
       "bounded, corpus-independent); the replayed probe query is the " +
       "broadcast-side IVF law; PQ twin: codebook KBs, replayed encode a " +
       "zero-shuffle projection + k-bounded TakeOrdered; BPE twin: " +
-      "artifact ∝ merges, re-encode vocab-bounded",
-      Seq("ivf_model_roundtrip", "pq_model_roundtrip",
-        "bpe_model_roundtrip")),
+      "artifact ∝ merges, re-encode vocab-bounded; assign-delta ingest: " +
+      "batch-slice projection + cell-bounded rollup ∝ batch",
+      Seq("ivf_model_roundtrip", "ivf_model_assign_delta",
+        "pq_model_roundtrip", "bpe_model_roundtrip")),
     ("recrawl-delta", "two snapshot extraction scans (pure projections) " +
       "+ two target-keyed rollups + one target equi-join, map-side " +
       "combined: shuffle ∝ distinct targets (domain-bounded here; " +

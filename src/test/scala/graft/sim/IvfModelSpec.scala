@@ -35,6 +35,22 @@ class IvfModelSpec extends AnyFunSuite {
     assert(got == expected, "reloaded-model results must be identical")
   }
 
+  test("assign-delta: reloaded-model assignment == in-session memo on the batch") {
+    val delta = IvfModel.ivfAssignDelta(spark, dir)
+    assert(delta.select(min(col("manifest_ok"))).head().getBoolean(0))
+    val got = delta.select("cell", "n_new").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the memoized in-session assignment restricted to the batch slice
+    // must produce the identical per-cell histogram
+    val (assigned, _) = Ivf.assignments(spark, dir)
+    val expected = assigned
+      .filter(col("vec_id") % graft.dedup.SnapshotDedup.BatchMod === 0)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expected, "artifact-path assignment must equal in-session")
+    assert(got.values.sum > 0)
+  }
+
   test("one corrupted coefficient reds the manifest check") {
     val (_, trained) = Ivf.assignments(spark, dir)
     val clean = "target/ivf_model_spec/clean2"
