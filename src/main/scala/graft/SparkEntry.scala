@@ -9,11 +9,11 @@ import graft.operators.{AsOfJoin, Attribution, Backlog, Cohort, EventPaths,
   MarketBasket, Pipeline, RelationalQueries, Resample, Rfm, RobustStats,
   RevenueMom, SeasonalBaseline, SessionEntryExit, SessionTypePairs,
   SkewJoin, Streaks, ZOrder}
-import graft.sim.{Coreset, EmbedPca, EmbeddingDrift, Eigencentrality,
+import graft.sim.{BitextMine, Coreset, EmbedPca, EmbeddingDrift, Eigencentrality,
   GraphStats, Neighborhood, NormProfile, Ivf, IvfIncremental, IvfModel, KCore,
   KnnGraphIvf, LabelProp, PageRank, Pq, PqModel, SemDedup, SemanticDecontam,
   SimilarityQueries}
-import graft.sources.{CorpusManifest, FormatSources}
+import graft.sources.{CorpusManifest, FormatSources, ShardPlan}
 import graft.storm.StormQueries
 import graft.text.{Allocation, BigramLm, Bpe, BpeModel, Chunking, Concentration,
   CrawlDedup, DomainCaps,
@@ -57,6 +57,7 @@ object SparkEntry {
       (StormQueries.queries, StormQueries.oracles),
       (FormatSources.queries, FormatSources.oracles),
       (CorpusManifest.queries, CorpusManifest.oracles),
+      (ShardPlan.queries, ShardPlan.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (Readability.queries, Readability.oracles),
       (Concentration.queries, Concentration.oracles),
@@ -115,6 +116,7 @@ object SparkEntry {
       (Eigencentrality.queries, Eigencentrality.oracles),
       (Coreset.queries, Coreset.oracles),
       (SemanticDecontam.queries, SemanticDecontam.oracles),
+      (BitextMine.queries, BitextMine.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (CdcChunks.queries, CdcChunks.oracles))
 

@@ -161,97 +161,68 @@ object CorpusManifest {
     "corpus_manifest" -> corpusManifest,
     "manifest_delta" -> manifestDelta)
 
-  /** Funnel survivors replayed in DuckDB: LSH pairs → recursive CC →
-    * exact/near tiers (verbatim from the dedup_apply oracle) ∩ Gopher
-    * pass (verbatim from the dedup_keep_best oracle). */
+  /** Funnel-survivor CTE chain replayed in DuckDB — LSH pairs →
+    * recursive CC → exact/near tiers (verbatim from the dedup_apply
+    * oracle) ∩ Gopher pass (verbatim from the dedup_keep_best
+    * oracle) — ending in `surv` = the survivor rows of `documents`.
+    * Callers prefix `WITH RECURSIVE ${DedupQueries.lshPairsCte},`. */
+  private[graft] def survCtesSql: String = {
+    import graft.text.TextQueries._
+    s"""edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+      |          UNION SELECT b_id, a_id FROM lshpairs),
+      |reach(a, b) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+      |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+      |         FROM reach GROUP BY a),
+      |ex AS (SELECT doc_id FROM (
+      |         SELECT doc_id,
+      |           min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+      |         FROM documents)
+      |       WHERE doc_id <> keeper),
+      |near AS (SELECT doc_id FROM comp
+      |         WHERE doc_id <> cluster_id
+      |           AND doc_id NOT IN (SELECT doc_id FROM ex)),
+      |wq AS (SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |       FROM documents),
+      |g AS (SELECT doc_id FROM wq WHERE len(w) >= 1
+      |        AND (len(w) BETWEEN $GopherMinWords AND $GopherMaxWords)
+      |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
+      |            / len(w) >= $GopherMinMeanLen
+      |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
+      |            / len(w) <= $GopherMaxMeanLen
+      |        AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+      |            * 1.0 / len(w) >= $GopherMinAlphaFrac
+      |        AND len(list_filter(w, x -> x IN ($stopListSql)))
+      |            >= $GopherMinStopHits),
+      |surv AS (SELECT d.* FROM documents d
+      |         WHERE d.doc_id NOT IN (SELECT doc_id FROM ex)
+      |           AND d.doc_id NOT IN (SELECT doc_id FROM near)
+      |           AND d.doc_id IN (SELECT doc_id FROM g))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "corpus_manifest" -> {
-      import graft.text.TextQueries._
+    "corpus_manifest" ->
       (s"WITH RECURSIVE ${graft.dedup.DedupQueries.lshPairsCte},\n" +
-        s"""edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
-          |          UNION SELECT b_id, a_id FROM lshpairs),
-          |reach(a, b) AS (
-          |  SELECT src, src FROM edges
-          |  UNION
-          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
-          |         FROM reach GROUP BY a),
-          |ex AS (SELECT doc_id FROM (
-          |         SELECT doc_id,
-          |           min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
-          |         FROM documents)
-          |       WHERE doc_id <> keeper),
-          |near AS (SELECT doc_id FROM comp
-          |         WHERE doc_id <> cluster_id
-          |           AND doc_id NOT IN (SELECT doc_id FROM ex)),
-          |wq AS (SELECT doc_id,
-          |         list_filter(string_split(text, ' '), x -> x <> '') AS w
-          |       FROM documents),
-          |g AS (SELECT doc_id FROM wq WHERE len(w) >= 1
-          |        AND (len(w) BETWEEN $GopherMinWords AND $GopherMaxWords)
-          |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
-          |            / len(w) >= $GopherMinMeanLen
-          |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
-          |            / len(w) <= $GopherMaxMeanLen
-          |        AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-          |            * 1.0 / len(w) >= $GopherMinAlphaFrac
-          |        AND len(list_filter(w, x -> x IN ($stopListSql)))
-          |            >= $GopherMinStopHits),
-          |surv AS (SELECT d.* FROM documents d
-          |         WHERE d.doc_id NOT IN (SELECT doc_id FROM ex)
-          |           AND d.doc_id NOT IN (SELECT doc_id FROM near)
-          |           AND d.doc_id IN (SELECT doc_id FROM g))
+        s"""$survCtesSql
           |SELECT source, 1::BIGINT AS n_files, count(*)::BIGINT AS n_rows,
           |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
           |  sum(length(text))::BIGINT AS total_chars,
           |  bit_xor(CAST('0x' || substr(sha256(doc_id || '|' || text), 1, 15)
           |    AS BIGINT))::BIGINT AS content_xor
-          |FROM surv GROUP BY source""".stripMargin)
-    },
+          |FROM surv GROUP BY source""".stripMargin),
     // the delta-merge law: Spark merges old+batch manifests
     // algebraically; the oracle recomputes from scratch over ALL
     // survivors — hash equality proves every column is a monoid
-    "manifest_delta" -> {
-      import graft.text.TextQueries._
+    "manifest_delta" ->
       (s"WITH RECURSIVE ${graft.dedup.DedupQueries.lshPairsCte},\n" +
-        s"""edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
-          |          UNION SELECT b_id, a_id FROM lshpairs),
-          |reach(a, b) AS (
-          |  SELECT src, src FROM edges
-          |  UNION
-          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
-          |         FROM reach GROUP BY a),
-          |ex AS (SELECT doc_id FROM (
-          |         SELECT doc_id,
-          |           min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
-          |         FROM documents)
-          |       WHERE doc_id <> keeper),
-          |near AS (SELECT doc_id FROM comp
-          |         WHERE doc_id <> cluster_id
-          |           AND doc_id NOT IN (SELECT doc_id FROM ex)),
-          |wq AS (SELECT doc_id,
-          |         list_filter(string_split(text, ' '), x -> x <> '') AS w
-          |       FROM documents),
-          |g AS (SELECT doc_id FROM wq WHERE len(w) >= 1
-          |        AND (len(w) BETWEEN $GopherMinWords AND $GopherMaxWords)
-          |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
-          |            / len(w) >= $GopherMinMeanLen
-          |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
-          |            / len(w) <= $GopherMaxMeanLen
-          |        AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-          |            * 1.0 / len(w) >= $GopherMinAlphaFrac
-          |        AND len(list_filter(w, x -> x IN ($stopListSql)))
-          |            >= $GopherMinStopHits),
-          |surv AS (SELECT d.* FROM documents d
-          |         WHERE d.doc_id NOT IN (SELECT doc_id FROM ex)
-          |           AND d.doc_id NOT IN (SELECT doc_id FROM near)
-          |           AND d.doc_id IN (SELECT doc_id FROM g))
+        s"""$survCtesSql
           |SELECT source, count(*)::BIGINT AS n_rows,
           |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
           |  sum(length(text))::BIGINT AS total_chars,
           |  bit_xor(CAST('0x' || substr(sha256(doc_id || '|' || text), 1, 15)
           |    AS BIGINT))::BIGINT AS content_xor
-          |FROM surv GROUP BY source""".stripMargin)
-    })
+          |FROM surv GROUP BY source""".stripMargin))
 }

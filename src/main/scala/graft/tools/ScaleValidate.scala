@@ -182,6 +182,19 @@ object ScaleValidate {
       "∝ survivors ≈F×, riding the pair-bound funnel tiers); read-back " +
       "manifest partials ∝ sources ≪F×; file count bounded by the " +
       "source domain", Seq("corpus_manifest", "manifest_delta")),
+    ("bitext-margin", "query batch collected into ONE broadcast array " +
+      "row; candidate scan + in-row y-penalty are zero-shuffle " +
+      "projections; the pair explode is |batch| × candidates rows but " +
+      "every downstream window is WindowGroupLimit-partial (≤ k rows " +
+      "per group per input partition cross the exchange), so shuffle ∝ " +
+      "candidates × k ≈F× with batch held fixed — production bounds " +
+      "candidates by ANN pruning without changing the plumbing",
+      Seq("bitext_mine", "bitext_lang_stats")),
+    ("shard-plan", "two-level prefix sum: block-subtotal partials ∝ " +
+      "blocks = docs/BlockDocs ≪F×; placement join carries broadcast-" +
+      "side block offsets + per-(source, blk) windows over ≤ BlockDocs " +
+      "rows (no source-sized hot key); final rollup ∝ shards",
+      Seq("shard_plan")),
     // Relational / storm families (facts ×F, dims fixed — ScaleGen's
     // star-schema growth shape):
     ("scan-agg", "map-side complete: partials ∝ partitions×groups: ≪F×", Seq(

@@ -353,4 +353,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"encode planned a cartesian:\n$plan")
   }
+
+  test("bitext_mine: every window is a WindowGroupLimit; penalties join " +
+    "broadcast") {
+    val plan = graft.sim.BitextMine.bitextMine(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the margin pipeline's three windows (x-pen top-k, forward argmax,
+    // backward argmax) must all carry the partial group-limit — a bare
+    // Window would shuffle the full |batch| × |candidates| pair relation
+    // per group instead of ≤ k rows per group per partition
+    assert(plan.contains("WindowGroupLimit"),
+      s"no partial group limit in the margin pipeline:\n$plan")
+    val windows = plan.linesIterator.count(l =>
+      l.contains("Window ") || l.trim.startsWith("Window"))
+    val limits = plan.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(limits >= windows,
+      s"a window lost its group-limit ($windows windows, $limits limits):\n$plan")
+    // x_pen (batch × langs rows) and the backward-best relation join back
+    // by broadcast — never a shuffle of the pair relation
+    assert(!plan.contains("SortMergeJoin"),
+      s"penalty join fell back to sort-merge:\n$plan")
+  }
+
+  test("shard_plan: block windows only — no source-sized window partition") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.sources.ShardPlan.shardPlan(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // both windows must be keyed on blk (offsets: per-source over the
+    // BLOCK relation; placement: per-(source, blk) over ≤ BlockDocs
+    // rows) — a window partitioned on source alone over the doc relation
+    // is the naive cumsum hot key the two-level design exists to avoid
+    val windowSpecs = plan.linesIterator.filter(l =>
+      l.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.nonEmpty, s"no window in the plan:\n$plan")
+    windowSpecs.foreach { w =>
+      assert(w.contains("blk"),
+        s"window not block-keyed (source-sized partition):\n$w")
+    }
+    // block offsets ride a broadcast back to the doc relation
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset join not broadcast:\n$plan")
+  }
 }

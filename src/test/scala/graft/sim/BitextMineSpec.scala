@@ -1,0 +1,93 @@
+package graft.sim
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Margin-mining contract on a HAND geometry (fixture-independent):
+  * the planted translation pair must be mined mutual-best, and the
+  * margin must SUPPRESS a hub vector that raw cosine would mine — the
+  * property the ratio margin exists for (Artetxe & Schwenk 2019 §3).
+  * Plus gate-level consistency on the fixture corpus. */
+class BitextMineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  // Batch queries (lang en, doc_id % QMod == 0) on axes 0–3 of R⁸.
+  // Targets (lang xx):
+  //  - 101: planted translation of q0 (cos ≈ 0.994)
+  //  - 102: HUB — cos 0.5 to EVERY query (the vector raw cosine
+  //    over-mines: it is the raw-cosine argmax for q10/q20/q30)
+  //  - 104/105/106: per-axis partners with cos < 0.5 to their query
+  // en doc 5 is NOT ≡ 0 mod QMod — must never appear as a source.
+  private lazy val fwd = {
+    import spark.implicits._
+    val dv = Seq(
+      (0L, "en", v(1, 0, 0, 0, 0, 0, 0, 0)),
+      (10L, "en", v(0, 1, 0, 0, 0, 0, 0, 0)),
+      (20L, "en", v(0, 0, 1, 0, 0, 0, 0, 0)),
+      (30L, "en", v(0, 0, 0, 1, 0, 0, 0, 0)),
+      (5L, "en", v(1, 0, 0, 0, 0, 0, 0, 0)),
+      (101L, "xx", v(1, 0.05, 0, 0, 0.1, 0, 0, 0)),
+      (102L, "xx", v(1, 1, 1, 1, 0, 0, 0, 0)),
+      (104L, "xx", v(0, 0.45, 0, 0, 0, 1, 0, 0)),
+      (105L, "xx", v(0, 0, 0.3, 0, 0, 0, 1, 0)),
+      (106L, "xx", v(0, 0, 0, 0.3, 0, 0, 0, 1)))
+      .toDF("doc_id", "lang", "embedding")
+    BitextMine.forwardBest(dv).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[String]("tgt_lang")) ->
+        ((r.getAs[Long]("tgt_id"), r.getAs[Double]("margin"),
+          r.getAs[Boolean]("mutual"))))
+      .toMap
+  }
+
+  test("one forward-best row per (batch query, target lang); non-batch " +
+    "sources excluded") {
+    assert(fwd.keySet == Set(0L, 10L, 20L, 30L).map(_ -> "xx"),
+      "sources are exactly the QMod-slice en docs; langs exactly xx")
+  }
+
+  test("planted translation pair is mined mutual-best above threshold") {
+    val (tgt, margin, mutual) = fwd((0L, "xx"))
+    assert(tgt == 101L, "q0's best candidate is its translation")
+    assert(mutual, "q0 is also 101's best query")
+    assert(margin >= BitextMine.MarginThresh)
+  }
+
+  test("margin suppresses the hub raw cosine would mine") {
+    // raw-cosine check from the vectors themselves: the hub's cosine to
+    // q10 is 0.5, the axis partner's is 0.45/√1.2025 ≈ 0.41 — raw
+    // ranking would pick the hub
+    assert(0.45 / math.sqrt(1 + 0.45 * 0.45) < 0.5)
+    // ...but the margin divides by the hub's own mean-top-k density
+    // (y_pen = 0.5) and ranks the mutually-exceptional partner first
+    val (tgt, margin, mutual) = fwd((10L, "xx"))
+    assert(tgt == 104L, "margin inverts the cosine ranking for q10")
+    assert(mutual && margin >= BitextMine.MarginThresh)
+    assert(fwd((20L, "xx"))._1 == 105L)
+    assert(fwd((30L, "xx"))._1 == 106L)
+  }
+
+  test("fixture gates agree: lang stats count exactly the mined rows") {
+    val dir = "/root/testdata/sf0.001"
+    val mined = BitextMine.bitextMine(spark, dir).collect()
+    assert(mined.nonEmpty, "threshold must fire at sf0.001")
+    val byLang = mined.groupBy(_.getAs[String]("tgt_lang"))
+      .map { case (l, rs) =>
+        l -> ((rs.length.toLong,
+          rs.count(_.getAs[Boolean]("mutual")).toLong))
+      }
+    val stats = BitextMine.bitextLangStats(spark, dir).collect()
+      .map(r => r.getAs[String]("tgt_lang") ->
+        ((r.getAs[Long]("n_mined"), r.getAs[Long]("n_mutual"),
+          r.getAs[Long]("n_best"))))
+      .toMap
+    assert(stats.keySet == Set("fr", "es", "de", "zh"))
+    stats.foreach { case (l, (nMined, nMutual, nBest)) =>
+      val (gotMined, gotMutual) = byLang.getOrElse(l, (0L, 0L))
+      assert(nMined == gotMined, s"lang $l mined count")
+      assert(nMutual == gotMutual, s"lang $l mutual count")
+      assert(nBest >= nMined)
+    }
+  }
+}
