@@ -27,24 +27,34 @@ import org.apache.spark.sql.functions._
   *
   * Mining runs BATCHED, the production shape: a bounded query batch
   * (every [[QMod]]-th source-language doc — at 100 TB, the unit of work
-  * a mining job processes per task wave) against the full candidate
-  * side. Both margin penalties are computed w.r.t. this batch/candidate
+  * a mining job processes per task wave) against the candidate side.
+  * Both margin penalties are computed w.r.t. this batch/candidate
   * split, exactly what a batched miner observes.
+  *
+  * Two candidate regimes, the engine's standard brute/sketch pair:
+  *  - `bitext_mine` — exhaustive candidates (every non-source doc), the
+  *    correctness baseline;
+  *  - `bitext_mine_ivf` — candidates pruned to the query's IVF cell
+  *    (the memoized [[Ivf.assignments]] quantizer — CCMatrix prunes
+  *    exactly this way, with a product-quantized index), penalties
+  *    computed over the RETRIEVED set, which is what a production miner
+  *    actually sees; `bitext_ivf_recall` certifies the pruned miner
+  *    against the exhaustive one per language (the `hll_distinct` /
+  *    `graph_neighborhood_anf` certification pattern).
   *
   * Scale shape: the batch is collected into ONE array row and broadcast
   * ([[Ivf]] / [[Pq]] model-crossJoin playbook), so the candidate scan is
   * a single zero-shuffle projection — each candidate row computes its
-  * full cosine vector to the batch, takes its own top-[[NnK]] penalty
-  * IN-ROW (sorted-slice fold, no shuffle), and explodes to pair rows
-  * that already carry `y_pen`. The only shuffles are (a) the per-
-  * (query, lang) top-k for `x_pen` — a `row_number` window that Spark
-  * executes as partial+final WindowGroupLimit, so ≤ [[NnK]] rows per
-  * (query, lang) per input partition cross the exchange (the q13
-  * discipline), and (b) the same WindowGroupLimit shape for the
-  * forward/backward argmax. Nothing corpus-sized is ever collected;
-  * pair-relation cost is |batch| × |candidates| — the brute-mining
-  * budget itself, which production bounds by ANN candidate pruning (the
-  * [[Ivf]] bucket path) without changing any of this plumbing.
+  * cosine vector to the batch (cell-masked in the pruned regime), takes
+  * its own top-[[NnK]] penalty IN-ROW (sorted-slice fold, no shuffle),
+  * and explodes to pair rows that already carry `y_pen`. The only
+  * shuffles are the per-(query, lang) top-k for `x_pen` and the
+  * forward/backward argmax — `row_number` windows Spark executes as
+  * partial+final WindowGroupLimit, ≤ [[NnK]] rows per group per input
+  * partition crossing the exchange (the q13 discipline). Nothing
+  * corpus-sized is ever collected; brute pair cost is |batch| ×
+  * |candidates| — which the IVF regime divides by the cell count
+  * without changing any of this plumbing.
   *
   * Float discipline: both engines fold the top-k penalty over the SAME
   * descending-sorted list (Spark `sort_array` + sequential `aggregate`;
@@ -85,28 +95,38 @@ object BitextMine {
     aggregate(slice(sort_array(cosArr, asc = false), 1, NnK),
       lit(0.0), (acc, x) => acc + x) / NnK
 
-  /** Forward-best relation over any `(doc_id, lang, embedding)` input:
-    * for every (batch query, candidate language) the argmax-margin
-    * candidate, with cosine, margin and the mutual-best flag. Exposed
-    * relation-first so specs can mine planted geometries. */
-  def forwardBest(dv: DataFrame): DataFrame = {
+  /** The margin-mining pipeline over `(doc_id, lang, embedding[, cell])`:
+    * forward-best candidate per (batch query, language) with cosine,
+    * margin and the mutual-best flag. With `useCell`, candidates are
+    * masked to batch members sharing the row's quantizer cell — the
+    * ANN-pruned regime. */
+  private def mineOver(dv: DataFrame, useCell: Boolean): DataFrame = {
     import SimilarityQueries.dot
     val withNorm = dv.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val batchStruct =
+      if (useCell)
+        struct(col("doc_id").as("src_id"), col("embedding").as("semb"),
+          col("nrm").as("snrm"), col("cell").as("scell"))
+      else
+        struct(col("doc_id").as("src_id"), col("embedding").as("semb"),
+          col("nrm").as("snrm"))
     val batch = withNorm.filter(col("lang") === SrcLang && col("doc_id") % QMod === 0)
-      .agg(collect_list(struct(col("doc_id").as("src_id"),
-        col("embedding").as("semb"), col("nrm").as("snrm"))).as("batch"))
-    // candidate scan: cosines to the whole batch + own top-k penalty,
-    // computed in-row — zero shuffle until the pair explode
+      .agg(collect_list(batchStruct).as("batch"))
+    // candidate scan: cosines to the (cell-masked) batch + own top-k
+    // penalty, computed in-row — zero shuffle until the pair explode
     val cands = withNorm.filter(col("lang") =!= SrcLang)
       .crossJoin(broadcast(batch))
-      .withColumn("cosb", transform(col("batch"), b =>
+      .withColumn("cand",
+        if (useCell) filter(col("batch"), b => b.getField("scell") === col("cell"))
+        else col("batch"))
+      .withColumn("cosb", transform(col("cand"), b =>
         dot(col("embedding"), b.getField("semb")) /
           (col("nrm") * b.getField("snrm"))))
       .withColumn("y_pen", topkMean(col("cosb")))
     val pairs = cands
       .select(col("doc_id").as("tgt_id"), col("lang").as("tgt_lang"),
-        col("y_pen"), explode(arrays_zip(col("batch"), col("cosb"))).as("z"))
-      .select(col("z.batch.src_id").as("src_id"), col("tgt_id"),
+        col("y_pen"), explode(arrays_zip(col("cand"), col("cosb"))).as("z"))
+      .select(col("z.cand.src_id").as("src_id"), col("tgt_id"),
         col("tgt_lang"), col("z.cosb").as("cos"), col("y_pen"))
       // read twice (x-penalty aggregation + margin join) — materialize
       // once, nothing pinned after the action completes (house pattern)
@@ -143,10 +163,37 @@ object BitextMine {
         col("cos"), col("margin"), col("b_src").isNotNull.as("mutual"))
   }
 
+  /** Forward-best relation, exhaustive candidates. Exposed
+    * relation-first so specs can mine planted geometries. */
+  def forwardBest(dv: DataFrame): DataFrame = mineOver(dv, useCell = false)
+
+  /** Forward-best relation, candidates pruned to the query's IVF cell
+    * (the memoized corpus quantizer). Records the trained centroids for
+    * the dynamic oracle, the [[Ivf]] `lastIvfOracle` pattern. */
+  def forwardBestIvf(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, centers) = Ivf.assignments(s, dir)
+    synchronized { lastCenters = Some(centers) }
+    val dvc = docVecs(s, dir)
+      .join(assigned.select(col("vec_id").as("doc_id"), col("cell")), "doc_id")
+    mineOver(dvc, useCell = true)
+  }
+
+  @volatile private var lastCenters: Option[Array[Array[Double]]] = None
+
   /** Gate: mined pairs — forward-best candidates above the margin
     * threshold, with the mutual (intersection-variant) flag. */
   def bitextMine(s: SparkSession, dir: String): DataFrame =
     forwardBest(docVecs(s, dir))
+      .filter(col("margin") >= MarginThresh)
+      .select(col("src_id"), col("tgt_lang"), col("tgt_id"),
+        round(col("cos"), 4).as("cosine"),
+        round(col("margin"), 4).as("margin"), col("mutual"))
+
+  /** Gate: mined pairs from the IVF-pruned candidate regime — the plan
+    * that runs at 100 TB (pair cost ÷ cells; penalties over what the
+    * index returns). */
+  def bitextMineIvf(s: SparkSession, dir: String): DataFrame =
+    forwardBestIvf(s, dir)
       .filter(col("margin") >= MarginThresh)
       .select(col("src_id"), col("tgt_lang"), col("tgt_id"),
         round(col("cos"), 4).as("cosine"),
@@ -167,15 +214,76 @@ object BitextMine {
         round(min(col("margin")), 4).as("min_margin"),
         round(max(col("margin")), 4).as("max_margin"))
 
+  /** Gate: the pruned miner's certification — per language, how many
+    * pairs the exhaustive miner finds, how many the IVF-pruned miner
+    * finds, and the overlap. The recall readout that decides nprobe in
+    * production; uniform random fixture embeddings are ANN's worst
+    * case, so these numbers are the recall FLOOR. */
+  def bitextIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.parallel(s, dir, "documents")
+      .filter(col("lang") =!= SrcLang)
+      .select(col("lang").as("tgt_lang")).distinct()
+    val brute = forwardBest(docVecs(s, dir))
+      .filter(col("margin") >= MarginThresh)
+      .select(col("src_id"), col("tgt_lang"), col("tgt_id"))
+      .localCheckpoint(true)
+    val pruned = forwardBestIvf(s, dir)
+      .filter(col("margin") >= MarginThresh)
+      .select(col("src_id"), col("tgt_lang"), col("tgt_id"))
+      .localCheckpoint(true)
+    val nb = brute.groupBy("tgt_lang").agg(count(lit(1)).as("n_brute"))
+    val ni = pruned.groupBy("tgt_lang").agg(count(lit(1)).as("n_ivf"))
+    val nc = brute.join(pruned, Seq("src_id", "tgt_lang", "tgt_id"))
+      .groupBy("tgt_lang").agg(count(lit(1)).as("n_common"))
+    langs.join(broadcast(nb), Seq("tgt_lang"), "left")
+      .join(broadcast(ni), Seq("tgt_lang"), "left")
+      .join(broadcast(nc), Seq("tgt_lang"), "left")
+      .select(col("tgt_lang"),
+        coalesce(col("n_brute"), lit(0L)).as("n_brute"),
+        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bitext_mine" -> bitextMine,
-    "bitext_lang_stats" -> bitextLangStats)
+    "bitext_mine_ivf" -> bitextMineIvf,
+    "bitext_lang_stats" -> bitextLangStats,
+    "bitext_ivf_recall" -> bitextIvfRecall)
 
-  /** CTE chain ending in `fwd(src_id, tgt_lang, tgt_id, cos, margin,
-    * mutual)` — the forward-best relation both oracles read. Penalty
-    * folds mirror Spark's sorted-slice order exactly. */
-  private def fwdCtes: String = {
-    val dot = SimilarityQueries.sqlDot("s.embedding", "t.embedding")
+  /** The margin pipeline in SQL, reading `${p}pairs(src_id, tgt_id,
+    * tgt_lang, cos)` and ending in `${p}fwd(src_id, tgt_lang, tgt_id,
+    * cos, margin, mutual)`. Penalty folds mirror Spark's sorted-slice
+    * order exactly. */
+  private def marginChain(p: String): String =
+    s"""${p}xpen AS (SELECT src_id, tgt_lang,
+      |           list_sum(list_sort(list(cos), 'DESC')) / $NnK AS x_pen
+      |         FROM (SELECT *, row_number() OVER (
+      |                 PARTITION BY src_id, tgt_lang
+      |                 ORDER BY cos DESC, tgt_id ASC) AS rk FROM ${p}pairs)
+      |         WHERE rk <= $NnK GROUP BY 1, 2),
+      |${p}ypen AS (SELECT tgt_id,
+      |           list_sum(list_slice(list_sort(list(cos), 'DESC'), 1, $NnK))
+      |             / $NnK AS y_pen
+      |         FROM ${p}pairs GROUP BY 1),
+      |${p}m AS (SELECT q.*, q.cos / ((x.x_pen + y.y_pen) / 2) AS margin
+      |      FROM ${p}pairs q
+      |      JOIN ${p}xpen x ON x.src_id = q.src_id AND x.tgt_lang = q.tgt_lang
+      |      JOIN ${p}ypen y ON y.tgt_id = q.tgt_id),
+      |${p}fwd0 AS (SELECT * FROM (SELECT *, row_number() OVER (
+      |           PARTITION BY src_id, tgt_lang
+      |           ORDER BY margin DESC, tgt_id ASC) AS rk FROM ${p}m)
+      |         WHERE rk = 1),
+      |${p}bwd AS (SELECT tgt_id, src_id FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY tgt_id
+      |          ORDER BY margin DESC, src_id ASC) AS rk FROM ${p}m)
+      |        WHERE rk = 1),
+      |${p}fwd AS (SELECT f.src_id, f.tgt_lang, f.tgt_id, f.cos, f.margin,
+      |          (b.src_id IS NOT NULL) AS mutual
+      |        FROM ${p}fwd0 f LEFT JOIN ${p}bwd b
+      |          ON b.tgt_id = f.tgt_id AND b.src_id = f.src_id)""".stripMargin
+
+  /** The doc↔vector join with norms, split into batch and candidates. */
+  private def dvCtes: String =
     s"""dv AS (SELECT d.doc_id, d.lang, e.embedding
       |        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
       |src AS (SELECT doc_id, embedding,
@@ -183,51 +291,106 @@ object BitextMine {
       |        FROM dv WHERE lang = '$SrcLang' AND doc_id % $QMod = 0),
       |tgt AS (SELECT doc_id, lang, embedding,
       |          sqrt(${SimilarityQueries.sqlDot("embedding", "embedding")}) AS nrm
-      |        FROM dv WHERE lang <> '$SrcLang'),
-      |pairs AS (SELECT s.doc_id AS src_id, t.doc_id AS tgt_id,
+      |        FROM dv WHERE lang <> '$SrcLang')""".stripMargin
+
+  /** Exhaustive pair relation over [[dvCtes]]. */
+  private def brutePairs(p: String): String = {
+    val dot = SimilarityQueries.sqlDot("s.embedding", "t.embedding")
+    s"""${p}pairs AS (SELECT s.doc_id AS src_id, t.doc_id AS tgt_id,
       |            t.lang AS tgt_lang, $dot / (s.nrm * t.nrm) AS cos
-      |          FROM src s JOIN tgt t ON true),
-      |xpen AS (SELECT src_id, tgt_lang,
-      |           list_sum(list_sort(list(cos), 'DESC')) / $NnK AS x_pen
-      |         FROM (SELECT *, row_number() OVER (
-      |                 PARTITION BY src_id, tgt_lang
-      |                 ORDER BY cos DESC, tgt_id ASC) AS rk FROM pairs)
-      |         WHERE rk <= $NnK GROUP BY 1, 2),
-      |ypen AS (SELECT tgt_id,
-      |           list_sum(list_slice(list_sort(list(cos), 'DESC'), 1, $NnK))
-      |             / $NnK AS y_pen
-      |         FROM pairs GROUP BY 1),
-      |m AS (SELECT p.*, p.cos / ((x.x_pen + y.y_pen) / 2) AS margin
-      |      FROM pairs p
-      |      JOIN xpen x ON x.src_id = p.src_id AND x.tgt_lang = p.tgt_lang
-      |      JOIN ypen y ON y.tgt_id = p.tgt_id),
-      |fwd0 AS (SELECT * FROM (SELECT *, row_number() OVER (
-      |           PARTITION BY src_id, tgt_lang
-      |           ORDER BY margin DESC, tgt_id ASC) AS rk FROM m)
-      |         WHERE rk = 1),
-      |bwd AS (SELECT tgt_id, src_id FROM (SELECT *, row_number() OVER (
-      |          PARTITION BY tgt_id
-      |          ORDER BY margin DESC, src_id ASC) AS rk FROM m)
-      |        WHERE rk = 1),
-      |fwd AS (SELECT f.src_id, f.tgt_lang, f.tgt_id, f.cos, f.margin,
-      |          (b.src_id IS NOT NULL) AS mutual
-      |        FROM fwd0 f LEFT JOIN bwd b
-      |          ON b.tgt_id = f.tgt_id AND b.src_id = f.src_id)""".stripMargin
+      |          FROM src s JOIN tgt t ON true)""".stripMargin
   }
 
-  def oracles: Map[String, String] = Map(
-    "bitext_mine" ->
-      s"""WITH $fwdCtes
-        |SELECT src_id, tgt_lang, tgt_id, round(cos, 4) AS cosine,
-        |  round(margin, 4) AS margin, mutual
-        |FROM fwd WHERE margin >= $MarginThresh""".stripMargin,
-    "bitext_lang_stats" ->
-      s"""WITH $fwdCtes
-        |SELECT tgt_lang, count(*)::BIGINT AS n_best,
-        |  count(*) FILTER (margin >= $MarginThresh)::BIGINT AS n_mined,
-        |  count(*) FILTER (margin >= $MarginThresh AND mutual)::BIGINT
-        |    AS n_mutual,
-        |  round(min(margin), 4) AS min_margin,
-        |  round(max(margin), 4) AS max_margin
-        |FROM fwd GROUP BY 1""".stripMargin)
+  /** IVF-pruned pair relation: the quantizer replayed from the trained
+    * centroid LITERALS (the [[Ivf.ivfOracleSql]] assignment CTE), pairs
+    * kept iff query and candidate share a cell. */
+  private def ivfPairs(p: String, centers: Array[Array[Double]]): String = {
+    val rows = centers.zipWithIndex.map { case (c, j) =>
+      s"($j, ${Ivf.fmtD(c.map(x => x * x).sum)}, " +
+        s"[${c.map(Ivf.fmtD).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    val dot = SimilarityQueries.sqlDot("s.embedding", "t.embedding")
+    s"""cents(j, c2, c) AS (VALUES
+      |    $rows),
+      |asc0 AS (SELECT v.doc_id, c.j,
+      |         c.c2 - 2 * (${SimilarityQueries.sqlDot("v.embedding", "c.c")})
+      |           / sqrt(${SimilarityQueries.sqlDot("v.embedding", "v.embedding")})
+      |           AS score
+      |       FROM dv v CROSS JOIN cents c),
+      |asg AS (SELECT doc_id, j AS cell
+      |        FROM (SELECT *, row_number() OVER (
+      |                PARTITION BY doc_id ORDER BY score ASC, j ASC) AS rn
+      |              FROM asc0)
+      |        WHERE rn = 1),
+      |${p}pairs AS (SELECT s.doc_id AS src_id, t.doc_id AS tgt_id,
+      |            t.lang AS tgt_lang, $dot / (s.nrm * t.nrm) AS cos
+      |          FROM src s
+      |          JOIN asg sa ON sa.doc_id = s.doc_id
+      |          JOIN asg ta ON true
+      |          JOIN tgt t ON t.doc_id = ta.doc_id
+      |          WHERE sa.cell = ta.cell)""".stripMargin
+  }
+
+  private def minedSelect(p: String): String =
+    s"""SELECT src_id, tgt_lang, tgt_id, round(cos, 4) AS cosine,
+      |  round(margin, 4) AS margin, mutual
+      |FROM ${p}fwd WHERE margin >= $MarginThresh""".stripMargin
+
+  /** A def, not a val: the IVF entries inline the trained centroids and
+    * exist only after the pruned gates have run (the Ivf dynamic-oracle
+    * convention; Verify dumps oracle SQL last). */
+  def oracles: Map[String, String] = {
+    val base = Map(
+      "bitext_mine" ->
+        s"""WITH $dvCtes,
+          |${brutePairs("")},
+          |${marginChain("")}
+          |${minedSelect("")}""".stripMargin,
+      "bitext_lang_stats" ->
+        s"""WITH $dvCtes,
+          |${brutePairs("")},
+          |${marginChain("")}
+          |SELECT tgt_lang, count(*)::BIGINT AS n_best,
+          |  count(*) FILTER (margin >= $MarginThresh)::BIGINT AS n_mined,
+          |  count(*) FILTER (margin >= $MarginThresh AND mutual)::BIGINT
+          |    AS n_mutual,
+          |  round(min(margin), 4) AS min_margin,
+          |  round(max(margin), 4) AS max_margin
+          |FROM fwd GROUP BY 1""".stripMargin)
+    synchronized(lastCenters) match {
+      case None => base
+      case Some(centers) => base ++ Map(
+        "bitext_mine_ivf" ->
+          s"""WITH $dvCtes,
+            |${ivfPairs("i", centers)},
+            |${marginChain("i")}
+            |${minedSelect("i")}""".stripMargin,
+        "bitext_ivf_recall" ->
+          s"""WITH $dvCtes,
+            |${brutePairs("b")},
+            |${marginChain("b")},
+            |${ivfPairs("i", centers)},
+            |${marginChain("i")},
+            |minedb AS (SELECT src_id, tgt_lang, tgt_id FROM bfwd
+            |       WHERE margin >= $MarginThresh),
+            |minedi AS (SELECT src_id, tgt_lang, tgt_id FROM ifwd
+            |       WHERE margin >= $MarginThresh),
+            |langs AS (SELECT DISTINCT lang AS tgt_lang FROM documents
+            |          WHERE lang <> '$SrcLang'),
+            |cb AS (SELECT tgt_lang, count(*) AS n_brute FROM minedb GROUP BY 1),
+            |ci AS (SELECT tgt_lang, count(*) AS n_ivf FROM minedi GROUP BY 1),
+            |cc AS (SELECT b.tgt_lang, count(*) AS n_common
+            |       FROM minedb b JOIN minedi i ON i.tgt_lang = b.tgt_lang
+            |         AND i.src_id = b.src_id AND i.tgt_id = b.tgt_id
+            |       GROUP BY 1)
+            |SELECT l.tgt_lang,
+            |  coalesce(cb.n_brute, 0)::BIGINT AS n_brute,
+            |  coalesce(ci.n_ivf, 0)::BIGINT AS n_ivf,
+            |  coalesce(cc.n_common, 0)::BIGINT AS n_common
+            |FROM langs l
+            |LEFT JOIN cb USING (tgt_lang)
+            |LEFT JOIN ci USING (tgt_lang)
+            |LEFT JOIN cc USING (tgt_lang)""".stripMargin)
+    }
+  }
 }

@@ -187,9 +187,11 @@ object ScaleValidate {
       "projections; the pair explode is |batch| × candidates rows but " +
       "every downstream window is WindowGroupLimit-partial (≤ k rows " +
       "per group per input partition cross the exchange), so shuffle ∝ " +
-      "candidates × k ≈F× with batch held fixed — production bounds " +
-      "candidates by ANN pruning without changing the plumbing",
-      Seq("bitext_mine", "bitext_lang_stats")),
+      "candidates × k ≈F× with batch held fixed — the _ivf regime IS " +
+      "the production ANN pruning (pair cost ÷ cells, same plumbing), " +
+      "recall-certified per language against the exhaustive miner",
+      Seq("bitext_mine", "bitext_lang_stats", "bitext_mine_ivf",
+        "bitext_ivf_recall")),
     ("shard-plan", "two-level prefix sum: block-subtotal partials ∝ " +
       "blocks = docs/BlockDocs ≪F×; placement join carries broadcast-" +
       "side block offsets + per-(source, blk) windows over ≤ BlockDocs " +

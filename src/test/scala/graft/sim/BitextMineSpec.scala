@@ -90,4 +90,27 @@ class BitextMineSpec extends AnyFunSuite {
       assert(nBest >= nMined)
     }
   }
+
+  test("ivf recall certification is internally consistent and non-trivial") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = BitextMine.bitextIvfRecall(spark, dir).collect()
+      .map(r => r.getAs[String]("tgt_lang") ->
+        ((r.getAs[Long]("n_brute"), r.getAs[Long]("n_ivf"),
+          r.getAs[Long]("n_common"))))
+      .toMap
+    assert(rows.keySet == Set("fr", "es", "de", "zh"))
+    rows.foreach { case (l, (nb, ni, nc)) =>
+      assert(nc <= math.min(nb, ni), s"lang $l: overlap exceeds a side")
+      assert(nb > 0, s"lang $l: brute miner must fire")
+    }
+    // uniform random embeddings are ANN's worst case — the floor must
+    // still be a real overlap, not zero
+    assert(rows.values.map(_._3).sum > 0, "pruned miner recalls nothing")
+    // the pruned miner's own mined count per lang must match its gate
+    val minedIvf = BitextMine.bitextMineIvf(spark, dir).collect()
+      .groupBy(_.getAs[String]("tgt_lang")).view.mapValues(_.length.toLong)
+    rows.foreach { case (l, (_, ni, _)) =>
+      assert(minedIvf.getOrElse(l, 0L) == ni, s"lang $l ivf count")
+    }
+  }
 }
