@@ -353,6 +353,13 @@ object StreamingPlanDigest {
             Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0)),
             Array(1.0, 1.0, 1.0, 1.0))),
           StreamPca.outputMode) { mem.addData((1L, Array(0.5f, 0.5f))) }
+      },
+      "shard_plan" -> { () =>
+        val mem = MemoryStream[StreamShardPlan.DocIn]
+        run(StreamShardPlan.placedOverStream(mem.toDS()).toDF(),
+          StreamShardPlan.outputMode) {
+          mem.addData(StreamShardPlan.DocIn("s", 1L, 10L))
+        }
       })
 
     twins.map { case (n, f) => n -> f() }.sortBy(_._1)

