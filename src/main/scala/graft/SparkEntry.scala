@@ -13,7 +13,7 @@ import graft.sim.{BitextMine, Coreset, EmbedPca, EmbeddingDrift, Eigencentrality
   GraphStats, Neighborhood, NormProfile, Ivf, IvfIncremental, IvfModel, KCore,
   KnnGraphIvf, LabelProp, PageRank, Pq, PqModel, SemDedup, SemanticDecontam,
   SimilarityQueries}
-import graft.sources.{CorpusManifest, FormatSources, ShardPlan}
+import graft.sources.{CorpusManifest, DropAudit, FormatSources, ShardPlan}
 import graft.storm.StormQueries
 import graft.text.{Allocation, BigramLm, Bpe, BpeModel, Chunking, Concentration,
   CrawlDedup, DomainCaps,
@@ -58,6 +58,7 @@ object SparkEntry {
       (FormatSources.queries, FormatSources.oracles),
       (CorpusManifest.queries, CorpusManifest.oracles),
       (ShardPlan.queries, ShardPlan.oracles),
+      (DropAudit.queries, DropAudit.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (Readability.queries, Readability.oracles),
       (Concentration.queries, Concentration.oracles),
