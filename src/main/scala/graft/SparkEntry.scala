@@ -19,8 +19,8 @@ import graft.text.{Allocation, BigramLm, Bpe, BpeModel, Chunking, Concentration,
   CrawlDedup, DomainCaps,
   Drift, HeavyHitterDelta, HtmlExtract, HybridRetrieval, Keywords, NgramNovelty,
   PiiRedact, Pretokenize, QualityClassifier, QuantileNorm, Readability,
-  Retrieval, Sampling, SourceKs, TextQueries, Unigram, UrlCanonical,
-  Winnow, WordPiece}
+  Retrieval, Sampling, SourceKs, TextQueries, TrainOrder, Unigram,
+  UrlCanonical, Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -59,6 +59,7 @@ object SparkEntry {
       (CorpusManifest.queries, CorpusManifest.oracles),
       (ShardPlan.queries, ShardPlan.oracles),
       (DropAudit.queries, DropAudit.oracles),
+      (TrainOrder.queries, TrainOrder.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (Readability.queries, Readability.oracles),
       (Concentration.queries, Concentration.oracles),

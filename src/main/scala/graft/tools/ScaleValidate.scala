@@ -196,8 +196,10 @@ object ScaleValidate {
     ("shard-plan", "two-level prefix sum: block-subtotal partials ∝ " +
       "blocks = docs/BlockDocs ≪F×; placement join carries broadcast-" +
       "side block offsets + per-(source, blk) windows over ≤ BlockDocs " +
-      "rows (no source-sized hot key); final rollup ∝ shards",
-      Seq("shard_plan")),
+      "rows (no source-sized hot key); final rollup ∝ shards; " +
+      "train_order is the same pattern keyed by the hash prefix — " +
+      "bucket partials ∝ 2^B, within-bucket windows hash-uniform",
+      Seq("shard_plan", "train_order")),
     // Relational / storm families (facts ×F, dims fixed — ScaleGen's
     // star-schema growth shape):
     ("scan-agg", "map-side complete: partials ∝ partitions×groups: ≪F×", Seq(
