@@ -92,7 +92,7 @@ object BitextMine {
   /** `(doc_id, lang, embedding)` — documents joined 1:1 to their
     * embedding rows (`vec_id = doc_id`, the HybridRetrieval
     * convention). */
-  private def docVecs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docVecs(s: SparkSession, dir: String): DataFrame =
     Tables.parallel(s, dir, "documents").select(col("doc_id"), col("lang"))
       .join(Tables.parallel(s, dir, "embeddings")
         .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
@@ -190,10 +190,48 @@ object BitextMine {
 
   @volatile private var lastCenters: Option[Array[Array[Double]]] = None
 
+  // One-slot memos for the two mined relations (the Ivf.assignments
+  // discipline): four gates share them, and both end in a
+  // localCheckpoint so the memo hands back a materialized relation.
+  // Keys carry the table stamps so an in-place data rewrite rebuilds.
+  private var bruteMemo: Option[(Any, DataFrame)] = None
+  private var ivfMemo: Option[(Any, DataFrame)] = None
+
+  private def memoKey(s: SparkSession, dir: String): Any =
+    (s, dir, Tables.sourceStamp(dir, "documents"),
+      Tables.sourceStamp(dir, "embeddings"))
+
+  private def bruteFwd(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = memoKey(s, dir)
+      bruteMemo match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val v = forwardBest(docVecs(s, dir)).localCheckpoint(true)
+          bruteMemo = Some((key, v)); v
+      }
+    }
+
+  private def ivfFwd(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = memoKey(s, dir)
+      ivfMemo match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val v = forwardBestIvf(s, dir).localCheckpoint(true)
+          ivfMemo = Some((key, v)); v
+      }
+    }
+
+  /** Drop the memoized relations (PlanLockSpec fresh-state hook). */
+  def release(): Unit = synchronized {
+    bruteMemo = None; ivfMemo = None
+  }
+
   /** Gate: mined pairs — forward-best candidates above the margin
     * threshold, with the mutual (intersection-variant) flag. */
   def bitextMine(s: SparkSession, dir: String): DataFrame =
-    forwardBest(docVecs(s, dir))
+    bruteFwd(s, dir)
       .filter(col("margin") >= MarginThresh)
       .select(col("src_id"), col("tgt_lang"), col("tgt_id"),
         round(col("cos"), 4).as("cosine"),
@@ -203,7 +241,7 @@ object BitextMine {
     * that runs at 100 TB (pair cost ÷ cells; penalties over what the
     * index returns). */
   def bitextMineIvf(s: SparkSession, dir: String): DataFrame =
-    forwardBestIvf(s, dir)
+    ivfFwd(s, dir)
       .filter(col("margin") >= MarginThresh)
       .select(col("src_id"), col("tgt_lang"), col("tgt_id"),
         round(col("cos"), 4).as("cosine"),
@@ -214,7 +252,7 @@ object BitextMine {
     * language distance; CCMatrix tunes thresholds per pair). Counts plus
     * order-free margin extremes over the forward-best relation. */
   def bitextLangStats(s: SparkSession, dir: String): DataFrame =
-    forwardBest(docVecs(s, dir))
+    bruteFwd(s, dir)
       .groupBy("tgt_lang")
       .agg(count(lit(1)).as("n_best"),
         sum(when(col("margin") >= MarginThresh, 1L).otherwise(0L))
@@ -233,14 +271,12 @@ object BitextMine {
     val langs = Tables.parallel(s, dir, "documents")
       .filter(col("lang") =!= SrcLang)
       .select(col("lang").as("tgt_lang")).distinct()
-    val brute = forwardBest(docVecs(s, dir))
+    val brute = bruteFwd(s, dir)
       .filter(col("margin") >= MarginThresh)
       .select(col("src_id"), col("tgt_lang"), col("tgt_id"))
-      .localCheckpoint(true)
-    val pruned = forwardBestIvf(s, dir)
+    val pruned = ivfFwd(s, dir)
       .filter(col("margin") >= MarginThresh)
       .select(col("src_id"), col("tgt_lang"), col("tgt_id"))
-      .localCheckpoint(true)
     val nb = brute.groupBy("tgt_lang").agg(count(lit(1)).as("n_brute"))
     val ni = pruned.groupBy("tgt_lang").agg(count(lit(1)).as("n_ivf"))
     val nc = brute.join(pruned, Seq("src_id", "tgt_lang", "tgt_id"))

@@ -354,9 +354,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"encode planned a cartesian:\n$plan")
   }
 
-  test("bitext_mine: every window is a WindowGroupLimit; penalties join " +
-    "broadcast") {
-    val plan = graft.sim.BitextMine.bitextMine(spark, sf)
+  test("bitext mining pipeline: every window is a WindowGroupLimit; " +
+    "penalties join broadcast") {
+    // the gate itself serves a memoized checkpoint — audit the pipeline
+    // it materializes (the pre-checkpoint construction)
+    val plan = graft.sim.BitextMine.forwardBest(
+        graft.sim.BitextMine.docVecs(spark, sf))
       .queryExecution.executedPlan.toString
     // the margin pipeline's three windows (x-pen top-k, forward argmax,
     // backward argmax) must all carry the partial group-limit — a bare

@@ -25,6 +25,7 @@ class PlanLockSpec extends AnyFunSuite {
     graft.dedup.ConnectedComponents.releaseClusters()
     graft.dedup.PrefixJoin.release()
     graft.sim.Ivf.release()
+    graft.sim.BitextMine.release()
     graft.sim.Pq.release()
     graft.sim.GraphStats.release()
     graft.sim.EmbedPca.release()
