@@ -262,6 +262,27 @@ object BitextMine {
         round(min(col("margin")), 4).as("min_margin"),
         round(max(col("margin")), 4).as("max_margin"))
 
+  /** Thresholds swept by the calibration curve (the paper's operating
+    * range, bracketing [[MarginThresh]]). */
+  val CurveThresholds = Seq(1.05, 1.10, 1.15, 1.20, 1.25)
+
+  /** Gate: the threshold calibration curve — mined/mutual yield per
+    * (threshold, language), the dial readout behind choosing
+    * [[MarginThresh]] (precision rises and yield falls with the
+    * threshold; CCMatrix publishes exactly this curve). Rides the
+    * memoized forward-best relation: a 5-way literal explode + one
+    * rollup, nearly free. */
+  def bitextMarginCurve(s: SparkSession, dir: String): DataFrame =
+    bruteFwd(s, dir)
+      .select(col("tgt_lang"), col("margin"), col("mutual"),
+        explode(array(CurveThresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold", "tgt_lang")
+      .agg(
+        sum(when(col("margin") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_mined"),
+        sum(when(col("margin") >= col("threshold") && col("mutual"), 1L)
+          .otherwise(0L)).as("n_mutual"))
+
   /** Gate: the pruned miner's certification — per language, how many
     * pairs the exhaustive miner finds, how many the IVF-pruned miner
     * finds, and the overlap. The recall readout that decides nprobe in
@@ -294,6 +315,7 @@ object BitextMine {
     "bitext_mine" -> bitextMine,
     "bitext_mine_ivf" -> bitextMineIvf,
     "bitext_lang_stats" -> bitextLangStats,
+    "bitext_margin_curve" -> bitextMarginCurve,
     "bitext_ivf_recall" -> bitextIvfRecall)
 
   /** The margin pipeline in SQL, reading `${p}pairs(src_id, tgt_id,
@@ -393,6 +415,18 @@ object BitextMine {
           |${brutePairs("")},
           |${marginChain("")}
           |${minedSelect("")}""".stripMargin,
+      "bitext_margin_curve" ->
+        s"""WITH $dvCtes,
+          |${brutePairs("")},
+          |${marginChain("")}
+          |SELECT t.threshold, f.tgt_lang,
+          |  count(*) FILTER (f.margin >= t.threshold)::BIGINT AS n_mined,
+          |  count(*) FILTER (f.margin >= t.threshold AND f.mutual)::BIGINT
+          |    AS n_mutual
+          |FROM fwd f
+          |CROSS JOIN (SELECT unnest([${CurveThresholds.mkString(", ")}]
+          |              ::DOUBLE[]) AS threshold) t
+          |GROUP BY 1, 2""".stripMargin,
       "bitext_lang_stats" ->
         s"""WITH $dvCtes,
           |${brutePairs("")},

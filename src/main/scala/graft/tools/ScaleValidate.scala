@@ -192,7 +192,7 @@ object ScaleValidate {
       "the production ANN pruning (pair cost ÷ cells, same plumbing), " +
       "recall-certified per language against the exhaustive miner",
       Seq("bitext_mine", "bitext_lang_stats", "bitext_mine_ivf",
-        "bitext_ivf_recall")),
+        "bitext_ivf_recall", "bitext_margin_curve")),
     ("shard-plan", "two-level prefix sum: block-subtotal partials ∝ " +
       "blocks = docs/BlockDocs ≪F×; placement join carries broadcast-" +
       "side block offsets + per-(source, blk) windows over ≤ BlockDocs " +

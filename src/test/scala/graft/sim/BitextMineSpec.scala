@@ -91,6 +91,32 @@ class BitextMineSpec extends AnyFunSuite {
     }
   }
 
+  test("margin curve is monotone in the threshold and pins lang stats") {
+    val dir = "/root/testdata/sf0.001"
+    val curve = BitextMine.bitextMarginCurve(spark, dir).collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[String]("tgt_lang")) ->
+        ((r.getAs[Long]("n_mined"), r.getAs[Long]("n_mutual"))))
+      .toMap
+    val langs = Set("fr", "es", "de", "zh")
+    assert(curve.keySet == BitextMine.CurveThresholds
+      .flatMap(t => langs.map(t -> _)).toSet)
+    // yield can only fall as the threshold rises, and mutual ≤ mined
+    langs.foreach { l =>
+      val byT = BitextMine.CurveThresholds.map(t => curve((t, l)))
+      byT.sliding(2).foreach { case Seq((m1, u1), (m2, u2)) =>
+        assert(m1 >= m2 && u1 >= u2, s"lang $l curve not monotone")
+      }
+      byT.foreach { case (m, u) => assert(u <= m) }
+    }
+    // the MarginThresh column of the curve IS the lang-stats row
+    val stats = BitextMine.bitextLangStats(spark, dir).collect()
+      .map(r => r.getAs[String]("tgt_lang") ->
+        ((r.getAs[Long]("n_mined"), r.getAs[Long]("n_mutual")))).toMap
+    langs.foreach { l =>
+      assert(curve((BitextMine.MarginThresh, l)) == stats(l), s"lang $l")
+    }
+  }
+
   test("ivf recall certification is internally consistent and non-trivial") {
     val dir = "/root/testdata/sf0.001"
     val rows = BitextMine.bitextIvfRecall(spark, dir).collect()
