@@ -360,6 +360,29 @@ object StreamingPlanDigest {
           StreamShardPlan.outputMode) {
           mem.addData(StreamShardPlan.DocIn("s", 1L, 10L))
         }
+      },
+      // foreachBatch twin: pins the micro-batch plan feeding the wave
+      // miner — STATELESS (the standing corpus is a static relation,
+      // not stream state; each wave's mining is batch work inside
+      // foreachBatch)
+      "bitext_waves" -> { () =>
+        val mem = MemoryStream[(Long, String, Array[Float])]
+        val cands = spark.range(1).selectExpr("2L AS doc_id",
+          "'xx' AS lang", "array(0.5f, 0.5f) AS embedding")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-bitext-twin").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-bitext-twin-ckpt").toString
+        val q = StreamBitext.mineWaves(
+          mem.toDS().toDF("doc_id", "lang", "embedding"), cands, base, ckpt)
+        try {
+          mem.addData((1L, "en", Array(1f, 0f)))
+          q.processAllAvailable()
+          val exec = q.asInstanceOf[StreamingQueryWrapper]
+            .streamingQuery.lastExecution
+          require(exec != null, "no micro-batch executed")
+          outlineOf(exec.executedPlan)
+        } finally q.stop()
       })
 
     twins.map { case (n, f) => n -> f() }.sortBy(_._1)

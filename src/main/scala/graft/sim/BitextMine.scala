@@ -109,9 +109,22 @@ object BitextMine {
     * margin and the mutual-best flag. With `useCell`, candidates are
     * masked to batch members sharing the row's quantizer cell — the
     * ANN-pruned regime. */
-  private def mineOver(dv: DataFrame, useCell: Boolean): DataFrame = {
+  private def mineOver(dv: DataFrame, useCell: Boolean): DataFrame =
+    mineWave(
+      dv.filter(col("lang") === SrcLang &&
+        col("doc_id") % QMod === 0 && col("doc_id") < QCap),
+      dv.filter(col("lang") =!= SrcLang),
+      useCell)
+
+  /** The pipeline over EXPLICIT batch/candidate relations — the unit a
+    * streaming wave reuses verbatim ([[graft.streaming.StreamBitext]]):
+    * whatever rows arrive in `batchDv` ARE the wave, no further
+    * slicing. */
+  private[graft] def mineWave(batchDv: DataFrame, candDv: DataFrame,
+                              useCell: Boolean): DataFrame = {
     import SimilarityQueries.dot
-    val withNorm = dv.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    def withNorm(df: DataFrame) =
+      df.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     val batchStruct =
       if (useCell)
         struct(col("doc_id").as("src_id"), col("embedding").as("semb"),
@@ -119,12 +132,11 @@ object BitextMine {
       else
         struct(col("doc_id").as("src_id"), col("embedding").as("semb"),
           col("nrm").as("snrm"))
-    val batch = withNorm.filter(col("lang") === SrcLang &&
-        col("doc_id") % QMod === 0 && col("doc_id") < QCap)
+    val batch = withNorm(batchDv)
       .agg(collect_list(batchStruct).as("batch"))
     // candidate scan: cosines to the (cell-masked) batch + own top-k
     // penalty, computed in-row — zero shuffle until the pair explode
-    val cands = withNorm.filter(col("lang") =!= SrcLang)
+    val cands = withNorm(candDv)
       .crossJoin(broadcast(batch))
       .withColumn("cand",
         if (useCell) filter(col("batch"), b => b.getField("scell") === col("cell"))
