@@ -19,8 +19,8 @@ import graft.text.{Allocation, BigramLm, Bpe, BpeModel, Chunking, Concentration,
   CrawlDedup, DomainCaps,
   Drift, HeavyHitterDelta, HtmlExtract, HybridRetrieval, Keywords, NgramNovelty,
   PiiRedact, Pretokenize, QualityClassifier, QuantileNorm, Readability,
-  Retrieval, Sampling, SourceKs, TextQueries, TrainOrder, Unigram,
-  UrlCanonical, Winnow, WordPiece}
+  KAnonymity, Retrieval, Sampling, SourceKs, TextQueries, TrainOrder,
+  Unigram, UrlCanonical, Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -60,6 +60,7 @@ object SparkEntry {
       (ShardPlan.queries, ShardPlan.oracles),
       (DropAudit.queries, DropAudit.oracles),
       (TrainOrder.queries, TrainOrder.oracles),
+      (KAnonymity.queries, KAnonymity.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (Readability.queries, Readability.oracles),
       (Concentration.queries, Concentration.oracles),

@@ -59,7 +59,7 @@ object ScaleValidate {
       "profile_numeric", "profile_categorical", "media_histogram",
       "length_buckets", "readability_bands", "source_concentration",
       "seasonal_anomaly", "embed_norm_profile", "boilerplate_ratio",
-      "crawl_quality_funnel")),
+      "crawl_quality_funnel", "k_anonymity")),
     ("corpus-shaping", "hash-deterministic sample/pack/mix: row shuffle " +
       "∝ selected docs ≈F×, per-group partials ≪F×", Seq(
       "stratified_sample", "sample_per_group", "sample_per_group_agg",
