@@ -191,7 +191,22 @@ object Bench {
     val cr = carried.zip(carriedRaw).map { case ((src, names), raw) =>
       f""","carried_raw":$raw%.3f,"carried_n":${names.size},"carried_from":"$src""""
     }.getOrElse("")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_spread":$calibSpread%.3f,"calib_samples":$cs,"value_norm":${total * scale}%.3f,"memo_total":$memoTotal%.3f,"memo_sec":$ms$cr,"queries":$qs,"queries_norm":$qn,"shuffle_mb":$sh,"shuffle_rec":$rec,"sf":"$sfDir"}""")
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"calib_spread":$calibSpread%.3f,"calib_samples":$cs,"value_norm":${total * scale}%.3f,"memo_total":$memoTotal%.3f,"memo_sec":$ms$cr,"queries":$qs,"queries_norm":$qn,"shuffle_mb":$sh,"shuffle_rec":$rec,"sf":"$sfDir"}"""
+    // The full artifact goes to a FILE, not just stdout: the per-query
+    // JSON line is >16 KB and can interleave with stderr in captured
+    // logs (observed once in round 10) — the kept-file protocol reads
+    // this file, no log parsing. stdout still gets the full line (the
+    // driver's parser) and the compact trailer below.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_local_last.json")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), fullJson + "\n")
+      System.err.println(s"[bench] artifact written to $outFile")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] artifact write to $outFile failed: ${e.getMessage}")
+    }
+    println(fullJson)
     // Short trailer for the driver's stdout-tail parser: the full
     // per-query JSON above outgrows a bounded tail window (BENCH_r04/
     // r05 both recorded "parsed": null), so the LAST line is a compact

@@ -382,7 +382,19 @@ object StreamingPlanDigest {
             .streamingQuery.lastExecution
           require(exec != null, "no micro-batch executed")
           outlineOf(exec.executedPlan)
-        } finally q.stop()
+        } finally {
+          q.stop()
+          // the digest's wave output + checkpoint are side effects of
+          // plan construction, not artifacts — remove them so repeated
+          // digest runs don't accumulate garbage under the temp dir
+          Seq(base, ckpt).foreach { d =>
+            import scala.jdk.CollectionConverters._
+            val root = java.nio.file.Paths.get(d)
+            if (java.nio.file.Files.exists(root))
+              java.nio.file.Files.walk(root).iterator().asScala.toSeq
+                .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
       })
 
     twins.map { case (n, f) => n -> f() }.sortBy(_._1)

@@ -89,6 +89,17 @@ object BitextMine {
     * genuinely pruning the forward-best list). */
   val MarginThresh = 1.15
 
+  /** Penalty floor for the ratio margin: the generic relation-first
+    * APIs ([[forwardBest]], [[mineWave]] via [[graft.streaming
+    * .StreamBitext]]) accept arbitrary embeddings, where orthogonal or
+    * negatively-correlated geometries can drive (xPen + yPen)/2 to zero
+    * or below — an unguarded division then yields ±Inf/NaN margins that
+    * rank arbitrarily. Clamping the denominator at this epsilon keeps
+    * the margin finite and sign-stable; for any real mined geometry the
+    * penalty is far above the floor, so `greatest(pen, eps)` returns
+    * the exact same bits and the oracle hashes are unchanged. */
+  val PenEps = 1e-9
+
   /** `(doc_id, lang, embedding)` — documents joined 1:1 to their
     * embedding rows (`vec_id = doc_id`, the HybridRetrieval
     * convention). */
@@ -98,11 +109,20 @@ object BitextMine {
         .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
 
   /** Sequential left-to-right fold of the top-[[NnK]] of a cosine array
-    * (descending sort, slice, sum) divided by k — the deterministic
-    * penalty both engines share. */
+    * (descending sort, slice, sum) divided by the number of neighbors
+    * actually present, `min(|arr|, k)` — the deterministic penalty both
+    * engines share. The divisor follows the paper's definition ("mean
+    * cosine to its k nearest") even when fewer than k neighbors exist:
+    * in the pruned regimes a sparse cell can retrieve < k batch
+    * queries, and dividing by the constant k there would UNDERSTATE the
+    * penalty and over-mine sparse-cell pairs. The `greatest(…, 1)`
+    * floor only guards the empty-retrieval row (which produces no pairs
+    * anyway — the explode of an empty candidate list emits nothing) so
+    * the division can never be 0/0. */
   private def topkMean(cosArr: Column): Column =
     aggregate(slice(sort_array(cosArr, asc = false), 1, NnK),
-      lit(0.0), (acc, x) => acc + x) / NnK
+      lit(0.0), (acc, x) => acc + x) /
+      greatest(least(size(cosArr), lit(NnK)), lit(1))
 
   /** The margin-mining pipeline over `(doc_id, lang, embedding[, cell])`:
     * forward-best candidate per (batch query, language) with cosine,
@@ -164,7 +184,7 @@ object BitextMine {
       .agg(topkMean(collect_list(col("cos"))).as("x_pen"))
     val margins = pairs.join(broadcast(xpen), Seq("src_id", "tgt_lang"))
       .withColumn("margin",
-        col("cos") / ((col("x_pen") + col("y_pen")) / 2))
+        col("cos") / greatest((col("x_pen") + col("y_pen")) / 2, lit(PenEps)))
       // read twice (forward + backward argmax) — same discipline
       .localCheckpoint(true)
     val fw = Window.partitionBy(col("src_id"), col("tgt_lang"))
@@ -336,16 +356,19 @@ object BitextMine {
     * order exactly. */
   private def marginChain(p: String): String =
     s"""${p}xpen AS (SELECT src_id, tgt_lang,
-      |           list_sum(list_sort(list(cos), 'DESC')) / $NnK AS x_pen
+      |           list_sum(list_sort(list(cos), 'DESC'))
+      |             / greatest(least(len(list(cos)), $NnK), 1) AS x_pen
       |         FROM (SELECT *, row_number() OVER (
       |                 PARTITION BY src_id, tgt_lang
       |                 ORDER BY cos DESC, tgt_id ASC) AS rk FROM ${p}pairs)
       |         WHERE rk <= $NnK GROUP BY 1, 2),
       |${p}ypen AS (SELECT tgt_id,
       |           list_sum(list_slice(list_sort(list(cos), 'DESC'), 1, $NnK))
-      |             / $NnK AS y_pen
+      |             / greatest(least(len(list(cos)), $NnK), 1) AS y_pen
       |         FROM ${p}pairs GROUP BY 1),
-      |${p}m AS (SELECT q.*, q.cos / ((x.x_pen + y.y_pen) / 2) AS margin
+      |${p}m AS (SELECT q.*,
+      |      q.cos / greatest((x.x_pen + y.y_pen) / 2, ${Ivf.fmtD(PenEps)})
+      |        AS margin
       |      FROM ${p}pairs q
       |      JOIN ${p}xpen x ON x.src_id = q.src_id AND x.tgt_lang = q.tgt_lang
       |      JOIN ${p}ypen y ON y.tgt_id = q.tgt_id),

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** k-anonymity over quasi-identifiers (Sweeney 2002, "k-Anonymity: a
@@ -13,28 +13,59 @@ import org.apache.spark.sql.functions._
   * re-identifiable by linkage; the release rule is "every equivalence
   * class ≥ K".
   *
-  * Quasi-identifier here: (lang, source, length decile) — the
-  * attributes this corpus would publish alongside text. The gate emits
-  * every equivalence class with its size and the `at_risk` flag
-  * (size < [[KAnon]]), plus the risk MASS (how many documents sit in
-  * sub-K classes) per class — the number a release review reads first.
+  * Quasi-identifier here: (lang, source, length bucket) — the
+  * attributes this corpus would publish alongside text. The length
+  * attribute is a fixed [[LenBucket]]-character-wide bucket (an
+  * unbounded bucket COUNT, not deciles — the bucket index grows with
+  * the longest document; "decile" was a round-10 misnomer). The audit
+  * surface is deliberately the RAW documents table, not the post-filter
+  * survivor corpus: the risk readout must be available BEFORE the write
+  * funnel decides what survives (a sub-K class whose members the
+  * quality filter happens to drop is still a finding the release review
+  * wants to see), and [[graft.operators.ReleaseReport]] is the gate
+  * that re-reads this risk against the survivor breakdown per source.
   *
-  * Scale: one corpus scan into a (lang × source × decile)-keyed count —
-  * map-side partials, shuffle ∝ distinct classes (domain-bounded), the
-  * doc-profile family shape. At 100 TB the class domain is unchanged;
-  * only partials scale. */
+  * The gate emits every equivalence class with its size and the
+  * `at_risk` flag (size < [[KAnon]]) — the risk MASS (documents in
+  * sub-K classes) is the first number a release review reads.
+  *
+  * [[kAnonGeneralize]] is the ACTION the audit exists for: production
+  * responds to sub-K classes by COARSENING the quasi-identifier along a
+  * fixed generalization ladder (widen the length bucket, then drop
+  * attributes) until the documents left in sub-K classes — which must
+  * be SUPPRESSED to publish — fit the suppression budget
+  * ([[MaxSuppressNum]]/[[MaxSuppressDen]] of the corpus). The gate
+  * emits the whole ladder with the minimal qualifying level flagged
+  * `chosen`, so the review sees both the decision and the cost of every
+  * alternative. All selection arithmetic is integer (cross-multiplied
+  * budget test), so the choice is bit-identical cross-engine.
+  *
+  * Scale: one corpus scan per ladder level into a domain-bounded keyed
+  * count — map-side partials, shuffle ∝ distinct classes, the
+  * doc-profile family shape; the ladder readout itself is 5 rows. At
+  * 100 TB the class domain is unchanged; only partials scale. */
 object KAnonymity {
 
   /** Release threshold (k = 5, the classic working value). */
   val KAnon = 5
 
-  /** Length-decile width in characters — the coarsened numeric
+  /** Length-bucket width in characters — the coarsened numeric
     * attribute (coarsening is HOW k-anonymity is achieved; the gate
     * audits the chosen coarsening). */
   val LenBucket = 100
 
+  /** Ladder level 1+ widens the length bucket to this width. */
+  val WideBucket = 500
+
+  /** Suppression budget: generalize until ≤ Num/Den of the corpus
+    * would need suppression (1 %). Integer cross-multiplication only —
+    * no float enters the level choice. */
+  val MaxSuppressNum = 1L
+  val MaxSuppressDen = 100L
+
   /** Gate: every quasi-identifier equivalence class with size and risk
-    * flag. */
+    * flag (the audit; see the object doc for why the surface is the
+    * raw documents table). */
   def kAnonymity(s: SparkSession, dir: String): DataFrame =
     Tables.parallel(s, dir, "documents")
       .select(col("lang"), col("source"),
@@ -45,8 +76,72 @@ object KAnonymity {
         col("class_size"),
         (col("class_size") < KAnon).as("at_risk"))
 
+  /** The fixed generalization ladder, most→least specific. Level 0 is
+    * the audit key itself; each step strictly coarsens (wider bucket,
+    * then dropped attributes), so suppressed mass is monotonically
+    * non-increasing down the ladder — the property the minimal-level
+    * choice relies on (proven in KAnonGeneralizeSpec). */
+  private def ladder: Seq[(Int, Seq[Column])] = Seq(
+    0 -> Seq(col("lang"), col("source"),
+      expr(s"len div $LenBucket").as("len_bucket")),
+    1 -> Seq(col("lang"), col("source"),
+      expr(s"len div $WideBucket").as("len_bucket")),
+    2 -> Seq(col("lang"), expr(s"len div $WideBucket").as("len_bucket")),
+    3 -> Seq(col("lang")),
+    4 -> Seq.empty)
+
+  /** Gate: the remediation readout — per ladder level, the class count,
+    * sub-K class count, suppressed-document count (docs that remain in
+    * sub-K classes at that level), the budget verdict, and the `chosen`
+    * flag on the minimal level within the suppression budget. */
+  def kAnonGeneralize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        length(col("text")).cast("long").as("len"))
+      // read once per ladder level (5 scans of 3 columns) — materialize
+      .localCheckpoint(true)
+    val levels = ladder.map { case (lv, keys) =>
+      val classes =
+        (if (keys.isEmpty) docs.groupBy() else docs.groupBy(keys: _*))
+          .agg(count(lit(1)).as("class_size"))
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") < KAnon, 1L).otherwise(0L))
+          .as("n_at_risk"),
+        sum(when(col("class_size") < KAnon, col("class_size"))
+          .otherwise(0L)).as("suppressed"))
+        .select(lit(lv.toLong).as("level"), col("n_classes"),
+          col("n_at_risk"), col("suppressed"))
+    }.reduce(_.unionByName(_))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val withBudget = levels.crossJoin(broadcast(total))
+      .withColumn("within_budget",
+        col("suppressed") * MaxSuppressDen <= col("n_total") * MaxSuppressNum)
+    val minOk = withBudget.filter(col("within_budget"))
+      .agg(min("level").as("min_ok"))
+    withBudget.crossJoin(broadcast(minOk))
+      .select(col("level"), col("n_classes"), col("n_at_risk"),
+        col("suppressed"), col("within_budget"),
+        coalesce(col("level") === col("min_ok"), lit(false)).as("chosen"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "k_anonymity" -> kAnonymity)
+    "k_anonymity" -> kAnonymity,
+    "k_anon_generalize" -> kAnonGeneralize)
+
+  /** One ladder level's (n_classes, n_at_risk, suppressed) row in SQL. */
+  private def levelSql(lv: Int, groupBy: String): String = {
+    val inner =
+      if (groupBy.isEmpty) "SELECT count(*) AS class_size FROM d"
+      else s"SELECT count(*) AS class_size FROM d GROUP BY $groupBy"
+    s"""l$lv AS (SELECT ${lv}::BIGINT AS level,
+      |    count(*)::BIGINT AS n_classes,
+      |    sum(CASE WHEN class_size < $KAnon THEN 1 ELSE 0 END)::BIGINT
+      |      AS n_at_risk,
+      |    sum(CASE WHEN class_size < $KAnon THEN class_size ELSE 0 END)
+      |      ::BIGINT AS suppressed
+      |  FROM ($inner))""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "k_anonymity" ->
@@ -55,5 +150,25 @@ object KAnonymity {
         |  count(*)::BIGINT AS class_size,
         |  count(*) < $KAnon AS at_risk
         |FROM documents
-        |GROUP BY 1, 2, 3""".stripMargin)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "k_anon_generalize" ->
+      s"""WITH d AS (SELECT lang, source, length(text)::BIGINT AS len
+        |           FROM documents),
+        |${levelSql(0, s"lang, source, len // $LenBucket")},
+        |${levelSql(1, s"lang, source, len // $WideBucket")},
+        |${levelSql(2, s"lang, len // $WideBucket")},
+        |${levelSql(3, "lang")},
+        |${levelSql(4, "")},
+        |alll AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        |         UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+        |         UNION ALL SELECT * FROM l4),
+        |tot AS (SELECT count(*)::BIGINT AS n_total FROM d),
+        |wb AS (SELECT a.*,
+        |         (a.suppressed * $MaxSuppressDen
+        |            <= t.n_total * $MaxSuppressNum) AS within_budget
+        |       FROM alll a, tot t),
+        |mo AS (SELECT min(level) AS min_ok FROM wb WHERE within_budget)
+        |SELECT w.level, w.n_classes, w.n_at_risk, w.suppressed,
+        |  w.within_budget, coalesce(w.level = m.min_ok, FALSE) AS chosen
+        |FROM wb w, mo m""".stripMargin)
 }
