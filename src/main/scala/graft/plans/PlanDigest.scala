@@ -89,7 +89,29 @@ object PlanDigest {
       }
     }
 
-  def writeLock(spark: SparkSession, sfDir: String, path: String): Unit = {
+  /** AUXILIARY pipeline plans digest-locked OUTSIDE the gate set
+    * (`plans_aux.lock`): gates that serve memoized localCheckpoints
+    * have trivial gate plans (Project/Filter over an ExistingRDD), so a
+    * planner regression in the pipeline they materialize would slip the
+    * main lock and only trip PlanAuditSpec's runtime assertions. These
+    * entries pin the UN-materialized end-to-end pipeline shapes. */
+  def auxPlans(spark: SparkSession, sfDir: String): Seq[(String, DataFrame)] =
+    graft.sim.BitextMine.pipelinePlans(spark, sfDir)
+
+  def writeAuxLock(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val body = withFullPlanStrings(spark) {
+      auxPlans(spark, sfDir).sortBy(_._1).map { case (name, df) =>
+        (name, digestOf(df), outlineOf(df))
+      }
+    }
+    writeEntries(body, path)
+  }
+
+  def writeLock(spark: SparkSession, sfDir: String, path: String): Unit =
+    writeEntries(all(spark, sfDir), path)
+
+  private def writeEntries(entries: Seq[(String, String, String)],
+                           path: String): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -97,7 +119,7 @@ object PlanDigest {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val body = all(spark, sfDir).map { case (name, dig, outline) =>
+    val body = entries.map { case (name, dig, outline) =>
       s"  ${q(name)}: {\n    ${q("digest")}: ${q(dig)},\n" +
         s"    ${q("outline")}: ${q(outline)}\n  }"
     }.mkString("{\n", ",\n", "\n}\n")
@@ -130,6 +152,9 @@ object PlanLockMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     PlanDigest.writeLock(spark, PlanDigest.LockSfDir, lockPath)
+    PlanDigest.writeAuxLock(spark, PlanDigest.LockSfDir,
+      if (lockPath == "plans.lock") "plans_aux.lock"
+      else lockPath + ".aux")
     // optional second arg: directory for full normalized plan dumps
     // (debugging digest drift between JVMs)
     if (args.length > 1) {

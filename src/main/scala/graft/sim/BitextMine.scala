@@ -84,6 +84,23 @@ object BitextMine {
   /** Margin penalty depth (the paper uses k = 4). */
   val NnK = 4
 
+  /** Probe depth for the multiprobe production miner: the round-10
+    * certification (`bitext_ivf_recall`) measured the single-probe
+    * recall floor at 3–6 of 13–17 pairs per language — a query's true
+    * match often lives in a NEIGHBORING cell. Probing the query's top-P
+    * cells (the `ann_lsh_multiprobe` / [[Ivf.NProbe]] discipline)
+    * multiplies pair cost by only P/cells of brute while recovering
+    * most of that gap; `bitext_recall_curve` measures the dial. */
+  val MineNProbe = 4
+
+  /** Probe counts swept by the recall curve. The endpoints are exact
+    * aliases by construction — P=1 retrieves exactly the assigned-cell
+    * regime (the top-1 probe cell IS the argmin assignment cell) and
+    * P=[[Ivf.NLists]] retrieves the full batch (the brute regime) — so
+    * the curve is pinned to the certified single-probe floor below and
+    * exhaustive recall above. */
+  val MineProbes: Seq[Int] = Seq(1, 2, MineNProbe, 8, Ivf.NLists)
+
   /** Ratio-margin mining threshold (paper operating range 1.04–1.2;
     * 1.15 keeps the fixture relation non-empty at every SF while
     * genuinely pruning the forward-best list). */
@@ -124,55 +141,102 @@ object BitextMine {
       lit(0.0), (acc, x) => acc + x) /
       greatest(least(size(cosArr), lit(NnK)), lit(1))
 
-  /** The margin-mining pipeline over `(doc_id, lang, embedding[, cell])`:
-    * forward-best candidate per (batch query, language) with cosine,
-    * margin and the mutual-best flag. With `useCell`, candidates are
-    * masked to batch members sharing the row's quantizer cell — the
-    * ANN-pruned regime. */
-  private def mineOver(dv: DataFrame, useCell: Boolean): DataFrame =
-    mineWave(
-      dv.filter(col("lang") === SrcLang &&
-        col("doc_id") % QMod === 0 && col("doc_id") < QCap),
-      dv.filter(col("lang") =!= SrcLang),
-      useCell)
+  /** Candidate-masking regime for [[mineWave]]: which batch queries a
+    * candidate row retrieves (and computes its y-penalty over). */
+  private[sim] sealed trait CandMask
+  /** Exhaustive: every candidate sees the full batch. */
+  private[sim] case object MaskAll extends CandMask
+  /** Single-probe IVF: batch members sharing the candidate's quantizer
+    * cell (`cell` on both sides). */
+  private[sim] case object MaskCell extends CandMask
+  /** Multiprobe IVF: batch members whose top-P probe cells (`pcells`
+    * on the batch side) include the candidate's cell. */
+  private[sim] case object MaskProbes extends CandMask
+
+  /** Batch slice / candidate slice of a doc-vector relation — the
+    * QMod/QCap mining-wave unit shared by every regime. */
+  private def batchSlice(dv: DataFrame): DataFrame =
+    dv.filter(col("lang") === SrcLang &&
+      col("doc_id") % QMod === 0 && col("doc_id") < QCap)
+  private def candSlice(dv: DataFrame): DataFrame =
+    dv.filter(col("lang") =!= SrcLang)
+
+  /** The query's top-`np` probe cells as an array<int> column — argsort
+    * of the same literal-centroid assignment scores [[Ivf.cellExpr]]
+    * minimizes, ties to the smaller index (struct sort on (score, j) —
+    * exactly the oracle's `ORDER BY score ASC, j ASC`), so the P=1
+    * prefix IS the assignment cell. */
+  private def probeCellsExpr(centers: Array[Array[Double]], np: Int): Column = {
+    val scored = array(Ivf.centroidScores(centers).zipWithIndex.map {
+      case (sc, j) => struct(sc.as("score"), lit(j).as("j"))
+    }.toSeq: _*)
+    transform(slice(array_sort(scored), 1, np), x => x.getField("j"))
+  }
+
+  /** The margin-mining pipeline over `(doc_id, lang, embedding[, cell |
+    * pcells])`: forward-best candidate per (batch query, language) with
+    * cosine, margin and the mutual-best flag, candidates masked per the
+    * regime. */
+  private def mineOver(dv: DataFrame, mask: CandMask): DataFrame =
+    mineWave(batchSlice(dv), candSlice(dv), mask)
 
   /** The pipeline over EXPLICIT batch/candidate relations — the unit a
     * streaming wave reuses verbatim ([[graft.streaming.StreamBitext]]):
     * whatever rows arrive in `batchDv` ARE the wave, no further
     * slicing. */
   private[graft] def mineWave(batchDv: DataFrame, candDv: DataFrame,
-                              useCell: Boolean): DataFrame = {
+                              useCell: Boolean): DataFrame =
+    mineWave(batchDv, candDv, if (useCell) MaskCell else MaskAll)
+
+  /** Core pipeline. `materialize = false` skips the two read-twice
+    * localCheckpoints so the WHOLE pipeline is one lazy plan — only for
+    * plan locking/auditing ([[pipelinePlans]]); production always
+    * materializes (each checkpointed segment is read twice). */
+  private[sim] def mineWave(batchDv: DataFrame, candDv: DataFrame,
+                            mask: CandMask,
+                            materialize: Boolean = true): DataFrame = {
     import SimilarityQueries.dot
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
     def withNorm(df: DataFrame) =
       df.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-    val batchStruct =
-      if (useCell)
+    val base = struct(col("doc_id").as("src_id"),
+      col("embedding").as("semb"), col("nrm").as("snrm"))
+    val batchStruct = mask match {
+      case MaskAll => base
+      case MaskCell =>
         struct(col("doc_id").as("src_id"), col("embedding").as("semb"),
           col("nrm").as("snrm"), col("cell").as("scell"))
-      else
+      case MaskProbes =>
         struct(col("doc_id").as("src_id"), col("embedding").as("semb"),
-          col("nrm").as("snrm"))
+          col("nrm").as("snrm"), col("pcells").as("spcells"))
+    }
     val batch = withNorm(batchDv)
       .agg(collect_list(batchStruct).as("batch"))
-    // candidate scan: cosines to the (cell-masked) batch + own top-k
-    // penalty, computed in-row — zero shuffle until the pair explode
+    // candidate scan: cosines to the (cell/probe-masked) batch + own
+    // top-k penalty, computed in-row — zero shuffle until the pair
+    // explode
     val cands = withNorm(candDv)
       .crossJoin(broadcast(batch))
-      .withColumn("cand",
-        if (useCell) filter(col("batch"), b => b.getField("scell") === col("cell"))
-        else col("batch"))
+      .withColumn("cand", mask match {
+        case MaskAll => col("batch")
+        case MaskCell =>
+          filter(col("batch"), b => b.getField("scell") === col("cell"))
+        case MaskProbes =>
+          filter(col("batch"),
+            b => array_contains(b.getField("spcells"), col("cell")))
+      })
       .withColumn("cosb", transform(col("cand"), b =>
         dot(col("embedding"), b.getField("semb")) /
           (col("nrm") * b.getField("snrm"))))
       .withColumn("y_pen", topkMean(col("cosb")))
-    val pairs = cands
+    val pairs = mat(cands
       .select(col("doc_id").as("tgt_id"), col("lang").as("tgt_lang"),
         col("y_pen"), explode(arrays_zip(col("cand"), col("cosb"))).as("z"))
       .select(col("z.cand.src_id").as("src_id"), col("tgt_id"),
-        col("tgt_lang"), col("z.cosb").as("cos"), col("y_pen"))
+        col("tgt_lang"), col("z.cosb").as("cos"), col("y_pen")))
       // read twice (x-penalty aggregation + margin join) — materialize
       // once, nothing pinned after the action completes (house pattern)
-      .localCheckpoint(true)
     // x-side penalty: top-k per (query, lang) — WindowGroupLimit keeps
     // the exchange at ≤ NnK rows per group per partition; the k survivors
     // are re-sorted into one list so the fold order matches the oracle
@@ -182,11 +246,10 @@ object BitextMine {
       .filter(col("rk") <= NnK)
       .groupBy("src_id", "tgt_lang")
       .agg(topkMean(collect_list(col("cos"))).as("x_pen"))
-    val margins = pairs.join(broadcast(xpen), Seq("src_id", "tgt_lang"))
+    val margins = mat(pairs.join(broadcast(xpen), Seq("src_id", "tgt_lang"))
       .withColumn("margin",
-        col("cos") / greatest((col("x_pen") + col("y_pen")) / 2, lit(PenEps)))
+        col("cos") / greatest((col("x_pen") + col("y_pen")) / 2, lit(PenEps))))
       // read twice (forward + backward argmax) — same discipline
-      .localCheckpoint(true)
     val fw = Window.partitionBy(col("src_id"), col("tgt_lang"))
       .orderBy(col("margin").desc, col("tgt_id").asc)
     val bw = Window.partitionBy(col("tgt_id"))
@@ -207,17 +270,55 @@ object BitextMine {
 
   /** Forward-best relation, exhaustive candidates. Exposed
     * relation-first so specs can mine planted geometries. */
-  def forwardBest(dv: DataFrame): DataFrame = mineOver(dv, useCell = false)
+  def forwardBest(dv: DataFrame): DataFrame = mineOver(dv, MaskAll)
 
-  /** Forward-best relation, candidates pruned to the query's IVF cell
-    * (the memoized corpus quantizer). Records the trained centroids for
-    * the dynamic oracle, the [[Ivf]] `lastIvfOracle` pattern. */
-  def forwardBestIvf(s: SparkSession, dir: String): DataFrame = {
+  /** The doc-vector relation with each row's quantizer cell joined in;
+    * also records the trained centroids for the dynamic oracles (the
+    * [[Ivf]] `lastIvfOracle` pattern). */
+  private def docVecsWithCell(s: SparkSession, dir: String): DataFrame = {
     val (assigned, centers) = Ivf.assignments(s, dir)
     synchronized { lastCenters = Some(centers) }
-    val dvc = docVecs(s, dir)
+    docVecs(s, dir)
       .join(assigned.select(col("vec_id").as("doc_id"), col("cell")), "doc_id")
-    mineOver(dvc, useCell = true)
+  }
+
+  /** Forward-best relation, candidates pruned to the query's IVF cell
+    * (the memoized corpus quantizer). */
+  def forwardBestIvf(s: SparkSession, dir: String): DataFrame =
+    mineOver(docVecsWithCell(s, dir), MaskCell)
+
+  /** Forward-best relation, candidates pruned to the query's top-`np`
+    * probe cells — the multiprobe production regime: pair cost np/cells
+    * of brute, recall above the certified single-probe floor. */
+  def forwardBestMultiprobe(s: SparkSession, dir: String,
+                            np: Int = MineNProbe): DataFrame = {
+    val dvc = docVecsWithCell(s, dir)
+    val centers = synchronized(lastCenters).get
+    mineWave(
+      batchSlice(dvc).withColumn("pcells", probeCellsExpr(centers, np)),
+      candSlice(dvc), MaskProbes)
+  }
+
+  /** The three mining pipelines UN-materialized (one lazy plan each) —
+    * the pre-checkpoint shapes `plans_aux.lock` digest-pins and
+    * PlanAuditSpec asserts on. The production gates serve memoized
+    * checkpoints, so their own gate plans are trivial; these are the
+    * plans that actually run. */
+  private[graft] def pipelinePlans(s: SparkSession,
+                                   dir: String): Seq[(String, DataFrame)] = {
+    val dv = docVecs(s, dir)
+    val dvc = docVecsWithCell(s, dir)
+    val centers = synchronized(lastCenters).get
+    Seq(
+      "bitext_pipeline_brute" ->
+        mineWave(batchSlice(dv), candSlice(dv), MaskAll, materialize = false),
+      "bitext_pipeline_ivf" ->
+        mineWave(batchSlice(dvc), candSlice(dvc), MaskCell,
+          materialize = false),
+      "bitext_pipeline_multiprobe" ->
+        mineWave(batchSlice(dvc)
+            .withColumn("pcells", probeCellsExpr(centers, MineNProbe)),
+          candSlice(dvc), MaskProbes, materialize = false))
   }
 
   @volatile private var lastCenters: Option[Array[Array[Double]]] = None
@@ -255,9 +356,36 @@ object BitextMine {
       }
     }
 
+  // per-probe-depth memos for the multiprobe regime (the recall curve
+  // sweeps several depths; the gate and the curve share the default);
+  // bounded by |MineProbes| and evicted on a corpus switch
+  private var probeMemos: Map[(Any, Int), DataFrame] = Map.empty
+
+  private def probeFwd(s: SparkSession, dir: String, np: Int): DataFrame =
+    synchronized {
+      val key = (memoKey(s, dir), np)
+      probeMemos.get(key) match {
+        case Some(v) => v
+        case None =>
+          probeMemos = probeMemos.filter(_._1._1 == key._1)
+          val v = forwardBestMultiprobe(s, dir, np).localCheckpoint(true)
+          probeMemos += key -> v; v
+      }
+    }
+
+  /** Forward-best relation at probe depth `np`, riding the exact-alias
+    * endpoints: P=1 IS the single-cell regime (top-1 probe = assignment
+    * cell) and P≥NLists IS brute (every cell probed ⇒ full batch
+    * retrieved) — both proven by MineProbes' construction, so the curve
+    * reuses those memos instead of re-mining. */
+  private def fwdFor(s: SparkSession, dir: String, np: Int): DataFrame =
+    if (np <= 1) ivfFwd(s, dir)
+    else if (np >= Ivf.NLists) bruteFwd(s, dir)
+    else probeFwd(s, dir, np)
+
   /** Drop the memoized relations (PlanLockSpec fresh-state hook). */
   def release(): Unit = synchronized {
-    bruteMemo = None; ivfMemo = None
+    bruteMemo = None; ivfMemo = None; probeMemos = Map.empty
   }
 
   /** Gate: mined pairs — forward-best candidates above the margin
@@ -269,15 +397,66 @@ object BitextMine {
         round(col("cos"), 4).as("cosine"),
         round(col("margin"), 4).as("margin"), col("mutual"))
 
-  /** Gate: mined pairs from the IVF-pruned candidate regime — the plan
-    * that runs at 100 TB (pair cost ÷ cells; penalties over what the
-    * index returns). */
+  /** Gate: mined pairs from the IVF-pruned candidate regime (single
+    * probe — the recall FLOOR; the production dial is
+    * [[bitextMineMultiprobe]]). */
   def bitextMineIvf(s: SparkSession, dir: String): DataFrame =
     ivfFwd(s, dir)
       .filter(col("margin") >= MarginThresh)
       .select(col("src_id"), col("tgt_lang"), col("tgt_id"),
         round(col("cos"), 4).as("cosine"),
         round(col("margin"), 4).as("margin"), col("mutual"))
+
+  /** Gate: mined pairs from the multiprobe regime at [[MineNProbe]] —
+    * the plan that runs at 100 TB (pair cost × P/cells of brute;
+    * penalties over what the index returns; recall materially above the
+    * certified single-probe floor — `bitext_recall_curve` measures
+    * exactly how far). */
+  def bitextMineMultiprobe(s: SparkSession, dir: String): DataFrame =
+    fwdFor(s, dir, MineNProbe)
+      .filter(col("margin") >= MarginThresh)
+      .select(col("src_id"), col("tgt_lang"), col("tgt_id"),
+        round(col("cos"), 4).as("cosine"),
+        round(col("margin"), 4).as("margin"), col("mutual"))
+
+  /** Gate: recall vs probe depth — per (nprobe, language), how many
+    * pairs the exhaustive miner finds, how many the probed miner finds,
+    * and the overlap (the `ivf_recall_curve` pattern applied to
+    * mining). The dial readout behind [[MineNProbe]]: uniform random
+    * fixture embeddings are ANN's worst case, so these are recall
+    * FLOORS. Endpoints ride the single-cell and brute memos (exact
+    * aliases — see [[fwdFor]]); only the interior depths mine fresh. */
+  def bitextRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.parallel(s, dir, "documents")
+      .filter(col("lang") =!= SrcLang)
+      .select(col("lang").as("tgt_lang")).distinct()
+    val grid = langs.crossJoin(
+      s.range(1).select(
+        explode(array(MineProbes.map(p => lit(p.toLong)): _*)).as("nprobe")))
+    val brute = bruteFwd(s, dir)
+      .filter(col("margin") >= MarginThresh)
+      .select(col("src_id"), col("tgt_lang"), col("tgt_id"))
+    val pruned = MineProbes.map { np =>
+      fwdFor(s, dir, np)
+        .filter(col("margin") >= MarginThresh)
+        .select(lit(np.toLong).as("nprobe"), col("src_id"),
+          col("tgt_lang"), col("tgt_id"))
+    }.reduce(_.unionByName(_))
+    val nb = brute.groupBy("tgt_lang").agg(count(lit(1)).as("n_brute"))
+    val ni = pruned.groupBy("nprobe", "tgt_lang")
+      .agg(count(lit(1)).as("n_probe"))
+    // brute mined pairs are |batch| × langs-bounded — broadcast so the
+    // overlap join never sort-merges the probed union
+    val nc = pruned.join(broadcast(brute), Seq("src_id", "tgt_lang", "tgt_id"))
+      .groupBy("nprobe", "tgt_lang").agg(count(lit(1)).as("n_common"))
+    grid.join(broadcast(nb), Seq("tgt_lang"), "left")
+      .join(broadcast(ni), Seq("nprobe", "tgt_lang"), "left")
+      .join(broadcast(nc), Seq("nprobe", "tgt_lang"), "left")
+      .select(col("nprobe"), col("tgt_lang"),
+        coalesce(col("n_brute"), lit(0L)).as("n_brute"),
+        coalesce(col("n_probe"), lit(0L)).as("n_probe"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
 
   /** Gate: per-language mining calibration — the readout that decides
     * per-language thresholds in production (mining yield varies by
@@ -346,9 +525,11 @@ object BitextMine {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bitext_mine" -> bitextMine,
     "bitext_mine_ivf" -> bitextMineIvf,
+    "bitext_mine_multiprobe" -> bitextMineMultiprobe,
     "bitext_lang_stats" -> bitextLangStats,
     "bitext_margin_curve" -> bitextMarginCurve,
-    "bitext_ivf_recall" -> bitextIvfRecall)
+    "bitext_ivf_recall" -> bitextIvfRecall,
+    "bitext_recall_curve" -> bitextRecallCurve)
 
   /** The margin pipeline in SQL, reading `${p}pairs(src_id, tgt_id,
     * tgt_lang, cos)` and ending in `${p}fwd(src_id, tgt_lang, tgt_id,
@@ -405,15 +586,15 @@ object BitextMine {
       |          FROM src s JOIN tgt t ON true)""".stripMargin
   }
 
-  /** IVF-pruned pair relation: the quantizer replayed from the trained
-    * centroid LITERALS (the [[Ivf.ivfOracleSql]] assignment CTE), pairs
-    * kept iff query and candidate share a cell. */
-  private def ivfPairs(p: String, centers: Array[Array[Double]]): String = {
+  /** The quantizer replayed from the trained centroid LITERALS (the
+    * [[Ivf.ivfOracleSql]] assignment CTE): per-(doc, centroid) scores
+    * and the argmin assignment — shared by every pruned pair
+    * relation. */
+  private def quantizerCtes(centers: Array[Array[Double]]): String = {
     val rows = centers.zipWithIndex.map { case (c, j) =>
       s"($j, ${Ivf.fmtD(c.map(x => x * x).sum)}, " +
         s"[${c.map(Ivf.fmtD).mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n    ")
-    val dot = SimilarityQueries.sqlDot("s.embedding", "t.embedding")
     s"""cents(j, c2, c) AS (VALUES
       |    $rows),
       |asc0 AS (SELECT v.doc_id, c.j,
@@ -425,8 +606,14 @@ object BitextMine {
       |        FROM (SELECT *, row_number() OVER (
       |                PARTITION BY doc_id ORDER BY score ASC, j ASC) AS rn
       |              FROM asc0)
-      |        WHERE rn = 1),
-      |${p}pairs AS (SELECT s.doc_id AS src_id, t.doc_id AS tgt_id,
+      |        WHERE rn = 1)""".stripMargin
+  }
+
+  /** Single-probe pair relation over [[quantizerCtes]]: pairs kept iff
+    * query and candidate share a cell. */
+  private def cellPairsCte(p: String): String = {
+    val dot = SimilarityQueries.sqlDot("s.embedding", "t.embedding")
+    s"""${p}pairs AS (SELECT s.doc_id AS src_id, t.doc_id AS tgt_id,
       |            t.lang AS tgt_lang, $dot / (s.nrm * t.nrm) AS cos
       |          FROM src s
       |          JOIN asg sa ON sa.doc_id = s.doc_id
@@ -435,10 +622,88 @@ object BitextMine {
       |          WHERE sa.cell = ta.cell)""".stripMargin
   }
 
+  /** Multiprobe pair relation over [[quantizerCtes]]: each query's
+    * top-`np` probe cells (the same (score, j) ranking the assignment
+    * argmin minimizes), pairs kept iff the candidate's cell is in the
+    * query's probe set — each pair at most once (probe cells are
+    * distinct; the candidate's assignment is unique). */
+  private def probePairsCte(p: String, np: Int): String = {
+    val dot = SimilarityQueries.sqlDot("s.embedding", "t.embedding")
+    s"""${p}qp AS (SELECT doc_id, j AS cell
+      |       FROM (SELECT a0.doc_id, a0.j, row_number() OVER (
+      |               PARTITION BY a0.doc_id
+      |               ORDER BY a0.score ASC, a0.j ASC) AS rn
+      |             FROM asc0 a0 JOIN src s ON s.doc_id = a0.doc_id)
+      |       WHERE rn <= $np),
+      |${p}pairs AS (SELECT s.doc_id AS src_id, t.doc_id AS tgt_id,
+      |            t.lang AS tgt_lang, $dot / (s.nrm * t.nrm) AS cos
+      |          FROM src s
+      |          JOIN ${p}qp sp ON sp.doc_id = s.doc_id
+      |          JOIN asg ta ON ta.cell = sp.cell
+      |          JOIN tgt t ON t.doc_id = ta.doc_id)""".stripMargin
+  }
+
+  /** Back-compat composition: quantizer + single-probe pairs. */
+  private def ivfPairs(p: String, centers: Array[Array[Double]]): String =
+    s"""${quantizerCtes(centers)},
+      |${cellPairsCte(p)}""".stripMargin
+
   private def minedSelect(p: String): String =
     s"""SELECT src_id, tgt_lang, tgt_id, round(cos, 4) AS cosine,
       |  round(margin, 4) AS margin, mutual
       |FROM ${p}fwd WHERE margin >= $MarginThresh""".stripMargin
+
+  /** The recall-vs-probes curve in SQL: brute + single-cell chains plus
+    * one probe chain per interior depth (endpoints alias the brute /
+    * single-cell relations exactly as the engine's [[fwdFor]] does). */
+  private def recallCurveSql(centers: Array[Array[Double]]): String = {
+    val interior = MineProbes.filter(p => p > 1 && p < Ivf.NLists)
+    val probeChains = interior.map { np =>
+      s"""${probePairsCte(s"p$np", np)},
+        |${marginChain(s"p$np")}""".stripMargin
+    }.mkString(",\n")
+    val prArms =
+      (s"""SELECT 1::BIGINT AS nprobe, src_id, tgt_lang, tgt_id
+         |  FROM ifwd WHERE margin >= $MarginThresh""".stripMargin +:
+        interior.map { np =>
+          s"""SELECT ${np}::BIGINT, src_id, tgt_lang, tgt_id
+            |  FROM p${np}fwd WHERE margin >= $MarginThresh""".stripMargin
+        } :+
+        s"""SELECT ${Ivf.NLists}::BIGINT, src_id, tgt_lang, tgt_id
+          |  FROM minedb""".stripMargin)
+        .mkString("\nUNION ALL\n")
+    s"""WITH $dvCtes,
+      |${quantizerCtes(centers)},
+      |${brutePairs("b")},
+      |${marginChain("b")},
+      |${cellPairsCte("i")},
+      |${marginChain("i")},
+      |$probeChains,
+      |minedb AS (SELECT src_id, tgt_lang, tgt_id FROM bfwd
+      |       WHERE margin >= $MarginThresh),
+      |pr AS (
+      |$prArms),
+      |langs AS (SELECT DISTINCT lang AS tgt_lang FROM documents
+      |          WHERE lang <> '$SrcLang'),
+      |grid AS (SELECT p.nprobe, l.tgt_lang FROM langs l CROSS JOIN
+      |         (SELECT unnest([${MineProbes.mkString(", ")}]::BIGINT[])
+      |            AS nprobe) p),
+      |cb AS (SELECT tgt_lang, count(*) AS n_brute FROM minedb GROUP BY 1),
+      |ci AS (SELECT nprobe, tgt_lang, count(*) AS n_probe FROM pr
+      |       GROUP BY 1, 2),
+      |cc AS (SELECT p.nprobe, p.tgt_lang, count(*) AS n_common
+      |       FROM pr p JOIN minedb b ON b.src_id = p.src_id
+      |         AND b.tgt_lang = p.tgt_lang AND b.tgt_id = p.tgt_id
+      |       GROUP BY 1, 2)
+      |SELECT g.nprobe, g.tgt_lang,
+      |  coalesce(cb.n_brute, 0)::BIGINT AS n_brute,
+      |  coalesce(ci.n_probe, 0)::BIGINT AS n_probe,
+      |  coalesce(cc.n_common, 0)::BIGINT AS n_common
+      |FROM grid g
+      |LEFT JOIN cb USING (tgt_lang)
+      |LEFT JOIN ci USING (nprobe, tgt_lang)
+      |LEFT JOIN cc USING (nprobe, tgt_lang)""".stripMargin
+  }
 
   /** A def, not a val: the IVF entries inline the trained centroids and
     * exist only after the pruned gates have run (the Ivf dynamic-oracle
@@ -481,6 +746,13 @@ object BitextMine {
             |${ivfPairs("i", centers)},
             |${marginChain("i")}
             |${minedSelect("i")}""".stripMargin,
+        "bitext_mine_multiprobe" ->
+          s"""WITH $dvCtes,
+            |${quantizerCtes(centers)},
+            |${probePairsCte("m", MineNProbe)},
+            |${marginChain("m")}
+            |${minedSelect("m")}""".stripMargin,
+        "bitext_recall_curve" -> recallCurveSql(centers),
         "bitext_ivf_recall" ->
           s"""WITH $dvCtes,
             |${brutePairs("b")},

@@ -76,50 +76,57 @@ object KAnonymity {
         col("class_size"),
         (col("class_size") < KAnon).as("at_risk"))
 
-  /** The fixed generalization ladder, most→least specific. Level 0 is
-    * the audit key itself; each step strictly coarsens (wider bucket,
-    * then dropped attributes), so suppressed mass is monotonically
+  /** The fixed generalization ladder as per-document key variants, most
+    * → least specific (dropped attributes become NULL — no document has
+    * a NULL lang/source, so there is no collision). Level 0 is the
+    * audit key itself; each step strictly coarsens (wider bucket, then
+    * dropped attributes), so suppressed mass is monotonically
     * non-increasing down the ladder — the property the minimal-level
-    * choice relies on (proven in KAnonGeneralizeSpec). */
-  private def ladder: Seq[(Int, Seq[Column])] = Seq(
-    0 -> Seq(col("lang"), col("source"),
-      expr(s"len div $LenBucket").as("len_bucket")),
-    1 -> Seq(col("lang"), col("source"),
-      expr(s"len div $WideBucket").as("len_bucket")),
-    2 -> Seq(col("lang"), expr(s"len div $WideBucket").as("len_bucket")),
-    3 -> Seq(col("lang")),
-    4 -> Seq.empty)
+    * choice relies on (proven in KAnonymitySpec). */
+  private def ladderKeys: Column = {
+    val noSrc = lit(null).cast("string")
+    val noBucket = lit(null).cast("long")
+    def k(lv: Int, lang: Column, source: Column, bucket: Column): Column =
+      struct(lit(lv.toLong).as("level"), lang.as("k_lang"),
+        source.as("k_source"), bucket.as("k_bucket"))
+    array(
+      k(0, col("lang"), col("source"), expr(s"len div $LenBucket")),
+      k(1, col("lang"), col("source"), expr(s"len div $WideBucket")),
+      k(2, col("lang"), noSrc, expr(s"len div $WideBucket")),
+      k(3, col("lang"), noSrc, noBucket),
+      k(4, lit(null).cast("string"), noSrc, noBucket))
+  }
 
   /** Gate: the remediation readout — per ladder level, the class count,
     * sub-K class count, suppressed-document count (docs that remain in
     * sub-K classes at that level), the budget verdict, and the `chosen`
-    * flag on the minimal level within the suppression budget. */
+    * flag on the minimal level within the suppression budget. ONE
+    * corpus scan: each doc explodes to its 5 ladder keys, map-side
+    * partials ∝ classes × levels; the level rollup also carries
+    * sum(class_size) = corpus size, so the budget test needs no second
+    * scan; the min-qualifying-level window runs over the 5-row ladder
+    * relation only. */
   def kAnonGeneralize(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallel(s, dir, "documents")
+    val classes = Tables.parallel(s, dir, "documents")
       .select(col("lang"), col("source"),
         length(col("text")).cast("long").as("len"))
-      // read once per ladder level (5 scans of 3 columns) — materialize
-      .localCheckpoint(true)
-    val levels = ladder.map { case (lv, keys) =>
-      val classes =
-        (if (keys.isEmpty) docs.groupBy() else docs.groupBy(keys: _*))
-          .agg(count(lit(1)).as("class_size"))
-      classes.agg(
-        count(lit(1)).as("n_classes"),
-        sum(when(col("class_size") < KAnon, 1L).otherwise(0L))
-          .as("n_at_risk"),
-        sum(when(col("class_size") < KAnon, col("class_size"))
-          .otherwise(0L)).as("suppressed"))
-        .select(lit(lv.toLong).as("level"), col("n_classes"),
-          col("n_at_risk"), col("suppressed"))
-    }.reduce(_.unionByName(_))
-    val total = docs.agg(count(lit(1)).as("n_total"))
-    val withBudget = levels.crossJoin(broadcast(total))
+      .select(explode(ladderKeys).as("k"))
+      .groupBy("k.level", "k.k_lang", "k.k_source", "k.k_bucket")
+      .agg(count(lit(1)).as("class_size"))
+    val levels = classes.groupBy("level").agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("class_size") < KAnon, 1L).otherwise(0L))
+        .as("n_at_risk"),
+      sum(when(col("class_size") < KAnon, col("class_size"))
+        .otherwise(0L)).as("suppressed"),
+      sum(col("class_size")).as("n_total"))
       .withColumn("within_budget",
         col("suppressed") * MaxSuppressDen <= col("n_total") * MaxSuppressNum)
-    val minOk = withBudget.filter(col("within_budget"))
-      .agg(min("level").as("min_ok"))
-    withBudget.crossJoin(broadcast(minOk))
+    // 5-row single-partition window (bounded by the ladder length)
+    val all5 = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    levels
+      .withColumn("min_ok",
+        min(when(col("within_budget"), col("level"))).over(all5))
       .select(col("level"), col("n_classes"), col("n_at_risk"),
         col("suppressed"), col("within_budget"),
         coalesce(col("level") === col("min_ok"), lit(false)).as("chosen"))

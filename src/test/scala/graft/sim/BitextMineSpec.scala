@@ -117,6 +117,51 @@ class BitextMineSpec extends AnyFunSuite {
     }
   }
 
+  test("recall curve: endpoints alias the single-cell and brute regimes " +
+    "exactly; the multiprobe dial rises materially above the floor") {
+    val dir = "/root/testdata/sf0.001"
+    val curve = BitextMine.bitextRecallCurve(spark, dir).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[String]("tgt_lang")) ->
+        ((r.getAs[Long]("n_brute"), r.getAs[Long]("n_probe"),
+          r.getAs[Long]("n_common"))))
+      .toMap
+    val langs = Set("fr", "es", "de", "zh")
+    assert(curve.keySet ==
+      BitextMine.MineProbes.flatMap(p => langs.map(p.toLong -> _)).toSet)
+    // P = NLists IS brute: the probed relation equals the brute relation
+    langs.foreach { l =>
+      val (nb, np, nc) = curve((Ivf.NLists.toLong, l))
+      assert(np == nb && nc == nb, s"lang $l: P=NLists must equal brute")
+    }
+    // P = 1 IS the single-cell regime the existing certification measures
+    val ivfRec = BitextMine.bitextIvfRecall(spark, dir).collect()
+      .map(r => r.getAs[String]("tgt_lang") ->
+        ((r.getAs[Long]("n_ivf"), r.getAs[Long]("n_common")))).toMap
+    langs.foreach { l =>
+      val (_, np1, nc1) = curve((1L, l))
+      assert((np1, nc1) == ivfRec(l), s"lang $l: P=1 must alias ivf regime")
+    }
+    // the production dial recovers materially more of brute than 1 probe
+    val floor = langs.toSeq.map(l => curve((1L, l))._3).sum
+    val dial = langs.toSeq.map(l =>
+      curve((BitextMine.MineNProbe.toLong, l))._3).sum
+    assert(dial > floor,
+      s"multiprobe recall ($dial) must beat the single-probe floor ($floor)")
+  }
+
+  test("multiprobe gate counts match the curve at the production dial") {
+    val dir = "/root/testdata/sf0.001"
+    val mined = BitextMine.bitextMineMultiprobe(spark, dir).collect()
+      .groupBy(_.getAs[String]("tgt_lang")).view.mapValues(_.length.toLong)
+    val curve = BitextMine.bitextRecallCurve(spark, dir).collect()
+      .filter(_.getAs[Long]("nprobe") == BitextMine.MineNProbe.toLong)
+      .map(r => r.getAs[String]("tgt_lang") -> r.getAs[Long]("n_probe"))
+      .toMap
+    curve.foreach { case (l, np) =>
+      assert(mined.getOrElse(l, 0L) == np, s"lang $l multiprobe count")
+    }
+  }
+
   test("ivf recall certification is internally consistent and non-trivial") {
     val dir = "/root/testdata/sf0.001"
     val rows = BitextMine.bitextIvfRecall(spark, dir).collect()

@@ -25,6 +25,47 @@ class KAnonymitySpec extends AnyFunSuite {
       "fixture must carry both at-risk and safe classes")
   }
 
+  test("generalization ladder: suppressed mass is monotone non-increasing, " +
+    "the chosen level is the minimal one within budget, and level 0 " +
+    "agrees with the audit gate") {
+    val rows = KAnonymity.kAnonGeneralize(spark, dir).collect()
+      .map(r => r.getAs[Long]("level") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_at_risk"),
+          r.getAs[Long]("suppressed"), r.getAs[Boolean]("within_budget"),
+          r.getAs[Boolean]("chosen"))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // each ladder step strictly coarsens ⇒ classes and suppressed mass
+    // can only fall (a merged class is at least as large as its parts)
+    rows.map(_._2).sliding(2).foreach { pair =>
+      if (pair.length == 2) {
+        assert(pair(1)._1 <= pair(0)._1, "coarsening must not split classes")
+        assert(pair(1)._3 <= pair(0)._3,
+          "coarsening must not increase suppressed mass")
+      }
+    }
+    // exactly one chosen level; it is within budget and every finer
+    // level is not (minimality)
+    val chosen = rows.filter(_._2._5)
+    assert(chosen.length == 1, s"exactly one chosen level: $chosen")
+    val lvl = chosen.head._1
+    assert(chosen.head._2._4, "chosen level must be within budget")
+    rows.filter(_._1 < lvl).foreach { case (l, (_, _, _, wb, _)) =>
+      assert(!wb, s"level $l below the chosen one must violate the budget")
+    }
+    // level 0 IS the audit gate's key: its stats must agree
+    val audit = KAnonymity.kAnonymity(spark, dir).collect()
+    val (c0, r0, s0, _, _) = rows.head._2
+    assert(c0 == audit.length)
+    assert(r0 == audit.count(_.getAs[Boolean]("at_risk")))
+    assert(s0 == audit.filter(_.getAs[Boolean]("at_risk"))
+      .map(_.getAs[Long]("class_size")).sum)
+    // the final level is one class holding the whole corpus — zero
+    // suppression whenever the corpus itself reaches K
+    val (c4, _, s4, wb4, _) = rows.last._2
+    assert(c4 == 1L && s4 == 0L && wb4)
+  }
+
   test("coarsening monotonicity: wider buckets can only merge classes") {
     // the same corpus bucketed at 1-char granularity has at least as
     // many classes (and so at least as much risk) as the gate's
