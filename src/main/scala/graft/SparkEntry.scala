@@ -11,16 +11,16 @@ import graft.operators.{AsOfJoin, Attribution, Backlog, Cohort, EventPaths,
   SkewJoin, Streaks, ZOrder}
 import graft.sim.{BitextMine, Coreset, EmbedPca, EmbeddingDrift, Eigencentrality,
   GraphStats, Neighborhood, NormProfile, Ivf, IvfIncremental, IvfModel, KCore,
-  KnnGraphIvf, LabelProp, PageRank, Pq, PqModel, SemDedup, SemanticDecontam,
-  SimilarityQueries}
+  KnnGraphIvf, LabelProp, PageRank, PcaModel, Pq, PqModel, SemDedup,
+  SemanticDecontam, SimilarityQueries}
 import graft.sources.{CorpusManifest, DropAudit, FormatSources, ShardPlan}
 import graft.storm.StormQueries
 import graft.text.{Allocation, BigramLm, Bpe, BpeModel, Chunking, Concentration,
   CrawlDedup, DomainCaps,
   Drift, HeavyHitterDelta, HtmlExtract, HybridRetrieval, Keywords, NgramNovelty,
-  PiiRedact, Pretokenize, QualityClassifier, QuantileNorm, Readability,
-  KAnonymity, Retrieval, Sampling, SourceKs, TextQueries, TrainOrder,
-  Unigram, UrlCanonical, Winnow, WordPiece}
+  PiiRedact, Pretokenize, QualityClassifier, QualityModel, QuantileNorm,
+  Readability, KAnonymity, Retrieval, Sampling, SourceKs, TextQueries,
+  TrainOrder, Unigram, UrlCanonical, Winnow, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -65,6 +65,7 @@ object SparkEntry {
       (Readability.queries, Readability.oracles),
       (Concentration.queries, Concentration.oracles),
       (QualityClassifier.queries, QualityClassifier.oracles),
+      (QualityModel.queries, QualityModel.oracles),
       (QuantileNorm.queries, QuantileNorm.oracles),
       (SourceKs.queries, SourceKs.oracles),
       (DomainCaps.queries, DomainCaps.oracles),
@@ -110,6 +111,7 @@ object SparkEntry {
       (EmbeddingDrift.queries, EmbeddingDrift.oracles),
       (NormProfile.queries, NormProfile.oracles),
       (EmbedPca.queries, EmbedPca.oracles),
+      (PcaModel.queries, PcaModel.oracles),
       (SemDedup.queries, SemDedup.oracles),
       (PageRank.queries, PageRank.oracles),
       (GraphStats.queries, GraphStats.oracles),

@@ -195,22 +195,28 @@ object EmbedPca {
 
   private def fmtD(x: Double): String = java.lang.Double.toString(x)
 
-  private def buildOracles(m: Model): Map[String, String] = {
+  /** The projection output columns in SQL for a frozen model — the
+    * literal twin of [[projectionCols]], shared with [[PcaModel]]'s
+    * roundtrip oracle so the replayed SQL cannot drift from the
+    * gate's. */
+  private[sim] def projectionSqlCols(m: Model): Seq[String] = {
     def chain(k: Int): String =
       (0 until m.dim).foldLeft("0.0") { (acc, i) =>
         s"($acc + (${fmtD(m.w(i)(k))} * " +
           s"(CAST(embedding[${i + 1}] AS DOUBLE) - ${fmtD(m.mean(i))})))"
       }
-    val cols = (0 until K).flatMap { k =>
+    (0 until K).flatMap { k =>
       val z = chain(k)
       Seq(s"round($z, 4) AS p${k + 1}",
         s"round(($z) * ${fmtD(m.whitenScale(k))}, 4) AS w${k + 1}")
     }
+  }
+
+  private def buildOracles(m: Model): Map[String, String] =
     Map("embed_pca" ->
       s"""SELECT vec_id,
-         |  ${cols.mkString(",\n  ")}
+         |  ${projectionSqlCols(m).mkString(",\n  ")}
          |FROM embeddings""".stripMargin)
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca" -> embedPca)

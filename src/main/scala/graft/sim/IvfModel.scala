@@ -38,10 +38,24 @@ import org.apache.spark.sql.functions._
   */
 object IvfModel {
 
-  /** Deterministic per-(sf-dir) artifact location under the build dir. */
+  /** Deterministic per-(sf-dir) artifact location under the build dir;
+    * versions live in `v=<n>` subdirectories
+    * ([[graft.sources.ModelStore]]). */
   def modelDir(dir: String): String = {
     val name = new java.io.File(dir).getName
     s"target/ivf_model/${name}_${Integer.toHexString(dir.hashCode)}"
+  }
+
+  /** Production read path: newest committed, manifest-valid version —
+    * a torn or corrupted newer write is skipped and the previous
+    * version keeps serving (rollback proven in ModelStoreSpec). */
+  def readLatestValid(s: SparkSession, base: String):
+      (Int, Array[Array[Double]], Boolean, Int, Int) = {
+    val (v, path) = graft.sources.ModelStore.latestValid(base,
+      p => readModel(s, p)._2)
+      .getOrElse(sys.error(s"no valid committed model under $base"))
+    val (c, ok, n, d) = readModel(s, path)
+    (v, c, ok, n, d)
   }
 
   /** Canonical centroid checksum: sha256 over the cell-index-keyed,
@@ -86,13 +100,14 @@ object IvfModel {
     (centers, ok, m.getAs[Int]("n_lists"), m.getAs[Int]("dim"))
   }
 
-  /** Gate: write → reload → verify → query from the RELOADED model. */
+  /** Gate: versioned write → reload latest committed valid → verify →
+    * query from the RELOADED model. */
   def ivfModelRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, trained) = Ivf.assignments(s, dir) // train (memoized)
-    val path = modelDir(dir)
-    writeModel(s, path, trained)
-    val (reloaded, ok, nLists, dim) = readModel(s, path)
+    val base = modelDir(dir)
+    graft.sources.ModelStore.write(base, p => writeModel(s, p, trained))
+    val (_, reloaded, ok, nLists, dim) = readLatestValid(s, base)
 
     // the full query path, from the reloaded coefficients only
     val assigned = Tables(s, dir, "embeddings")
@@ -128,9 +143,9 @@ object IvfModel {
     * shape. Scale: batch-slice projection + cell-bounded rollup. */
   def ivfAssignDelta(s: SparkSession, dir: String): DataFrame = {
     val (_, trained) = Ivf.assignments(s, dir)
-    val path = modelDir(dir)
-    writeModel(s, path, trained) // idempotent overwrite, ∝ model
-    val (reloaded, ok, _, _) = readModel(s, path)
+    val base = modelDir(dir)
+    graft.sources.ModelStore.write(base, p => writeModel(s, p, trained))
+    val (_, reloaded, ok, _, _) = readLatestValid(s, base)
     val batchMod = graft.dedup.SnapshotDedup.BatchMod
     synchronized {
       lastDeltaOracle = Some(

@@ -24,6 +24,17 @@ object PqModel {
     s"target/pq_model/${name}_${Integer.toHexString(dir.hashCode)}"
   }
 
+  /** Newest committed, manifest-valid version (the [[IvfModel]]
+    * rollback discipline). */
+  def readLatestValid(s: SparkSession, base: String):
+      (Int, Array[Array[Array[Double]]], Boolean) = {
+    val (v, path) = graft.sources.ModelStore.latestValid(base,
+      p => readModel(s, p)._2)
+      .getOrElse(sys.error(s"no valid committed model under $base"))
+    val (cb, ok) = readModel(s, path)
+    (v, cb, ok)
+  }
+
   /** Canonical codebook checksum: (m, k)-keyed shortest-round-trip
     * decimal serialization. */
   def codebookSha(cb: Array[Array[Array[Double]]]): String = {
@@ -65,9 +76,9 @@ object PqModel {
     * RELOADED codebook, oracled against the trained one. */
   def pqModelRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val (_, trained) = Pq.encoded(s, dir) // train (memoized)
-    val path = modelDir(dir)
-    writeModel(s, path, trained)
-    val (reloaded, ok) = readModel(s, path)
+    val base = modelDir(dir)
+    graft.sources.ModelStore.write(base, p => writeModel(s, p, trained))
+    val (_, reloaded, ok) = readLatestValid(s, base)
 
     // re-ENCODE the corpus and replay the query, reloaded-only
     val enc = Tables(s, dir, "embeddings")

@@ -28,6 +28,17 @@ object BpeModel {
     s"target/bpe_model/${name}_${Integer.toHexString(dir.hashCode)}"
   }
 
+  /** Newest committed, manifest-valid version (the
+    * [[graft.sim.IvfModel]] rollback discipline). */
+  def readLatestValid(s: SparkSession, base: String):
+      (Int, Seq[(String, String)], Boolean) = {
+    val (v, path) = graft.sources.ModelStore.latestValid(base,
+      p => readModel(s, p)._2)
+      .getOrElse(sys.error(s"no valid committed model under $base"))
+    val (merges, ok) = readModel(s, path)
+    (v, merges, ok)
+  }
+
   /** Rank-keyed, length-prefixed canonical serialization (tokens may
     * contain any corpus byte, so delimiters alone cannot be trusted). */
   def mergesSha(merges: Seq[(String, String)]): String = {
@@ -68,9 +79,9 @@ object BpeModel {
     val docs = Tables.parallel(s, dir, "documents")
     val trained = Bpe.trainMerges(Bpe.symbolizeWeighted(docs), Bpe.KMerges)
       .map(_._1)
-    val path = modelDir(dir)
-    writeModel(s, path, trained)
-    val (reloaded, ok) = readModel(s, path)
+    val base = modelDir(dir)
+    graft.sources.ModelStore.write(base, p => writeModel(s, p, trained))
+    val (_, reloaded, ok) = readLatestValid(s, base)
     synchronized {
       lastOracle = Some(
         s"""SELECT source, n_words, chars_before, tokens_after,

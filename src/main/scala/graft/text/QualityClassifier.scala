@@ -210,14 +210,14 @@ object QualityClassifier {
 
   private def fmtD(d: Double): String = java.lang.Double.toString(d)
 
-  // oracles exist only once the model is trained (weights are inlined as
-  // literals); Verify runs queries before dumping SQL — same contract as
-  // graft.sim.Ivf's dynamic oracle. Built inside the weights memo slot.
-  private def buildOracles(w: Array[Double]): Map[String, String] = {
+  /** The feature-build + score CTE chain for a frozen weight vector,
+    * ending in CTE `s(doc_id, label, z)` — shared with
+    * [[QualityModel]]'s roundtrip oracle so the replayed SQL cannot
+    * drift from the gate's. */
+  private[text] def scoredCtes(w: Array[Double]): String = {
     val z = FeatureNames.zipWithIndex.foldLeft(s"${fmtD(w(0))}") {
       case (acc, (f, i)) => s"($acc + (${fmtD(w(i + 1))} * $f))"
     }
-    val scored =
       s"""WITH ${TextQueries.wordsCte},
          |c AS (SELECT doc_id, len(w) AS n_words,
          |  list_sum(list_transform(w, x -> length(x))) AS sum_len,
@@ -239,6 +239,13 @@ object QualityClassifier {
          |   AND n_stop >= ${TextQueries.GopherMinStopHits}) AS label
          |  FROM c),
          |s AS (SELECT doc_id, label, $z AS z FROM f)""".stripMargin
+  }
+
+  // oracles exist only once the model is trained (weights are inlined as
+  // literals); Verify runs queries before dumping SQL — same contract as
+  // graft.sim.Ivf's dynamic oracle. Built inside the weights memo slot.
+  private def buildOracles(w: Array[Double]): Map[String, String] = {
+    val scored = scoredCtes(w)
     Map(
       "quality_classifier" ->
         (scored + s"""

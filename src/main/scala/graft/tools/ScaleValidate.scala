@@ -59,7 +59,7 @@ object ScaleValidate {
       "profile_numeric", "profile_categorical", "media_histogram",
       "length_buckets", "readability_bands", "source_concentration",
       "seasonal_anomaly", "embed_norm_profile", "boilerplate_ratio",
-      "crawl_quality_funnel", "k_anonymity")),
+      "crawl_quality_funnel", "k_anonymity", "k_anon_generalize")),
     ("corpus-shaping", "hash-deterministic sample/pack/mix: row shuffle " +
       "∝ selected docs ≈F×, per-group partials ≪F×", Seq(
       "stratified_sample", "sample_per_group", "sample_per_group_agg",
@@ -172,7 +172,8 @@ object ScaleValidate {
       "artifact ∝ merges, re-encode vocab-bounded; assign-delta ingest: " +
       "batch-slice projection + cell-bounded rollup ∝ batch",
       Seq("ivf_model_roundtrip", "ivf_model_assign_delta",
-        "pq_model_roundtrip", "bpe_model_roundtrip")),
+        "pq_model_roundtrip", "bpe_model_roundtrip",
+        "quality_model_roundtrip", "pca_model_roundtrip")),
     ("recrawl-delta", "two snapshot extraction scans (pure projections) " +
       "+ two target-keyed rollups + one target equi-join, map-side " +
       "combined: shuffle ∝ distinct targets (domain-bounded here; " +
@@ -192,7 +193,8 @@ object ScaleValidate {
       "the production ANN pruning (pair cost ÷ cells, same plumbing), " +
       "recall-certified per language against the exhaustive miner",
       Seq("bitext_mine", "bitext_lang_stats", "bitext_mine_ivf",
-        "bitext_ivf_recall", "bitext_margin_curve")),
+        "bitext_ivf_recall", "bitext_margin_curve",
+        "bitext_mine_multiprobe", "bitext_recall_curve")),
     ("shard-plan", "two-level prefix sum: block-subtotal partials ∝ " +
       "blocks = docs/BlockDocs ≪F×; placement join carries broadcast-" +
       "side block offsets + per-(source, blk) windows over ≤ BlockDocs " +

@@ -1,0 +1,132 @@
+package graft.sources
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Versioned-artifact lifecycle laws: monotone version allocation with
+  * a commit marker, retention, torn-write skip, and the ROLLBACK proof
+  * the versioning exists for — after a bad write, the reader serves the
+  * previous version's exact coefficients. */
+class ModelStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmpBase(): String =
+    java.nio.file.Files.createTempDirectory("graft-modelstore").toString +
+      "/model"
+
+  test("versions allocate monotonically; retention keeps the newest Keep") {
+    val base = tmpBase()
+    val written = (1 to 5).map { i =>
+      ModelStore.write(base, p =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p, "payload.txt"), s"v$i"))
+    }
+    assert(written == (1 to 5), "version numbers must be 1..5 in order")
+    assert(ModelStore.committedVersions(base) == Seq(3, 4, 5),
+      s"retention must keep the newest ${ModelStore.Keep}")
+    // pruned version directories are gone from disk
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ModelStore.versionPath(base, 1))))
+  }
+
+  test("a torn write (writer throws) leaves no committed version and " +
+    "never recycles its number") {
+    val base = tmpBase()
+    ModelStore.write(base, p =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p, "payload.txt"), "good"))
+    intercept[RuntimeException] {
+      ModelStore.write(base, _ => throw new RuntimeException("disk full"))
+    }
+    assert(ModelStore.committedVersions(base) == Seq(1),
+      "the torn v2 must not be committed")
+    val v3 = ModelStore.write(base, p =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p, "payload.txt"), "good again"))
+    assert(v3 == 3, "the torn version number must not be reused")
+    // the torn v=2 dir is swept once a newer committed version exists
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ModelStore.versionPath(base, 2))))
+  }
+
+  test("latestValid skips a committed-but-invalid version") {
+    val base = tmpBase()
+    ModelStore.write(base, p =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p, "payload.txt"), "valid"))
+    ModelStore.write(base, p =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p, "payload.txt"), "CORRUPT"))
+    val got = ModelStore.latestValid(base, p =>
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(p, "payload.txt")) != "CORRUPT")
+    assert(got.map(_._1).contains(1), s"must fall back to v1, got $got")
+  }
+
+  test("rollback: after a bad IVF model write, the reader reproduces the " +
+    "previous version's exact centroids") {
+    import graft.sim.IvfModel
+    val base = tmpBase()
+    val good = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    val bad = Array(Array(9.0, 9.0), Array(3.0, 4.0))
+    ModelStore.write(base, p => IvfModel.writeModel(spark, p, good))
+    // a bad write: centroids from `bad` but the manifest of `good` — the
+    // torn/corrupted-artifact shape the checksum exists to catch
+    ModelStore.write(base, { p =>
+      IvfModel.writeModel(spark, p, bad)
+      import spark.implicits._
+      Seq((good.length, 2, graft.sim.Ivf.SampleMod,
+          IvfModel.centroidSha(good)))
+        .toDF("n_lists", "dim", "sample_mod", "centroid_sha")
+        .write.mode("overwrite").parquet(s"$p/manifest")
+    })
+    assert(ModelStore.committedVersions(base) == Seq(1, 2))
+    val (v, centers, ok, _, _) = IvfModel.readLatestValid(spark, base)
+    assert(v == 1, "reader must roll back to the valid version")
+    assert(ok)
+    assert(centers.map(_.toSeq).toSeq == good.map(_.toSeq).toSeq,
+      "rolled-back coefficients must be bit-exact")
+  }
+
+  test("corrupt-a-byte: one flipped quality weight reds the manifest") {
+    import graft.text.QualityModel
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-qmodel").toString
+    val w = Array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6)
+    QualityModel.writeModel(spark, dir, w)
+    assert(QualityModel.readModel(spark, dir)._2, "clean write must verify")
+    // flip one coefficient but keep the manifest — sha must catch it
+    import spark.implicits._
+    val flipped = w.updated(3, w(3) + 1e-13)
+    flipped.zipWithIndex.map { case (x, i) => (i, x) }.toSeq
+      .toDF("i", "w").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/weights")
+    val (got, ok) = QualityModel.readModel(spark, dir)
+    assert(!ok, "a flipped ulp must red manifest_ok")
+    assert(got.toSeq == flipped.toSeq)
+  }
+
+  test("corrupt-a-byte: one flipped PCA coefficient reds the manifest") {
+    import graft.sim.{EmbedPca, PcaModel}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pcamodel").toString
+    val m = EmbedPca.Model(2, Array(0.5, -0.5),
+      Array(Array(1.0, 0.0, 0.25, 0.125), Array(0.0, 1.0, -0.25, 0.0625)),
+      Array(2.0, 1.0, 0.5, 0.25))
+    PcaModel.writeModel(spark, dir, m)
+    assert(PcaModel.readModel(spark, dir)._2, "clean write must verify")
+    // rewrite the parts with one flipped matrix entry, manifest untouched
+    val m2 = EmbedPca.Model(m.dim, m.mean,
+      Array(m.w(0).updated(2, m.w(0)(2) + 1e-13), m.w(1)), m.eig)
+    import spark.implicits._
+    val rows =
+      Seq(("mean", 0, m2.mean.toSeq)) ++
+        (0 until EmbedPca.K).map(k =>
+          ("w", k, (0 until m2.dim).map(i => m2.w(i)(k)))) ++
+        Seq(("eig", 0, m2.eig.toSeq))
+    rows.toDF("part", "k", "v").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/parts")
+    assert(!PcaModel.readModel(spark, dir)._2,
+      "a flipped ulp must red manifest_ok")
+  }
+}
