@@ -6,9 +6,9 @@ import graft.functions.{BottomK, CountMin, Hll, Kmv}
 import graft.multimodal.{CdcChunks, Multimodal}
 import graft.operators.{AsOfJoin, Attribution, Backlog, Cohort, EventPaths,
   EwmaAnomaly, FilterOverlap, Funnel, FuzzyJoin, IntervalJoin, Lateness,
-  MarketBasket, Pipeline, RelationalQueries, Resample, Rfm, RobustStats,
-  RevenueMom, SeasonalBaseline, SessionEntryExit, SessionTypePairs,
-  SkewJoin, Streaks, ZOrder}
+  MarketBasket, Pipeline, RelationalQueries, ReleaseReport, Resample, Rfm,
+  RobustStats, RevenueMom, SeasonalBaseline, SessionEntryExit,
+  SessionTypePairs, SkewJoin, Streaks, ZOrder}
 import graft.sim.{BitextMine, Coreset, EmbedPca, EmbeddingDrift, Eigencentrality,
   GraphStats, Neighborhood, NormProfile, Ivf, IvfIncremental, IvfModel, KCore,
   KnnGraphIvf, LabelProp, PageRank, PcaModel, Pq, PqModel, SemDedup,
@@ -53,6 +53,7 @@ object SparkEntry {
       (Resample.queries, Resample.oracles),
       (ConnectedComponents.queries, ConnectedComponents.oracles),
       (Pipeline.queries, Pipeline.oracles),
+      (ReleaseReport.queries, ReleaseReport.oracles),
       (FilterOverlap.queries, FilterOverlap.oracles),
       (StormQueries.queries, StormQueries.oracles),
       (FormatSources.queries, FormatSources.oracles),

@@ -44,7 +44,7 @@ object ScaleValidate {
       "dedup_bbit_minhash", "pipeline_funnel", "split_leakage",
       "dedup_weighted_jaccard", "dedup_keep_best", "dedup_by_source",
       "dedup_threshold_curve", "filter_overlap", "dedup_sample_weights",
-      "drop_audit")),
+      "drop_audit", "release_report")),
     ("projection", "shuffle ≈ 0 at any scale", Seq(
       "text_quality", "quality_gopher", "doc_fingerprint",
       "embed_quantize", "train_split", "chunk_documents",
