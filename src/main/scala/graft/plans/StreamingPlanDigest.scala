@@ -387,18 +387,50 @@ object StreamingPlanDigest {
           // the digest's wave output + checkpoint are side effects of
           // plan construction, not artifacts — remove them so repeated
           // digest runs don't accumulate garbage under the temp dir
-          Seq(base, ckpt).foreach { d =>
-            import scala.jdk.CollectionConverters._
-            val root = java.nio.file.Paths.get(d)
-            if (java.nio.file.Files.exists(root))
-              java.nio.file.Files.walk(root).iterator().asScala.toSeq
-                .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
-          }
+          cleanDirs(base, ckpt)
+        }
+      },
+      // the pruned production loop: standing candidates carry their
+      // quantizer cell, each wave is masked to its queries' top-P probe
+      // cells from the shipped centroid artifact
+      "bitext_waves_multiprobe" -> { () =>
+        val mem = MemoryStream[(Long, String, Array[Float])]
+        val cands = spark.range(1).selectExpr("2L AS doc_id",
+          "'xx' AS lang", "array(0.5f, 0.5f) AS embedding", "0 AS cell")
+        val centers = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-bitext-mp-twin").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-bitext-mp-twin-ckpt").toString
+        val q = StreamBitext.mineWavesPruned(
+          mem.toDS().toDF("doc_id", "lang", "embedding"), cands, centers,
+          np = 1, base, ckpt)
+        try {
+          mem.addData((1L, "en", Array(1f, 0f)))
+          q.processAllAvailable()
+          val exec = q.asInstanceOf[StreamingQueryWrapper]
+            .streamingQuery.lastExecution
+          require(exec != null, "no micro-batch executed")
+          outlineOf(exec.executedPlan)
+        } finally {
+          q.stop()
+          cleanDirs(base, ckpt)
         }
       })
 
     twins.map { case (n, f) => n -> f() }.sortBy(_._1)
   }
+
+  /** Remove twin side-effect directories (wave outputs, checkpoints)
+    * so repeated digest runs don't accumulate temp garbage. */
+  private def cleanDirs(dirs: String*): Unit =
+    dirs.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 
   // Lock I/O — same minimal JSON subset as PlanDigest (no JSON dep).
   private def esc(s: String): String = "\"" + s.flatMap {

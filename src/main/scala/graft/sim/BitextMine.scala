@@ -299,6 +299,18 @@ object BitextMine {
       candSlice(dvc), MaskProbes)
   }
 
+  /** The pruned wave pipeline over EXPLICIT relations — the unit the
+    * streaming face reuses verbatim
+    * ([[graft.streaming.StreamBitext.mineWavesPruned]]): batch queries
+    * get their top-`np` probe cells from the provided centers (the
+    * shipped quantizer artifact — [[IvfModel]]'s reload path at 100 TB);
+    * candidates must already carry their `cell` assignment. */
+  def mineWavePruned(batchDv: DataFrame, candDvWithCell: DataFrame,
+                     centers: Array[Array[Double]],
+                     np: Int = MineNProbe): DataFrame =
+    mineWave(batchDv.withColumn("pcells", probeCellsExpr(centers, np)),
+      candDvWithCell, MaskProbes)
+
   /** The three mining pipelines UN-materialized (one lazy plan each) —
     * the pre-checkpoint shapes `plans_aux.lock` digest-pins and
     * PlanAuditSpec asserts on. The production gates serve memoized
@@ -522,6 +534,32 @@ object BitextMine {
         coalesce(col("n_common"), lit(0L)).as("n_common"))
   }
 
+  /** Per-language recall target for the probe-depth choice: the chosen
+    * depth is the smallest P whose curve recall reaches Num/Den (80 %)
+    * of the exhaustive miner. Integer cross-multiplication only. */
+  val RecallTargetNum = 8L
+  val RecallTargetDen = 10L
+
+  /** Gate: the dial CHOICE the recall curve exists to set — per
+    * language, the minimal probe depth whose recall meets
+    * [[RecallTargetNum]]/[[RecallTargetDen]], with the curve row it was
+    * chosen on. A row always exists: at P = NLists the probed relation
+    * IS brute (n_common = n_brute), which satisfies any target ≤ 1.
+    * This is the per-language nprobe table a production miner ships
+    * next to the index (CCMatrix tunes exactly this per pair) —
+    * certification → choice, closed loop. Cost: a 5-row-per-language
+    * window over the memo-riding curve relation. */
+  def bitextProbeChoice(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("tgt_lang")).orderBy(col("nprobe").asc)
+    bitextRecallCurve(s, dir)
+      .filter(col("n_common") * RecallTargetDen >=
+        col("n_brute") * RecallTargetNum)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("tgt_lang"), col("nprobe").as("chosen_probe"),
+        col("n_brute"), col("n_probe"), col("n_common"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bitext_mine" -> bitextMine,
     "bitext_mine_ivf" -> bitextMineIvf,
@@ -529,7 +567,8 @@ object BitextMine {
     "bitext_lang_stats" -> bitextLangStats,
     "bitext_margin_curve" -> bitextMarginCurve,
     "bitext_ivf_recall" -> bitextIvfRecall,
-    "bitext_recall_curve" -> bitextRecallCurve)
+    "bitext_recall_curve" -> bitextRecallCurve,
+    "bitext_probe_choice" -> bitextProbeChoice)
 
   /** The margin pipeline in SQL, reading `${p}pairs(src_id, tgt_id,
     * tgt_lang, cos)` and ending in `${p}fwd(src_id, tgt_lang, tgt_id,
@@ -653,10 +692,13 @@ object BitextMine {
       |  round(margin, 4) AS margin, mutual
       |FROM ${p}fwd WHERE margin >= $MarginThresh""".stripMargin
 
-  /** The recall-vs-probes curve in SQL: brute + single-cell chains plus
-    * one probe chain per interior depth (endpoints alias the brute /
-    * single-cell relations exactly as the engine's [[fwdFor]] does). */
-  private def recallCurveSql(centers: Array[Array[Double]]): String = {
+  /** The recall-vs-probes curve in SQL, as (CTE chain, final SELECT) so
+    * the probe-choice oracle can wrap the curve as its own CTE: brute +
+    * single-cell chains plus one probe chain per interior depth
+    * (endpoints alias the brute / single-cell relations exactly as the
+    * engine's [[fwdFor]] does). */
+  private def recallCurveParts(
+      centers: Array[Array[Double]]): (String, String) = {
     val interior = MineProbes.filter(p => p > 1 && p < Ivf.NLists)
     val probeChains = interior.map { np =>
       s"""${probePairsCte(s"p$np", np)},
@@ -672,37 +714,60 @@ object BitextMine {
         s"""SELECT ${Ivf.NLists}::BIGINT, src_id, tgt_lang, tgt_id
           |  FROM minedb""".stripMargin)
         .mkString("\nUNION ALL\n")
-    s"""WITH $dvCtes,
-      |${quantizerCtes(centers)},
-      |${brutePairs("b")},
-      |${marginChain("b")},
-      |${cellPairsCte("i")},
-      |${marginChain("i")},
-      |$probeChains,
-      |minedb AS (SELECT src_id, tgt_lang, tgt_id FROM bfwd
-      |       WHERE margin >= $MarginThresh),
-      |pr AS (
-      |$prArms),
-      |langs AS (SELECT DISTINCT lang AS tgt_lang FROM documents
-      |          WHERE lang <> '$SrcLang'),
-      |grid AS (SELECT p.nprobe, l.tgt_lang FROM langs l CROSS JOIN
-      |         (SELECT unnest([${MineProbes.mkString(", ")}]::BIGINT[])
-      |            AS nprobe) p),
-      |cb AS (SELECT tgt_lang, count(*) AS n_brute FROM minedb GROUP BY 1),
-      |ci AS (SELECT nprobe, tgt_lang, count(*) AS n_probe FROM pr
-      |       GROUP BY 1, 2),
-      |cc AS (SELECT p.nprobe, p.tgt_lang, count(*) AS n_common
-      |       FROM pr p JOIN minedb b ON b.src_id = p.src_id
-      |         AND b.tgt_lang = p.tgt_lang AND b.tgt_id = p.tgt_id
-      |       GROUP BY 1, 2)
-      |SELECT g.nprobe, g.tgt_lang,
-      |  coalesce(cb.n_brute, 0)::BIGINT AS n_brute,
-      |  coalesce(ci.n_probe, 0)::BIGINT AS n_probe,
-      |  coalesce(cc.n_common, 0)::BIGINT AS n_common
-      |FROM grid g
-      |LEFT JOIN cb USING (tgt_lang)
-      |LEFT JOIN ci USING (nprobe, tgt_lang)
-      |LEFT JOIN cc USING (nprobe, tgt_lang)""".stripMargin
+    val ctes =
+      s"""$dvCtes,
+        |${quantizerCtes(centers)},
+        |${brutePairs("b")},
+        |${marginChain("b")},
+        |${cellPairsCte("i")},
+        |${marginChain("i")},
+        |$probeChains,
+        |minedb AS (SELECT src_id, tgt_lang, tgt_id FROM bfwd
+        |       WHERE margin >= $MarginThresh),
+        |pr AS (
+        |$prArms),
+        |langs AS (SELECT DISTINCT lang AS tgt_lang FROM documents
+        |          WHERE lang <> '$SrcLang'),
+        |grid AS (SELECT p.nprobe, l.tgt_lang FROM langs l CROSS JOIN
+        |         (SELECT unnest([${MineProbes.mkString(", ")}]::BIGINT[])
+        |            AS nprobe) p),
+        |cb AS (SELECT tgt_lang, count(*) AS n_brute FROM minedb GROUP BY 1),
+        |ci AS (SELECT nprobe, tgt_lang, count(*) AS n_probe FROM pr
+        |       GROUP BY 1, 2),
+        |cc AS (SELECT p.nprobe, p.tgt_lang, count(*) AS n_common
+        |       FROM pr p JOIN minedb b ON b.src_id = p.src_id
+        |         AND b.tgt_lang = p.tgt_lang AND b.tgt_id = p.tgt_id
+        |       GROUP BY 1, 2)""".stripMargin
+    val select =
+      s"""SELECT g.nprobe, g.tgt_lang,
+        |  coalesce(cb.n_brute, 0)::BIGINT AS n_brute,
+        |  coalesce(ci.n_probe, 0)::BIGINT AS n_probe,
+        |  coalesce(cc.n_common, 0)::BIGINT AS n_common
+        |FROM grid g
+        |LEFT JOIN cb USING (tgt_lang)
+        |LEFT JOIN ci USING (nprobe, tgt_lang)
+        |LEFT JOIN cc USING (nprobe, tgt_lang)""".stripMargin
+    (ctes, select)
+  }
+
+  private def recallCurveSql(centers: Array[Array[Double]]): String = {
+    val (ctes, select) = recallCurveParts(centers)
+    s"WITH $ctes\n$select"
+  }
+
+  /** Probe-choice oracle: the curve wrapped as a CTE, the integer
+    * recall-target filter, min-nprobe per language. */
+  private def probeChoiceSql(centers: Array[Array[Double]]): String = {
+    val (ctes, select) = recallCurveParts(centers)
+    s"""WITH $ctes,
+      |curve AS (
+      |$select),
+      |sat AS (SELECT *, row_number() OVER (
+      |          PARTITION BY tgt_lang ORDER BY nprobe ASC) AS rk
+      |        FROM curve
+      |        WHERE n_common * $RecallTargetDen >= n_brute * $RecallTargetNum)
+      |SELECT tgt_lang, nprobe AS chosen_probe, n_brute, n_probe, n_common
+      |FROM sat WHERE rk = 1""".stripMargin
   }
 
   /** A def, not a val: the IVF entries inline the trained centroids and
@@ -753,6 +818,7 @@ object BitextMine {
             |${marginChain("m")}
             |${minedSelect("m")}""".stripMargin,
         "bitext_recall_curve" -> recallCurveSql(centers),
+        "bitext_probe_choice" -> probeChoiceSql(centers),
         "bitext_ivf_recall" ->
           s"""WITH $dvCtes,
             |${brutePairs("b")},

@@ -43,4 +43,28 @@ object StreamBitext {
         ()
       }
       .start()
+
+  /** The PRUNED mining loop — the regime that actually runs at 100 TB:
+    * the standing candidate corpus carries its quantizer `cell`
+    * assignment (a one-off batch job against the shipped
+    * [[graft.sim.IvfModel]] artifact) and each wave is masked to its
+    * queries' top-`np` probe cells via
+    * [[BitextMine.mineWavePruned]] — shared code with the
+    * `bitext_mine_multiprobe` gate, proven wave ≡ batch in
+    * StreamBitextSpec. Per wave: one candidate scan behind the
+    * broadcast wave row, pair cost np/cells of brute; engine streaming
+    * state O(0). */
+  def mineWavesPruned(waves: DataFrame, candidatesWithCell: DataFrame,
+                      centers: Array[Array[Double]], np: Int,
+                      base: String, checkpoint: String): StreamingQuery =
+    waves.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BitextMine.mineWavePruned(batch, candidatesWithCell, centers, np)
+          .filter(org.apache.spark.sql.functions.col("margin") >=
+            BitextMine.MarginThresh)
+          .write.mode("overwrite").parquet(s"$base/wave=$batchId")
+        ()
+      }
+      .start()
 }

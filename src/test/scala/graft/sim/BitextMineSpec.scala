@@ -162,6 +162,30 @@ class BitextMineSpec extends AnyFunSuite {
     }
   }
 
+  test("probe choice picks the minimal depth meeting the recall target") {
+    val dir = "/root/testdata/sf0.001"
+    val curve = BitextMine.bitextRecallCurve(spark, dir).collect()
+      .map(r => (r.getAs[String]("tgt_lang"), r.getAs[Long]("nprobe")) ->
+        ((r.getAs[Long]("n_brute"), r.getAs[Long]("n_common"))))
+      .toMap
+    val choice = BitextMine.bitextProbeChoice(spark, dir).collect()
+      .map(r => r.getAs[String]("tgt_lang") ->
+        r.getAs[Long]("chosen_probe")).toMap
+    assert(choice.keySet == Set("fr", "es", "de", "zh"),
+      "one choice per language, always (P=NLists is brute)")
+    def ok(l: String, p: Long): Boolean = {
+      val (nb, nc) = curve((l, p))
+      nc * BitextMine.RecallTargetDen >= nb * BitextMine.RecallTargetNum
+    }
+    choice.foreach { case (l, p) =>
+      assert(ok(l, p), s"lang $l: chosen depth $p must meet the target")
+      BitextMine.MineProbes.map(_.toLong).filter(_ < p).foreach { q =>
+        assert(!ok(l, q), s"lang $l: smaller depth $q also meets the " +
+          "target — choice not minimal")
+      }
+    }
+  }
+
   test("ivf recall certification is internally consistent and non-trivial") {
     val dir = "/root/testdata/sf0.001"
     val rows = BitextMine.bitextIvfRecall(spark, dir).collect()
