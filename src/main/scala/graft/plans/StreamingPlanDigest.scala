@@ -345,6 +345,29 @@ object StreamingPlanDigest {
           outlineOf(exec.executedPlan)
         } finally q.stop()
       },
+      // the online k-anonymity auditor — STATELESS like the manifest
+      // maintainer (the versioned class-count merge is foreachBatch
+      // work, not stream state)
+      "k_anonymity_stream" -> { () =>
+        val mem = MemoryStream[(Long, String, String, String)]
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-kanon-twin").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-kanon-twin-ckpt").toString
+        val q = StreamKAnonymity.maintain(
+          mem.toDS().toDF("doc_id", "text", "lang", "source"), base, ckpt)
+        try {
+          mem.addData((1L, "a b", "en", "s"))
+          q.processAllAvailable()
+          val exec = q.asInstanceOf[StreamingQueryWrapper]
+            .streamingQuery.lastExecution
+          require(exec != null, "no micro-batch executed")
+          outlineOf(exec.executedPlan)
+        } finally {
+          q.stop()
+          cleanDirs(base, ckpt)
+        }
+      },
       "pca" -> { () =>
         val mem = MemoryStream[(Long, Array[Float])]
         run(StreamPca.projectionsOverStream(

@@ -398,6 +398,7 @@ object BitextMine {
   /** Drop the memoized relations (PlanLockSpec fresh-state hook). */
   def release(): Unit = synchronized {
     bruteMemo = None; ivfMemo = None; probeMemos = Map.empty
+    evalMemo = None
   }
 
   /** Gate: mined pairs — forward-best candidates above the margin
@@ -429,6 +430,53 @@ object BitextMine {
       .filter(col("margin") >= MarginThresh)
       .select(col("src_id"), col("tgt_lang"), col("tgt_id"),
         round(col("cos"), 4).as("cosine"),
+        round(col("margin"), 4).as("margin"), col("mutual"))
+
+  /** The cross-lingual decontamination wave over an explicit
+    * doc-vector relation: queries are the SOURCE-language eval docs
+    * (the engine-wide `doc_id < DecontamEvalDocs` eval slice — ALL of
+    * them, not the QMod mining slice: decontamination must consider
+    * every benchmark doc), candidates the whole non-source corpus,
+    * exhaustively (the careful regime — a missed translation is eval
+    * leakage). Relation-first for the planted-geometry spec. */
+  def decontamOver(dv: DataFrame): DataFrame =
+    mineWave(
+      dv.filter(col("lang") === SrcLang &&
+        col("doc_id") < graft.dedup.DedupQueries.DecontamEvalDocs),
+      candSlice(dv), MaskAll)
+
+  // one-slot memo for the decontam wave (one gate + spec reuse)
+  private var evalMemo: Option[(Any, DataFrame)] = None
+
+  private def evalFwd(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = memoKey(s, dir)
+      evalMemo match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val v = decontamOver(docVecs(s, dir)).localCheckpoint(true)
+          evalMemo = Some((key, v)); v
+      }
+    }
+
+  /** Gate: TRANSLATED eval contamination — the leakage path string
+    * decontamination (`decontaminate`, `decontam_semantic`)
+    * structurally cannot see: a benchmark document's TRANSLATION in the
+    * training corpus shares no shingles and lives in another language's
+    * embedding neighborhood. For every eval doc (the shared
+    * `DecontamEvalDocs` slice) and every other language, the
+    * forward-best candidate above the ratio-margin threshold is flagged
+    * as a translation of the benchmark — the drop list a multilingual
+    * corpus applies before release (CCMatrix-style mining turned
+    * defensive). Forward-best per (eval, lang) matches the mining
+    * semantics: a benchmark has at most one translation per language,
+    * and the margin — not raw cosine — is what separates a translation
+    * from a topically-near hub. */
+  def bitextDecontam(s: SparkSession, dir: String): DataFrame =
+    evalFwd(s, dir)
+      .filter(col("margin") >= MarginThresh)
+      .select(col("src_id").as("eval_id"), col("tgt_lang"),
+        col("tgt_id"), round(col("cos"), 4).as("cosine"),
         round(col("margin"), 4).as("margin"), col("mutual"))
 
   /** Gate: recall vs probe depth — per (nprobe, language), how many
@@ -568,7 +616,8 @@ object BitextMine {
     "bitext_margin_curve" -> bitextMarginCurve,
     "bitext_ivf_recall" -> bitextIvfRecall,
     "bitext_recall_curve" -> bitextRecallCurve,
-    "bitext_probe_choice" -> bitextProbeChoice)
+    "bitext_probe_choice" -> bitextProbeChoice,
+    "bitext_decontam" -> bitextDecontam)
 
   /** The margin pipeline in SQL, reading `${p}pairs(src_id, tgt_id,
     * tgt_lang, cos)` and ending in `${p}fwd(src_id, tgt_lang, tgt_id,
@@ -605,17 +654,21 @@ object BitextMine {
       |        FROM ${p}fwd0 f LEFT JOIN ${p}bwd b
       |          ON b.tgt_id = f.tgt_id AND b.src_id = f.src_id)""".stripMargin
 
-  /** The doc↔vector join with norms, split into batch and candidates. */
-  private def dvCtes: String =
+  /** The doc↔vector join with norms, split into batch and candidates;
+    * `srcWhere` selects the query wave (default: the gate's QMod/QCap
+    * slice). */
+  private def dvCtesWith(srcWhere: String): String =
     s"""dv AS (SELECT d.doc_id, d.lang, e.embedding
       |        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
       |src AS (SELECT doc_id, embedding,
       |          sqrt(${SimilarityQueries.sqlDot("embedding", "embedding")}) AS nrm
-      |        FROM dv WHERE lang = '$SrcLang' AND doc_id % $QMod = 0
-      |          AND doc_id < $QCap),
+      |        FROM dv WHERE $srcWhere),
       |tgt AS (SELECT doc_id, lang, embedding,
       |          sqrt(${SimilarityQueries.sqlDot("embedding", "embedding")}) AS nrm
       |        FROM dv WHERE lang <> '$SrcLang')""".stripMargin
+
+  private def dvCtes: String = dvCtesWith(
+    s"lang = '$SrcLang' AND doc_id % $QMod = 0 AND doc_id < $QCap")
 
   /** Exhaustive pair relation over [[dvCtes]]. */
   private def brutePairs(p: String): String = {
@@ -775,6 +828,14 @@ object BitextMine {
     * convention; Verify dumps oracle SQL last). */
   def oracles: Map[String, String] = {
     val base = Map(
+      "bitext_decontam" ->
+        s"""WITH ${dvCtesWith(s"lang = '$SrcLang' AND doc_id < " +
+             graft.dedup.DedupQueries.DecontamEvalDocs)},
+          |${brutePairs("")},
+          |${marginChain("")}
+          |SELECT src_id AS eval_id, tgt_lang, tgt_id,
+          |  round(cos, 4) AS cosine, round(margin, 4) AS margin, mutual
+          |FROM fwd WHERE margin >= $MarginThresh""".stripMargin,
       "bitext_mine" ->
         s"""WITH $dvCtes,
           |${brutePairs("")},

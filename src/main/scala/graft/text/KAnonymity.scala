@@ -132,9 +132,57 @@ object KAnonymity {
         coalesce(col("level") === col("min_ok"), lit(false)).as("chosen"))
   }
 
+  /** Gate: the APPLICATION of the chosen generalization — one row per
+    * document with its quasi-identifier class AT THE CHOSEN LEVEL
+    * (dropped attributes NULL) and the suppression verdict (its class
+    * is still sub-K there). This is the relation a publisher actually
+    * executes: publish the generalized attributes, withhold the
+    * suppressed rows; [[kAnonGeneralize]] proves the level choice,
+    * this gate materializes its consequences per document. Scale: the
+    * ladder rollup (one scan, the generalize shape) picks the level;
+    * a second scan joins each doc's 5 ladder keys to the broadcast
+    * chosen level and the domain-bounded chosen-level class sizes —
+    * output ∝ docs by design. */
+  def kAnonApply(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.parallel(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("len"))
+      .select(col("doc_id"), explode(ladderKeys).as("k"))
+      .select(col("doc_id"), col("k.level").as("level"),
+        col("k.k_lang").as("k_lang"), col("k.k_source").as("k_source"),
+        col("k.k_bucket").as("k_bucket"))
+    val classes = keyed
+      .groupBy("level", "k_lang", "k_source", "k_bucket")
+      .agg(count(lit(1)).as("class_size"))
+    val chosen = classes.groupBy("level").agg(
+      sum(when(col("class_size") < KAnon, col("class_size"))
+        .otherwise(0L)).as("suppressed"),
+      sum(col("class_size")).as("n_total"))
+      .filter(col("suppressed") * MaxSuppressDen <=
+        col("n_total") * MaxSuppressNum)
+      .agg(min("level").as("level"))
+    // dropped attributes are NULL at coarse levels — the class join
+    // must be null-SAFE (<=>; the oracle mirrors with IS NOT DISTINCT
+    // FROM). Inner join: every doc's chosen-level key has a class row
+    // by construction (it contributed to the count).
+    val cls = classes.join(broadcast(chosen), "level")
+      .select(col("k_lang").as("c_lang"), col("k_source").as("c_source"),
+        col("k_bucket").as("c_bucket"), col("class_size"))
+    keyed
+      .join(broadcast(chosen), "level")
+      .join(broadcast(cls),
+        col("k_lang") <=> col("c_lang") &&
+          col("k_source") <=> col("c_source") &&
+          col("k_bucket") <=> col("c_bucket"))
+      .select(col("doc_id"), col("level"), col("k_lang"),
+        col("k_source"), col("k_bucket"),
+        (col("class_size") < KAnon).as("suppressed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> kAnonymity,
-    "k_anon_generalize" -> kAnonGeneralize)
+    "k_anon_generalize" -> kAnonGeneralize,
+    "k_anon_apply" -> kAnonApply)
 
   /** One ladder level's (n_classes, n_at_risk, suppressed) row in SQL. */
   private def levelSql(lv: Int, groupBy: String): String = {
@@ -150,7 +198,46 @@ object KAnonymity {
       |  FROM ($inner))""".stripMargin
   }
 
+  /** The 5-level per-doc ladder keys in SQL (NULL = dropped attribute),
+    * shared by the apply oracle. */
+  private def keyedSql: String =
+    s"""keyed AS (
+      |  SELECT doc_id, 0::BIGINT AS level, lang AS k_lang,
+      |    source AS k_source, (len // $LenBucket)::BIGINT AS k_bucket
+      |  FROM d
+      |  UNION ALL SELECT doc_id, 1::BIGINT, lang, source,
+      |    (len // $WideBucket)::BIGINT FROM d
+      |  UNION ALL SELECT doc_id, 2::BIGINT, lang, NULL::VARCHAR,
+      |    (len // $WideBucket)::BIGINT FROM d
+      |  UNION ALL SELECT doc_id, 3::BIGINT, lang, NULL::VARCHAR,
+      |    NULL::BIGINT FROM d
+      |  UNION ALL SELECT doc_id, 4::BIGINT, NULL::VARCHAR, NULL::VARCHAR,
+      |    NULL::BIGINT FROM d)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "k_anon_apply" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, length(text)::BIGINT AS len
+        |           FROM documents),
+        |$keyedSql,
+        |classes AS (SELECT level, k_lang, k_source, k_bucket,
+        |              count(*)::BIGINT AS class_size
+        |            FROM keyed GROUP BY 1, 2, 3, 4),
+        |lv AS (SELECT level,
+        |         sum(CASE WHEN class_size < $KAnon THEN class_size
+        |             ELSE 0 END) AS suppressed,
+        |         sum(class_size) AS n_total
+        |       FROM classes GROUP BY 1),
+        |chosen AS (SELECT min(level) AS level FROM lv
+        |           WHERE suppressed * $MaxSuppressDen
+        |             <= n_total * $MaxSuppressNum)
+        |SELECT k.doc_id, k.level, k.k_lang, k.k_source, k.k_bucket,
+        |  (c.class_size < $KAnon) AS suppressed
+        |FROM keyed k
+        |JOIN chosen ch ON ch.level = k.level
+        |JOIN classes c ON c.level = k.level
+        |  AND c.k_lang IS NOT DISTINCT FROM k.k_lang
+        |  AND c.k_source IS NOT DISTINCT FROM k.k_source
+        |  AND c.k_bucket IS NOT DISTINCT FROM k.k_bucket""".stripMargin,
     "k_anonymity" ->
       s"""SELECT lang, source,
         |  (length(text) // $LenBucket)::BIGINT AS len_bucket,

@@ -59,7 +59,8 @@ object ScaleValidate {
       "profile_numeric", "profile_categorical", "media_histogram",
       "length_buckets", "readability_bands", "source_concentration",
       "seasonal_anomaly", "embed_norm_profile", "boilerplate_ratio",
-      "crawl_quality_funnel", "k_anonymity", "k_anon_generalize")),
+      "crawl_quality_funnel", "k_anonymity", "k_anon_generalize",
+      "k_anon_apply")),
     ("corpus-shaping", "hash-deterministic sample/pack/mix: row shuffle " +
       "∝ selected docs ≈F×, per-group partials ≪F×", Seq(
       "stratified_sample", "sample_per_group", "sample_per_group_agg",
@@ -195,7 +196,7 @@ object ScaleValidate {
       Seq("bitext_mine", "bitext_lang_stats", "bitext_mine_ivf",
         "bitext_ivf_recall", "bitext_margin_curve",
         "bitext_mine_multiprobe", "bitext_recall_curve",
-        "bitext_probe_choice")),
+        "bitext_probe_choice", "bitext_decontam")),
     ("shard-plan", "two-level prefix sum: block-subtotal partials ∝ " +
       "blocks = docs/BlockDocs ≪F×; placement join carries broadcast-" +
       "side block offsets + per-(source, blk) windows over ≤ BlockDocs " +

@@ -162,6 +162,28 @@ class BitextMineSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-lingual decontam: queries are exactly the eval slice and " +
+    "the planted translation is flagged") {
+    import spark.implicits._
+    val dv = Seq(
+      (0L, "en", v(1, 0, 0, 0, 0, 0, 0, 0)),   // eval doc (< 20)
+      (5L, "en", v(0, 1, 0, 0, 0, 0, 0, 0)),   // eval doc (< 20)
+      (30L, "en", v(0, 0, 1, 0, 0, 0, 0, 0)),  // NOT eval (≥ 20)
+      (101L, "xx", v(1, 0.05, 0, 0, 0.1, 0, 0, 0)), // translation of 0
+      (104L, "xx", v(0, 0.45, 0, 0, 0, 1, 0, 0)),
+      (105L, "xx", v(0, 0, 0.3, 0, 0, 0, 1, 0)),
+      (106L, "xx", v(0, 0, 0, 0.3, 0, 0, 0, 1)))
+      .toDF("doc_id", "lang", "embedding")
+    val fwd = BitextMine.decontamOver(dv).collect()
+    assert(fwd.map(_.getAs[Long]("src_id")).toSet == Set(0L, 5L),
+      "queries are exactly the source-lang eval slice — never doc 30")
+    val flagged = fwd.filter(r =>
+      r.getAs[Double]("margin") >= BitextMine.MarginThresh)
+    assert(flagged.exists(r => r.getAs[Long]("src_id") == 0L &&
+      r.getAs[Long]("tgt_id") == 101L),
+      "the planted translation of eval doc 0 must be flagged")
+  }
+
   test("probe choice picks the minimal depth meeting the recall target") {
     val dir = "/root/testdata/sf0.001"
     val curve = BitextMine.bitextRecallCurve(spark, dir).collect()
