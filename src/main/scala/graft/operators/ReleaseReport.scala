@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * [[DropAudit]]'s verdicts, so the report can never disagree with the
   * funnel), the k-anonymity risk mass (documents in sub-K
   * quasi-identifier classes at the audit key), the eval-leakage mass
-  * (documents in any cross-split near-duplicate pair) and the
-  * contamination mass (documents the decontaminator would drop) — and
+  * (documents in any cross-split near-duplicate pair), the
+  * contamination mass (documents the decontaminator would drop) and
+  * the TRANSLATED contamination mass (documents `bitext_decontam`
+  * flags as translations of eval docs — zero, stated not silent, on a
+  * corpus without an embedding space) — and
   * a single `releasable` verdict: no risk, no leakage, no
-  * contamination. Dedup/quality drops do NOT block release (the funnel
+  * contamination of either kind. Dedup/quality drops do NOT block release (the funnel
   * already handles them); the three blocking columns are the ones that
   * poison a RELEASE rather than a document.
   *
@@ -63,18 +66,33 @@ object ReleaseReport {
       .select(col("doc_id")).distinct()
       .join(docs, "doc_id")
       .groupBy("source").agg(count(lit(1)).as("n_contam_docs"))
+    // translated eval contamination (bitext_decontam) needs the
+    // embedding space — a corpus without one cannot be mined, so the
+    // column is zero there (stated, not silent: the schema keeps the
+    // column either way)
+    val xcontam =
+      if (new java.io.File(s"$dir/embeddings.parquet").exists())
+        graft.sim.BitextMine.bitextDecontam(s, dir)
+          .select(col("tgt_id").as("doc_id")).distinct()
+          .join(docs, "doc_id")
+          .groupBy("source").agg(count(lit(1)).as("n_xcontam_docs"))
+      else
+        docs.select(col("source")).limit(0)
+          .withColumn("n_xcontam_docs", lit(0L))
     byVerdict
       .join(broadcast(risk), Seq("source"), "left")
       .join(broadcast(leak), Seq("source"), "left")
       .join(broadcast(contam), Seq("source"), "left")
+      .join(broadcast(xcontam), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_kept"),
         col("n_exact_dup"), col("n_near_dup"), col("n_quality"),
         coalesce(col("n_risk_docs"), lit(0L)).as("n_risk_docs"),
         coalesce(col("n_leak_docs"), lit(0L)).as("n_leak_docs"),
-        coalesce(col("n_contam_docs"), lit(0L)).as("n_contam_docs"))
+        coalesce(col("n_contam_docs"), lit(0L)).as("n_contam_docs"),
+        coalesce(col("n_xcontam_docs"), lit(0L)).as("n_xcontam_docs"))
       .withColumn("releasable",
         col("n_risk_docs") === 0L && col("n_leak_docs") === 0L &&
-          col("n_contam_docs") === 0L)
+          col("n_contam_docs") === 0L && col("n_xcontam_docs") === 0L)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -167,17 +185,24 @@ object ReleaseReport {
           |contamdocs AS (SELECT DISTINCT doc_id FROM contampairs),
           |contam AS (SELECT d.source, count(*)::BIGINT AS n_contam_docs
           |           FROM contamdocs cd JOIN documents d ON d.doc_id = cd.doc_id
-          |           GROUP BY 1)
+          |           GROUP BY 1),
+          |${graft.sim.BitextMine.decontamCtes},
+          |xcontam AS (SELECT d.source, count(*)::BIGINT AS n_xcontam_docs
+          |            FROM xflag x JOIN documents d ON d.doc_id = x.doc_id
+          |            GROUP BY 1)
           |SELECT b.source, b.n_docs, b.n_kept, b.n_exact_dup, b.n_near_dup,
           |  b.n_quality,
           |  coalesce(r.n_risk_docs, 0)::BIGINT AS n_risk_docs,
           |  coalesce(l.n_leak_docs, 0)::BIGINT AS n_leak_docs,
           |  coalesce(c.n_contam_docs, 0)::BIGINT AS n_contam_docs,
+          |  coalesce(x.n_xcontam_docs, 0)::BIGINT AS n_xcontam_docs,
           |  (coalesce(r.n_risk_docs, 0) = 0 AND coalesce(l.n_leak_docs, 0) = 0
-          |    AND coalesce(c.n_contam_docs, 0) = 0) AS releasable
+          |    AND coalesce(c.n_contam_docs, 0) = 0
+          |    AND coalesce(x.n_xcontam_docs, 0) = 0) AS releasable
           |FROM byv b
           |LEFT JOIN risk r USING (source)
           |LEFT JOIN leak l USING (source)
-          |LEFT JOIN contam c USING (source)""".stripMargin))
+          |LEFT JOIN contam c USING (source)
+          |LEFT JOIN xcontam x USING (source)""".stripMargin))
   }
 }

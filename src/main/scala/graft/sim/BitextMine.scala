@@ -826,6 +826,18 @@ object BitextMine {
   /** A def, not a val: the IVF entries inline the trained centroids and
     * exist only after the pruned gates have run (the Ivf dynamic-oracle
     * convention; Verify dumps oracle SQL last). */
+  /** The decontam chain as CTEs ending in `xflag(doc_id)` — the flagged
+    * translated-contamination docs, shared with the release-report
+    * oracle (none of these CTE names collide with the funnel/LSH
+    * chain). */
+  private[graft] def decontamCtes: String =
+    s"""${dvCtesWith(s"lang = '$SrcLang' AND doc_id < " +
+         graft.dedup.DedupQueries.DecontamEvalDocs)},
+      |${brutePairs("")},
+      |${marginChain("")},
+      |xflag AS (SELECT DISTINCT tgt_id AS doc_id FROM fwd
+      |          WHERE margin >= $MarginThresh)""".stripMargin
+
   def oracles: Map[String, String] = {
     val base = Map(
       "bitext_decontam" ->

@@ -214,22 +214,57 @@ object Bpe {
   }
 
   /** Encode a corpus with an explicit ordered merge list and emit the
-    * per-source compression rollup — shared by the trainer gate above
-    * and [[BpeModel]]'s reloaded-merges replay. */
-  def encodeWith(docs: DataFrame,
-                 merges: Seq[(String, String)]): DataFrame = {
+    * per-`key` compression rollup — shared by the trainer gate
+    * (keyed by source), [[BpeModel]]'s reloaded-merges replay, and the
+    * fertility readout (keyed by lang). */
+  def encodeWithKeyed(docs: DataFrame, merges: Seq[(String, String)],
+                      key: String): DataFrame = {
     val vocab = docs
-      .select(col("source"), explode(TextQueries.words(col("text"))).as("t"))
-      .groupBy("source", "t").agg(count(lit(1)).as("n_occ"))
+      .select(col(key), explode(TextQueries.words(col("text"))).as("t"))
+      .groupBy(key, "t").agg(count(lit(1)).as("n_occ"))
       .withColumn("sym", charSplit)
     val enc = merges.foldLeft(vocab) { case (df, (a, b)) =>
       df.withColumn("sym", applyMerge(a, b))
     }
-    enc.groupBy("source").agg(
+    enc.groupBy(key).agg(
       sum(col("n_occ")).cast("long").as("n_words"),
       sum(col("n_occ") * length(col("t"))).cast("long").as("chars_before"),
       sum(col("n_occ") * size(col("sym"))).cast("long").as("tokens_after"))
   }
+
+  def encodeWith(docs: DataFrame,
+                 merges: Seq[(String, String)]): DataFrame =
+    encodeWithKeyed(docs, merges, "source")
+
+  /** Gate: tokenizer FERTILITY per language — tokens/word and
+    * chars/token under the trained merge list, the readout multilingual
+    * tokenizer builds size vocabularies with (a language whose
+    * fertility stays near its character count is under-served by the
+    * merge budget; cf. the fertility analyses around XLM-R-class
+    * multilingual models). Same trained merges as `bpe_encode`, rolled
+    * up by lang instead of source, with the two ratio dials. Scale:
+    * the vocab-bounded encode law — the fold runs on the (lang, word)
+    * vocabulary relation, never per occurrence. */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(s, dir, "documents")
+    val merges = trainMerges(symbolizeWeighted(docs), KMerges).map(_._1)
+    synchronized {
+      lastFertilityOracle = Some(
+        s"""SELECT lang, n_words, chars_before, tokens_after,
+          |  round(tokens_after * 1.0 / n_words, 4) AS fertility,
+          |  round(chars_before * 1.0 / tokens_after, 4) AS chars_per_token
+          |FROM (${encodeOracleSqlKeyed(merges, "lang")})""".stripMargin)
+    }
+    encodeWithKeyed(docs, merges, "lang")
+      .select(col("lang"), col("n_words"), col("chars_before"),
+        col("tokens_after"),
+        round(col("tokens_after") * lit(1.0) / col("n_words"), 4)
+          .as("fertility"),
+        round(col("chars_before") * lit(1.0) / col("tokens_after"), 4)
+          .as("chars_per_token"))
+  }
+
+  private var lastFertilityOracle: Option[String] = None
 
   // The encode oracle exists only once the merges are trained (their
   // literals come from the corpus), so bpeEncode records it and `oracles`
@@ -240,10 +275,14 @@ object Bpe {
     * literals; per-merge application = a `list_reduce` over the symbol
     * list wrapped element-per-list (DuckDB's reduce seeds the accumulator
     * with the first element, which matches the fold's empty-acc step). */
-  private[text] def encodeOracleSql(merges: Seq[(String, String)]): String = {
+  private[text] def encodeOracleSql(merges: Seq[(String, String)]): String =
+    encodeOracleSqlKeyed(merges, "source")
+
+  private[text] def encodeOracleSqlKeyed(merges: Seq[(String, String)],
+                                         key: String): String = {
     val steps = merges.zipWithIndex.map { case ((a, b), i) =>
       val (qa, qb, qm) = (SqlLit.duck(a), SqlLit.duck(b), SqlLit.duck(a + b))
-      s"""s${i + 1} AS (SELECT source, t, n_occ,
+      s"""s${i + 1} AS (SELECT $key, t, n_occ,
          |  list_reduce(list_transform(sym, s -> [s]),
          |    (acc, x) -> CASE WHEN acc[-1] = $qa AND x[1] = $qb
          |      THEN list_append(acc[1:len(acc)-1], $qm)
@@ -251,24 +290,25 @@ object Bpe {
          |  FROM s$i)""".stripMargin
     }
     val ctes = Seq(
-      """occ AS (SELECT source,
+      s"""occ AS (SELECT $key,
         |          unnest(list_filter(string_split(text, ' '), x -> x <> ''))
         |            AS t
         |        FROM documents)""".stripMargin,
-      "voc AS (SELECT source, t, count(*) AS n_occ FROM occ GROUP BY source, t)",
-      """s0 AS (SELECT source, t, n_occ,
+      s"voc AS (SELECT $key, t, count(*) AS n_occ FROM occ GROUP BY $key, t)",
+      s"""s0 AS (SELECT $key, t, n_occ,
         |  list_transform(range(1, length(t) + 1), i -> substr(t, i, 1)) AS sym
         |  FROM voc)""".stripMargin) ++ steps
     s"""WITH ${ctes.mkString(",\n")}
-       |SELECT source, sum(n_occ)::BIGINT AS n_words,
+       |SELECT $key, sum(n_occ)::BIGINT AS n_words,
        |  sum(n_occ * length(t))::BIGINT AS chars_before,
        |  sum(n_occ * len(sym))::BIGINT AS tokens_after
-       |FROM s${merges.size} GROUP BY source""".stripMargin
+       |FROM s${merges.size} GROUP BY $key""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_pairs" -> bpePairs,
-    "bpe_encode" -> bpeEncode)
+    "bpe_encode" -> bpeEncode,
+    "bpe_fertility" -> bpeFertility)
 
   def oracles: Map[String, String] = {
     val base = Map(
@@ -280,9 +320,13 @@ object Bpe {
             |      FROM t WHERE length(t) >= 2)
             |SELECT pair, count(*) AS n FROM p GROUP BY pair
             |ORDER BY n DESC, pair ASC LIMIT $TopPairs""".stripMargin))
-    synchronized(lastEncodeOracle) match {
+    val withEnc = synchronized(lastEncodeOracle) match {
       case Some(sql) => base + ("bpe_encode" -> sql)
       case None => base
+    }
+    synchronized(lastFertilityOracle) match {
+      case Some(sql) => withEnc + ("bpe_fertility" -> sql)
+      case None => withEnc
     }
   }
 }

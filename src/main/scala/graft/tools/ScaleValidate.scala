@@ -78,6 +78,7 @@ object ScaleValidate {
       "cdc_chunks", "cdc_top_chunks")),
     ("vocab-bounded", "shuffle ∝ vocab/partials: ≪F×", Seq(
       "cms_heavy_hitters", "vocab_topk", "bpe_pairs", "bpe_encode",
+      "bpe_fertility",
       "unigram_encode", "wordpiece_encode", "pretokenize_counts",
       "token_freq_delta")),
     ("tfidf-keywords", "tf = (doc,term) hash agg ∝ distinct pairs ≈F×; " +

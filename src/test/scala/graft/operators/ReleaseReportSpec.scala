@@ -36,11 +36,13 @@ class ReleaseReportSpec extends AnyFunSuite {
     dir
   }
 
-  private def report(dir: String): Map[String, (Long, Long, Long, Boolean)] =
+  private def report(dir: String):
+      Map[String, (Long, Long, Long, Long, Boolean)] =
     ReleaseReport.releaseReport(spark, dir).collect()
       .map(r => r.getAs[String]("source") ->
         ((r.getAs[Long]("n_risk_docs"), r.getAs[Long]("n_leak_docs"),
-          r.getAs[Long]("n_contam_docs"), r.getAs[Boolean]("releasable"))))
+          r.getAs[Long]("n_contam_docs"), r.getAs[Long]("n_xcontam_docs"),
+          r.getAs[Boolean]("releasable"))))
       .toMap
 
   /** The engine's split assignment, replayed driver-side (sha256 of
@@ -56,8 +58,8 @@ class ReleaseReportSpec extends AnyFunSuite {
   test("a clean corpus is releasable for every source") {
     val rep = report(writeCorpus(cleanRows))
     assert(rep.keySet == Set("a", "b"))
-    rep.foreach { case (src, (risk, leak, contam, ok)) =>
-      assert(risk == 0 && leak == 0 && contam == 0 && ok,
+    rep.foreach { case (src, (risk, leak, contam, xcontam, ok)) =>
+      assert(risk == 0 && leak == 0 && contam == 0 && xcontam == 0 && ok,
         s"source $src must be clean: risk=$risk leak=$leak contam=$contam")
     }
   }
@@ -66,9 +68,9 @@ class ReleaseReportSpec extends AnyFunSuite {
     "source only") {
     val rep = report(writeCorpus(cleanRows :+
       ((120L, filler(120L), "zz", "a"))))
-    assert(rep("a") == ((1L, 0L, 0L, false)),
+    assert(rep("a") == ((1L, 0L, 0L, 0L, false)),
       s"source a must carry exactly the planted singleton: ${rep("a")}")
-    assert(rep("b")._4, "source b must stay releasable")
+    assert(rep("b")._5, "source b must stay releasable")
   }
 
   test("a planted cross-split near-dup pair flips releasable via the " +
@@ -81,10 +83,10 @@ class ReleaseReportSpec extends AnyFunSuite {
       "and verify jaccard one"
     val rep = report(writeCorpus(cleanRows ++
       Seq((train, dup, "en", "a"), (test0, dup, "en", "a"))))
-    val (risk, leak, contam, ok) = rep("a")
+    val (risk, leak, contam, xcontam, ok) = rep("a")
     assert(leak == 2L, s"both pair ends must be leak docs, got $leak")
-    assert(risk == 0L && contam == 0L && !ok)
-    assert(rep("b")._4, "source b must stay releasable")
+    assert(risk == 0L && contam == 0L && xcontam == 0L && !ok)
+    assert(rep("b")._5, "source b must stay releasable")
   }
 
   test("planted eval contamination flips releasable via the " +
@@ -98,10 +100,37 @@ class ReleaseReportSpec extends AnyFunSuite {
       "to produce at least five distinct shingles"
     val rep = report(writeCorpus(cleanRows ++
       Seq((evalId, shared, "en", "a"), (corpusId, shared, "en", "a"))))
-    val (risk, leak, contam, ok) = rep("a")
+    val (risk, leak, contam, xcontam, ok) = rep("a")
     assert(contam == 1L,
       s"exactly the corpus-side doc is contaminated, got $contam")
-    assert(leak == 0L && risk == 0L && !ok)
-    assert(rep("b")._4, "source b must stay releasable")
+    assert(leak == 0L && risk == 0L && xcontam == 0L && !ok)
+    assert(rep("b")._5, "source b must stay releasable")
+  }
+
+  test("a planted TRANSLATION of an eval doc flips releasable via the " +
+    "cross-lingual contamination column") {
+    import spark.implicits._
+    // six xx docs (class size 6 ≥ K keeps the risk column clean): one
+    // is the planted translation of eval doc 5 (near-identical
+    // embedding), five are orthogonal distractors
+    val xxIds = (250L to 255L)
+    val rows = cleanRows ++
+      Seq((5L, filler(5L), "en", "a")) ++
+      xxIds.map(i => (i, filler(i), "xx", "a"))
+    val dir = writeCorpus(rows)
+    def axis(i: Int): Array[Float] = {
+      val a = new Array[Float](8); a(i) = 1f; a
+    }
+    val embs =
+      Seq((5L, axis(0)), (250L, axis(0))) ++ // 250 = the translation
+        (251L to 255L).zipWithIndex.map { case (i, k) => (i, axis(k + 1)) }
+    embs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rep = report(dir)
+    val (risk, leak, contam, xcontam, ok) = rep("a")
+    assert(xcontam == 1L,
+      s"exactly the planted translation is flagged, got $xcontam")
+    assert(risk == 0L && leak == 0L && contam == 0L && !ok)
+    assert(rep("b")._5, "source b must stay releasable")
   }
 }

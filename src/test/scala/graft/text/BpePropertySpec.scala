@@ -54,4 +54,26 @@ class BpePropertySpec extends AnyFunSuite {
       }
     assert(violations.isEmpty, violations.take(5).mkString("\n"))
   }
+
+  test("fertility partitions the same occurrence mass as the source " +
+    "rollup and respects the character bound") {
+    val dir = "/root/testdata/sf0.001"
+    val bySrc = Bpe.bpeEncode(spark, dir).collect()
+    val byLang = Bpe.bpeFertility(spark, dir).collect()
+    // both rollups partition the same (word, occurrence) corpus
+    assert(bySrc.map(_.getAs[Long]("n_words")).sum ==
+      byLang.map(_.getAs[Long]("n_words")).sum)
+    assert(bySrc.map(_.getAs[Long]("tokens_after")).sum ==
+      byLang.map(_.getAs[Long]("tokens_after")).sum)
+    byLang.foreach { r =>
+      val fert = r.getAs[Double]("fertility")
+      val cpt = r.getAs[Double]("chars_per_token")
+      // tokens per word can never exceed chars per word (merges only
+      // shrink) and never fall below 1; chars/token is therefore ≥ 1
+      assert(fert >= 1.0, s"${r.getAs[String]("lang")}: fertility < 1")
+      assert(cpt >= 1.0, s"${r.getAs[String]("lang")}: chars/token < 1")
+      assert(r.getAs[Long]("tokens_after") <=
+        r.getAs[Long]("chars_before"))
+    }
+  }
 }
