@@ -49,13 +49,12 @@ object ReleaseReport {
           .as("n_near_dup"),
         sum(when(col("verdict") === "quality", 1L).otherwise(0L))
           .as("n_quality"))
-    val risk = Tables.parallel(s, dir, "documents")
-      .select(col("lang"), col("source"),
-        expr(s"length(text) div ${KAnonymity.LenBucket}").as("len_bucket"))
-      .groupBy("lang", "source", "len_bucket")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") < KAnonymity.KAnon)
-      .groupBy("source").agg(sum("n").as("n_risk_docs"))
+    // the audit gate's OWN class relation ([[KAnonymity.classCounts]]),
+    // re-aggregated per source — the risk column cannot use a different
+    // key than the audit it re-reads
+    val risk = KAnonymity.classCounts(Tables.parallel(s, dir, "documents"))
+      .filter(col("class_size") < KAnonymity.KAnon)
+      .groupBy("source").agg(sum("class_size").as("n_risk_docs"))
     val leakPairs = Sampling.splitLeakage(s, dir)
     val leak = leakPairs.select(col("a_id").as("doc_id"))
       .unionByName(leakPairs.select(col("b_id").as("doc_id")))
@@ -99,48 +98,22 @@ object ReleaseReport {
     "release_report" -> releaseReport)
 
   /** Oracle: the funnel verdicts, k-anon risk rollup, cross-split leak
-    * docs and contamination docs replayed in one WITH — each sub-chain
-    * is the corresponding standalone gate's proven oracle. */
+    * docs and both contamination kinds replayed in one WITH — each
+    * sub-chain is the corresponding standalone gate's oracle builder
+    * ([[DropAudit.verdictsCtes]], [[Sampling.splitCte]],
+    * [[graft.sim.BitextMine.decontamCtes]], the shared lshpairs/shingle
+    * CTEs), stated ONCE in the codebase so the composed gate cannot
+    * drift from its parts. NOTE the translated-contamination sub-chain
+    * reads the embeddings table unconditionally: the oracle runs only
+    * on the driver's full sf dirs; the engine's no-embeddings zero
+    * branch (fd-style corpora) is spec-covered, not oracle-covered. */
   def oracles: Map[String, String] = {
-    import graft.text.TextQueries._
     // lshPairsCte already begins with the shared `sh` shingle CTE — the
     // contamination sub-chain reuses it rather than redefining it
     val lsh = graft.dedup.DedupQueries.lshPairsCte
     Map("release_report" ->
       (s"WITH RECURSIVE $lsh,\n" +
-        s"""edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
-          |          UNION SELECT b_id, a_id FROM lshpairs),
-          |reach(a, b) AS (
-          |  SELECT src, src FROM edges
-          |  UNION
-          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
-          |         FROM reach GROUP BY a),
-          |exk AS (SELECT doc_id,
-          |          min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
-          |        FROM documents),
-          |wq AS (SELECT doc_id,
-          |         list_filter(string_split(text, ' '), x -> x <> '') AS w
-          |       FROM documents),
-          |g AS (SELECT doc_id FROM wq WHERE len(w) >= 1
-          |        AND (len(w) BETWEEN $GopherMinWords AND $GopherMaxWords)
-          |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
-          |            / len(w) >= $GopherMinMeanLen
-          |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
-          |            / len(w) <= $GopherMaxMeanLen
-          |        AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-          |            * 1.0 / len(w) >= $GopherMinAlphaFrac
-          |        AND len(list_filter(w, x -> x IN ($stopListSql)))
-          |            >= $GopherMinStopHits),
-          |verdicts AS (SELECT d.doc_id, d.source,
-          |  CASE WHEN e.keeper <> d.doc_id THEN 'exact_dup'
-          |       WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
-          |         THEN 'near_dup'
-          |       WHEN d.doc_id NOT IN (SELECT doc_id FROM g) THEN 'quality'
-          |       ELSE 'kept' END AS verdict
-          |  FROM documents d
-          |  JOIN exk e ON e.doc_id = d.doc_id
-          |  LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        s"""${DropAudit.verdictsCtes},
           |byv AS (SELECT source, count(*)::BIGINT AS n_docs,
           |  count(*) FILTER (verdict = 'kept')::BIGINT AS n_kept,
           |  count(*) FILTER (verdict = 'exact_dup')::BIGINT AS n_exact_dup,
@@ -153,13 +126,7 @@ object ReleaseReport {
           |      count(*) AS n
           |    FROM documents GROUP BY 1, 2, 3)
           |  WHERE n < ${KAnonymity.KAnon} GROUP BY source),
-          |sp AS (SELECT doc_id,
-          |  CASE WHEN ('0x' || substr(sha256('split|' || doc_id), 1, 8))::BIGINT
-          |         % 100 < 80 THEN 'train'
-          |       WHEN ('0x' || substr(sha256('split|' || doc_id), 1, 8))::BIGINT
-          |         % 100 < 90 THEN 'val'
-          |       ELSE 'test' END AS split
-          |  FROM documents),
+          |${Sampling.splitCte},
           |leakdocs AS (SELECT DISTINCT doc_id FROM (
           |    SELECT l.a_id AS doc_id FROM lshpairs l
           |      JOIN sp sa ON sa.doc_id = l.a_id

@@ -450,9 +450,12 @@ object StreamingPlanDigest {
     dirs.foreach { d =>
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      if (java.nio.file.Files.exists(root)) {
+        val s = java.nio.file.Files.walk(root)
+        try s.iterator().asScala.toSeq
           .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally s.close()
+      }
     }
 
   // Lock I/O — same minimal JSON subset as PlanDigest (no JSON dep).

@@ -840,11 +840,10 @@ object BitextMine {
 
   def oracles: Map[String, String] = {
     val base = Map(
+      // one statement of the decontam chain ([[decontamCtes]] — shared
+      // with the release-report oracle); the unused xflag CTE is inert
       "bitext_decontam" ->
-        s"""WITH ${dvCtesWith(s"lang = '$SrcLang' AND doc_id < " +
-             graft.dedup.DedupQueries.DecontamEvalDocs)},
-          |${brutePairs("")},
-          |${marginChain("")}
+        s"""WITH $decontamCtes
           |SELECT src_id AS eval_id, tgt_lang, tgt_id,
           |  round(cos, 4) AS cosine, round(margin, 4) AS margin, mutual
           |FROM fwd WHERE margin >= $MarginThresh""".stripMargin,

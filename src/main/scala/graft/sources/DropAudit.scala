@@ -67,47 +67,58 @@ object DropAudit {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "drop_audit" -> dropAudit)
 
-  /** Oracle: the funnel tiers replayed with their keepers kept. */
-  def oracles: Map[String, String] = {
+  /** The funnel-verdict CTE chain (composes after
+    * [[graft.dedup.DedupQueries.lshPairsCte]]), ending in
+    * `verdicts(doc_id, source, verdict, keeper_id)` — THE single
+    * statement of the funnel-precedence rules in SQL, shared with the
+    * release-report oracle so the composed gate can never drift from
+    * this one. */
+  private[graft] def verdictsCtes: String = {
     import graft.text.TextQueries._
+    s"""edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
+      |          UNION SELECT b_id, a_id FROM lshpairs),
+      |reach(a, b) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+      |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+      |         FROM reach GROUP BY a),
+      |exk AS (SELECT doc_id,
+      |          min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+      |        FROM documents),
+      |wq AS (SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |       FROM documents),
+      |g AS (SELECT doc_id FROM wq WHERE len(w) >= 1
+      |        AND (len(w) BETWEEN $GopherMinWords AND $GopherMaxWords)
+      |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
+      |            / len(w) >= $GopherMinMeanLen
+      |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
+      |            / len(w) <= $GopherMaxMeanLen
+      |        AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+      |            * 1.0 / len(w) >= $GopherMinAlphaFrac
+      |        AND len(list_filter(w, x -> x IN ($stopListSql)))
+      |            >= $GopherMinStopHits),
+      |verdicts AS (SELECT d.doc_id, d.source,
+      |  CASE WHEN e.keeper <> d.doc_id THEN 'exact_dup'
+      |       WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+      |         THEN 'near_dup'
+      |       WHEN d.doc_id NOT IN (SELECT doc_id FROM g) THEN 'quality'
+      |       ELSE 'kept' END AS verdict,
+      |  CASE WHEN e.keeper <> d.doc_id THEN e.keeper
+      |       WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+      |         THEN c.cluster_id
+      |       ELSE NULL END::BIGINT AS keeper_id
+      |FROM documents d
+      |JOIN exk e ON e.doc_id = d.doc_id
+      |LEFT JOIN comp c ON c.doc_id = d.doc_id)""".stripMargin
+  }
+
+  /** Oracle: the funnel tiers replayed with their keepers kept. */
+  def oracles: Map[String, String] =
     Map("drop_audit" ->
       (s"WITH RECURSIVE ${graft.dedup.DedupQueries.lshPairsCte},\n" +
-        s"""edges AS (SELECT a_id AS src, b_id AS dst FROM lshpairs
-          |          UNION SELECT b_id, a_id FROM lshpairs),
-          |reach(a, b) AS (
-          |  SELECT src, src FROM edges
-          |  UNION
-          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id
-          |         FROM reach GROUP BY a),
-          |exk AS (SELECT doc_id,
-          |          min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
-          |        FROM documents),
-          |wq AS (SELECT doc_id,
-          |         list_filter(string_split(text, ' '), x -> x <> '') AS w
-          |       FROM documents),
-          |g AS (SELECT doc_id FROM wq WHERE len(w) >= 1
-          |        AND (len(w) BETWEEN $GopherMinWords AND $GopherMaxWords)
-          |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
-          |            / len(w) >= $GopherMinMeanLen
-          |        AND list_sum(list_transform(w, x -> length(x))) * 1.0
-          |            / len(w) <= $GopherMaxMeanLen
-          |        AND len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-          |            * 1.0 / len(w) >= $GopherMinAlphaFrac
-          |        AND len(list_filter(w, x -> x IN ($stopListSql)))
-          |            >= $GopherMinStopHits)
-          |SELECT d.doc_id, d.source,
-          |  CASE WHEN e.keeper <> d.doc_id THEN 'exact_dup'
-          |       WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
-          |         THEN 'near_dup'
-          |       WHEN d.doc_id NOT IN (SELECT doc_id FROM g) THEN 'quality'
-          |       ELSE 'kept' END AS verdict,
-          |  CASE WHEN e.keeper <> d.doc_id THEN e.keeper
-          |       WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
-          |         THEN c.cluster_id
-          |       ELSE NULL END::BIGINT AS keeper_id
-          |FROM documents d
-          |JOIN exk e ON e.doc_id = d.doc_id
-          |LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin))
-  }
+        s"""$verdictsCtes
+          |SELECT doc_id, source, verdict, keeper_id
+          |FROM verdicts""".stripMargin))
 }

@@ -40,8 +40,12 @@ object ModelStore {
   private def versionDirs(base: String): Seq[(Int, Path)] = {
     val root = Paths.get(base)
     if (!Files.isDirectory(root)) Seq.empty
-    else Files.list(root).iterator().asScala.toSeq
-      .flatMap(p => versionOf(p).map(_ -> p)).sortBy(_._1)
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala.toSeq
+        .flatMap(p => versionOf(p).map(_ -> p)).sortBy(_._1)
+      finally s.close()
+    }
   }
 
   private def isCommitted(p: Path): Boolean =
@@ -101,7 +105,10 @@ object ModelStore {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverseIterator
         .foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
 }

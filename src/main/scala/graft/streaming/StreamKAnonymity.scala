@@ -32,13 +32,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * ∝ batch. */
 object StreamKAnonymity {
 
-  /** The audit's class-count relation over any (lang, source, text)
-    * batch — the same key the batch gate uses. */
+  /** The audit's class-count relation — the batch gate's OWN
+    * definition ([[KAnonymity.classCounts]]), not a twin restatement,
+    * so the streamed key can never drift from the audited one. */
   def classCounts(docs: DataFrame): DataFrame =
-    docs.select(col("lang"), col("source"),
-        expr(s"length(text) div ${KAnonymity.LenBucket}").as("len_bucket"))
-      .groupBy("lang", "source", "len_bucket")
-      .agg(count(lit(1)).as("class_size"))
+    KAnonymity.classCounts(docs)
 
   /** Monoid merge: counts add by class key. */
   def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =

@@ -206,9 +206,35 @@ object Bpe {
     * per-occurrence fold. The oracle is built AFTER training by inlining
     * the merge literals into a chain of DuckDB `list_reduce` folds (list-
     * of-lists accumulator — bit-identical greedy semantics). */
+  // one-slot memo for the trained merge list — bpe_encode,
+  // bpe_fertility and the model roundtrip share ONE tokenizer per
+  // corpus (training is the dominant cost: KMerges distributed
+  // pair-count rounds); keyed by (session, dir, source stamp), the
+  // EmbedPca/QualityClassifier eviction policy
+  private var lastMerges: Option[((SparkSession, String, Long),
+    Seq[(String, String)])] = None
+
+  /** The corpus's trained merge list (memoized; deterministic, so a
+    * fresh retrain gives the identical list). */
+  def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    synchronized {
+      val key = (s, dir, Tables.sourceStamp(dir, "documents"))
+      lastMerges match {
+        case Some((k, m)) if k == key => m
+        case _ =>
+          val m = trainMerges(
+            symbolizeWeighted(Tables.parallel(s, dir, "documents")),
+            KMerges).map(_._1)
+          lastMerges = Some((key, m)); m
+      }
+    }
+
+  /** Drop the memoized merges (fresh-state hooks). */
+  def release(): Unit = synchronized { lastMerges = None }
+
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(s, dir, "documents")
-    val merges = trainMerges(symbolizeWeighted(docs), KMerges).map(_._1)
+    val merges = trainedMerges(s, dir)
     synchronized { lastEncodeOracle = Some(encodeOracleSql(merges)) }
     encodeWith(docs, merges)
   }
@@ -247,7 +273,7 @@ object Bpe {
     * vocabulary relation, never per occurrence. */
   def bpeFertility(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(s, dir, "documents")
-    val merges = trainMerges(symbolizeWeighted(docs), KMerges).map(_._1)
+    val merges = trainedMerges(s, dir)
     synchronized {
       lastFertilityOracle = Some(
         s"""SELECT lang, n_words, chars_before, tokens_after,

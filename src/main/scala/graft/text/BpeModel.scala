@@ -77,8 +77,7 @@ object BpeModel {
     * the RELOADED merge list, oracled against the trained one. */
   def bpeModelRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallel(s, dir, "documents")
-    val trained = Bpe.trainMerges(Bpe.symbolizeWeighted(docs), Bpe.KMerges)
-      .map(_._1)
+    val trained = Bpe.trainedMerges(s, dir) // memoized, deterministic
     val base = modelDir(dir)
     graft.sources.ModelStore.write(base, p => writeModel(s, p, trained))
     val (_, reloaded, ok) = readLatestValid(s, base)

@@ -63,15 +63,23 @@ object KAnonymity {
   val MaxSuppressNum = 1L
   val MaxSuppressDen = 100L
 
+  /** The audit's class-count relation over any (lang, source, text)
+    * docs relation — THE single statement of the quasi-identifier key,
+    * shared by the batch gate, the streaming auditor
+    * ([[graft.streaming.StreamKAnonymity]]) and the release gate
+    * ([[graft.operators.ReleaseReport]]) so the key cannot drift
+    * between the audit and its consumers. */
+  def classCounts(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("source"),
+        expr(s"length(text) div $LenBucket").as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("class_size"))
+
   /** Gate: every quasi-identifier equivalence class with size and risk
     * flag (the audit; see the object doc for why the surface is the
     * raw documents table). */
   def kAnonymity(s: SparkSession, dir: String): DataFrame =
-    Tables.parallel(s, dir, "documents")
-      .select(col("lang"), col("source"),
-        expr(s"length(text) div $LenBucket").as("len_bucket"))
-      .groupBy("lang", "source", "len_bucket")
-      .agg(count(lit(1)).as("class_size"))
+    classCounts(Tables.parallel(s, dir, "documents"))
       .select(col("lang"), col("source"), col("len_bucket"),
         col("class_size"),
         (col("class_size") < KAnon).as("at_risk"))

@@ -371,6 +371,19 @@ object Sampling {
     "pack_sequences" -> packSequences,
     "length_buckets" -> lengthBuckets)
 
+  /** The hash split assignment as CTE `sp(doc_id, split)` — THE single
+    * SQL statement of [[trainSplit]]'s hash, shared with the
+    * release-report oracle so the composed leakage column can never use
+    * a different split than the gate it re-reads. */
+  private[graft] val splitCte: String =
+    """sp AS (SELECT doc_id,
+      |  CASE WHEN ('0x' || substr(sha256('split|' || doc_id), 1, 8))::BIGINT
+      |         % 100 < 80 THEN 'train'
+      |       WHEN ('0x' || substr(sha256('split|' || doc_id), 1, 8))::BIGINT
+      |         % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "epoch_cap_mix" ->
       s"""WITH d AS (
@@ -466,13 +479,7 @@ object Sampling {
         |WHERE rk <= $CapPerSource""".stripMargin,
     "split_leakage" ->
       (s"WITH ${graft.dedup.DedupQueries.lshPairsCte},\n" +
-        """sp AS (SELECT doc_id,
-          |  CASE WHEN ('0x' || substr(sha256('split|' || doc_id), 1, 8))::BIGINT
-          |         % 100 < 80 THEN 'train'
-          |       WHEN ('0x' || substr(sha256('split|' || doc_id), 1, 8))::BIGINT
-          |         % 100 < 90 THEN 'val'
-          |       ELSE 'test' END AS split
-          |  FROM documents)
+        s"""$splitCte
           |SELECT l.a_id, l.b_id, sa.split AS split_a, sb.split AS split_b,
           |  l.jaccard
           |FROM lshpairs l

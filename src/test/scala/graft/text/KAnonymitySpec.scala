@@ -66,6 +66,21 @@ class KAnonymitySpec extends AnyFunSuite {
     assert(c4 == 1L && s4 == 0L && wb4)
   }
 
+  test("apply agrees with generalize: same chosen level, same suppressed " +
+    "mass, suppression exactly the sub-K classes") {
+    val gen = KAnonymity.kAnonGeneralize(spark, dir).collect()
+    val chosenRow = gen.find(_.getAs[Boolean]("chosen")).get
+    val level = chosenRow.getAs[Long]("level")
+    val suppressed = chosenRow.getAs[Long]("suppressed")
+    val applied = KAnonymity.kAnonApply(spark, dir).collect()
+    assert(applied.forall(_.getAs[Long]("level") == level),
+      "every doc must be keyed at the generalize gate's chosen level")
+    assert(applied.count(_.getAs[Boolean]("suppressed")).toLong == suppressed,
+      "per-doc suppression mass must equal the generalize readout")
+    val total = graft.Tables(spark, dir, "documents").count()
+    assert(applied.length.toLong == total, "one verdict per document")
+  }
+
   test("coarsening monotonicity: wider buckets can only merge classes") {
     // the same corpus bucketed at 1-char granularity has at least as
     // many classes (and so at least as much risk) as the gate's
