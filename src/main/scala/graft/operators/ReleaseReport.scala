@@ -36,6 +36,17 @@ import org.apache.spark.sql.functions._
   * Everything after is sources-sized, broadcast-joined. */
 object ReleaseReport {
 
+  /** Whether the corpus ships an embedding space — probed through the
+    * SAME resolution path [[Tables]] uses (a Spark read attempt), so the
+    * answer is correct on any filesystem the tables actually live on
+    * (HDFS/object storage included); the former `java.io.File` check was
+    * local-FS-only and silently zeroed the xcontam column elsewhere. */
+  private def hasEmbeddings(s: SparkSession, dir: String): Boolean =
+    try { Tables(s, dir, "embeddings"); true }
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => false
+    }
+
   def releaseReport(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"))
@@ -70,7 +81,7 @@ object ReleaseReport {
     // column is zero there (stated, not silent: the schema keeps the
     // column either way)
     val xcontam =
-      if (new java.io.File(s"$dir/embeddings.parquet").exists())
+      if (hasEmbeddings(s, dir))
         graft.sim.BitextMine.bitextDecontam(s, dir)
           .select(col("tgt_id").as("doc_id")).distinct()
           .join(docs, "doc_id")

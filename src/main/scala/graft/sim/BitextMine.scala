@@ -98,8 +98,11 @@ object BitextMine {
     * regime (the top-1 probe cell IS the argmin assignment cell) and
     * P=[[Ivf.NLists]] retrieves the full batch (the brute regime) — so
     * the curve is pinned to the certified single-probe floor below and
-    * exhaustive recall above. */
-  val MineProbes: Seq[Int] = Seq(1, 2, MineNProbe, 8, Ivf.NLists)
+    * exhaustive recall above. `distinct.sorted` so retuning
+    * [[MineNProbe]] onto an endpoint or another sweep point can never
+    * double-count a depth (a duplicate would union the same mined
+    * relation twice and corrupt every curve count downstream). */
+  val MineProbes: Seq[Int] = Seq(1, 2, MineNProbe, 8, Ivf.NLists).distinct.sorted
 
   /** Ratio-margin mining threshold (paper operating range 1.04–1.2;
     * 1.15 keeps the fixture relation non-empty at every SF while

@@ -1,7 +1,7 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Versioned model-artifact store — the lifecycle discipline
   * [[graft.streaming.StreamManifest]] gives the corpus manifests,
@@ -17,98 +17,130 @@ import scala.jdk.CollectionConverters._
   * torn tails newer than them, which the next write's prune sweeps once
   * they are older than a committed successor).
   *
-  * Scale: everything here is model-bounded metadata IO (a directory
-  * listing plus artifact files ∝ model size, never corpus). Version
-  * allocation is JVM-synchronized — the local-mode stand-in for the
-  * object-store conditional-put a cluster deployment would use; the
-  * on-disk layout (immutable version dirs + marker files) is exactly
-  * the layout that protocol needs. */
+  * All IO goes through the Hadoop [[FileSystem]] API, resolved per base
+  * URI from the active Spark session's Hadoop conf — so the SAME store
+  * serves a bare local path, a `file:///` URI, or the HDFS/object-store
+  * paths a cluster's artifacts actually live on (the round-11
+  * `java.nio.file` implementation silently saw an empty directory
+  * there). Everything here is model-bounded metadata IO (a directory
+  * listing plus artifact files ∝ model size, never corpus).
+  *
+  * Concurrency: version allocation claims its number with an ATOMIC
+  * create-exclusive of the version's [[AllocMarker]]
+  * (`FileSystem.create(…, overwrite = false)` — the conditional-put
+  * primitive; two writers racing the same number see exactly one
+  * winner, the loser retries at the next number). Within a JVM, writers
+  * AND readers serialize on the object monitor so a reader's
+  * list-validate walk can never race a concurrent prune deleting an
+  * aged version mid-iteration. */
 object ModelStore {
 
   /** Committed versions retained after each write. */
   val Keep = 3
 
   private val CommitMarker = "_COMMITTED"
+  private val AllocMarker = "_ALLOCATED"
   private val VRe = "^v=(\\d+)$".r
 
+  /** The filesystem owning `base` (scheme-resolved: local path, file://,
+    * hdfs://, s3a://, …), with the active session's Hadoop conf when one
+    * exists. */
+  private def fsFor(base: String): (FileSystem, Path) = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+    val p = new Path(base)
+    (p.getFileSystem(conf), p)
+  }
+
   private def versionOf(p: Path): Option[Int] =
-    p.getFileName.toString match {
+    p.getName match {
       case VRe(n) => Some(n.toInt)
       case _ => None
     }
 
-  private def versionDirs(base: String): Seq[(Int, Path)] = {
-    val root = Paths.get(base)
-    if (!Files.isDirectory(root)) Seq.empty
-    else {
-      val s = Files.list(root)
-      try s.iterator().asScala.toSeq
-        .flatMap(p => versionOf(p).map(_ -> p)).sortBy(_._1)
-      finally s.close()
-    }
+  private def versionDirs(fs: FileSystem, root: Path): Seq[(Int, Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => versionOf(st.getPath).map(_ -> st.getPath))
+      .sortBy(_._1)
+
+  private def isCommitted(fs: FileSystem, p: Path): Boolean =
+    fs.exists(new Path(p, CommitMarker))
+
+  /** Committed versions, ascending. Synchronized against a concurrent
+    * in-JVM write's prune. */
+  def committedVersions(base: String): Seq[Int] = synchronized {
+    val (fs, root) = fsFor(base)
+    versionDirs(fs, root).filter(v => isCommitted(fs, v._2)).map(_._1)
   }
-
-  private def isCommitted(p: Path): Boolean =
-    Files.exists(p.resolve(CommitMarker))
-
-  /** Committed versions, ascending. */
-  def committedVersions(base: String): Seq[Int] =
-    versionDirs(base).filter(v => isCommitted(v._2)).map(_._1)
 
   /** Path of a version directory (exists or not). */
   def versionPath(base: String, v: Int): String = s"$base/v=$v"
 
+  /** Atomically claim version `v`: create its directory and then its
+    * alloc marker with overwrite=false — the create-exclusive is the
+    * conditional put; exactly one of two racing writers wins. */
+  private def tryClaim(fs: FileSystem, base: String, v: Int): Boolean = {
+    val dir = new Path(versionPath(base, v))
+    fs.mkdirs(dir)
+    try { fs.create(new Path(dir, AllocMarker), false).close(); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(new Path(dir, AllocMarker)) =>
+        false
+    }
+  }
+
   /** Write a new version: allocate max+1 (torn dirs included — a
-    * version number is never reused), run the writer into the fresh
-    * directory, then commit via the marker file and prune. Returns the
-    * committed version number. */
+    * version number is never reused) via the atomic claim retry loop,
+    * run the writer into the fresh directory, then commit via the
+    * marker file and prune. Returns the committed version number. */
   def write(base: String, writer: String => Unit): Int = synchronized {
-    val next = versionDirs(base).lastOption.map(_._1 + 1).getOrElse(1)
-    val dir = Paths.get(versionPath(base, next))
-    Files.createDirectories(dir)
-    writer(dir.toString)
-    Files.createFile(dir.resolve(CommitMarker))
-    prune(base)
+    val (fs, root) = fsFor(base)
+    var next = versionDirs(fs, root).lastOption.map(_._1 + 1).getOrElse(1)
+    while (!tryClaim(fs, base, next)) next += 1
+    val dir = versionPath(base, next)
+    writer(dir)
+    fs.create(new Path(dir, CommitMarker), false).close()
+    prune(fs, root)
     next
   }
 
   /** Newest committed version whose content passes `validate` (which
     * must return false — or throw — on a corrupt artifact). A version
     * that fails validation is skipped, NOT deleted: it is evidence, and
-    * retention will age it out. */
+    * retention will age it out. Synchronized so the walk can never race
+    * an in-JVM prune. */
   def latestValid(base: String,
                   validate: String => Boolean): Option[(Int, String)] =
-    versionDirs(base).reverseIterator
-      .filter(v => isCommitted(v._2))
-      .map { case (v, p) => (v, p.toString) }
-      .find { case (_, p) =>
-        try validate(p)
-        catch { case scala.util.control.NonFatal(_) => false }
-      }
+    synchronized {
+      val (fs, root) = fsFor(base)
+      versionDirs(fs, root).reverseIterator
+        .filter(v => isCommitted(fs, v._2))
+        .map { case (v, _) => (v, versionPath(base, v)) }
+        .find { case (_, p) =>
+          try validate(p)
+          catch { case scala.util.control.NonFatal(_) => false }
+        }
+    }
 
   /** Keep the newest [[Keep]] committed versions; delete older
     * committed ones and any uncommitted (torn) directory older than the
     * newest committed version. */
-  private def prune(base: String): Unit = {
-    val dirs = versionDirs(base)
-    val committed = dirs.filter(v => isCommitted(v._2)).map(_._1)
+  private def prune(fs: FileSystem, root: Path): Unit = {
+    val dirs = versionDirs(fs, root)
+    val committed = dirs.filter(v => isCommitted(fs, v._2)).map(_._1)
     if (committed.nonEmpty) {
       val keepFrom = committed.takeRight(Keep).head
       val newestCommitted = committed.last
       dirs.foreach { case (v, p) =>
         val drop =
-          if (isCommitted(p)) v < keepFrom
+          if (isCommitted(fs, p)) v < keepFrom
           else v < newestCommitted
-        if (drop) deleteRecursively(p)
+        if (drop) fs.delete(p, true)
       }
     }
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.iterator().asScala.toSeq.reverseIterator
-        .foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
 }

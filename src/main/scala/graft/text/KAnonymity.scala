@@ -140,6 +140,63 @@ object KAnonymity {
         coalesce(col("level") === col("min_ok"), lit(false)).as("chosen"))
   }
 
+  /** Each doc's 5 ladder keys, one row per (doc, level). */
+  private def keyedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("len"))
+      .select(col("doc_id"), explode(ladderKeys).as("k"))
+      .select(col("doc_id"), col("k.level").as("level"),
+        col("k.k_lang").as("k_lang"), col("k.k_source").as("k_source"),
+        col("k.k_bucket").as("k_bucket"))
+
+  // one-slot memo for the chosen level + its (domain-bounded,
+  // materialized) ladder class relation — shared by the apply gate and
+  // the release report's remediated-risk column, keyed on the table
+  // stamp so an in-place rewrite rebuilds
+  private var chosenMemo: Option[(Any, (Long, DataFrame))] = None
+
+  /** The ladder-level CHOICE materialized: the class-count relation over
+    * all 5 ladder levels (checkpointed — domain-bounded, never
+    * corpus-sized) and the minimal level within the suppression budget.
+    * FAILS LOUDLY (IllegalStateException) when no level qualifies —
+    * reachable only for corpora smaller than [[KAnon]] docs, where even
+    * the everything-in-one-class level 4 stays sub-K; silently emitting
+    * an empty publishable relation there would be indistinguishable
+    * from an empty corpus for a publisher. */
+  private[graft] def chosenClasses(s: SparkSession,
+                                   dir: String): (Long, DataFrame) =
+    synchronized {
+      val key = (s, dir, Tables.sourceStamp(dir, "documents"))
+      chosenMemo match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val classes = keyedDocs(s, dir)
+            .groupBy("level", "k_lang", "k_source", "k_bucket")
+            .agg(count(lit(1)).as("class_size"))
+            .localCheckpoint(true)
+          val lvls = classes.groupBy("level").agg(
+            sum(when(col("class_size") < KAnon, col("class_size"))
+              .otherwise(0L)).as("suppressed"),
+            sum(col("class_size")).as("n_total"))
+            .filter(col("suppressed") * MaxSuppressDen <=
+              col("n_total") * MaxSuppressNum)
+            .agg(min("level").as("level"))
+            .collect()
+          val level = Option(lvls.head).filterNot(_.isNullAt(0))
+            .map(_.getLong(0))
+            .getOrElse(throw new IllegalStateException(
+              s"k-anonymity generalization: no ladder level satisfies the " +
+                s"$MaxSuppressNum/$MaxSuppressDen suppression budget " +
+                s"(corpus smaller than K=$KAnon?) — nothing is publishable"))
+          val v = (level, classes)
+          chosenMemo = Some((key, v)); v
+      }
+    }
+
+  /** Drop the memoized choice (plan-lock fresh-state hook). */
+  def release(): Unit = synchronized { chosenMemo = None }
+
   /** Gate: the APPLICATION of the chosen generalization — one row per
     * document with its quasi-identifier class AT THE CHOSEN LEVEL
     * (dropped attributes NULL) and the suppression verdict (its class
@@ -147,37 +204,22 @@ object KAnonymity {
     * executes: publish the generalized attributes, withhold the
     * suppressed rows; [[kAnonGeneralize]] proves the level choice,
     * this gate materializes its consequences per document. Scale: the
-    * ladder rollup (one scan, the generalize shape) picks the level;
-    * a second scan joins each doc's 5 ladder keys to the broadcast
-    * chosen level and the domain-bounded chosen-level class sizes —
-    * output ∝ docs by design. */
+    * ladder rollup (one scan, the generalize shape) picks the level —
+    * eagerly, so an unsatisfiable budget throws instead of emitting a
+    * silently-empty publishable relation; a second scan joins each
+    * doc's chosen-level key to the domain-bounded chosen-level class
+    * sizes — output ∝ docs by design. */
   def kAnonApply(s: SparkSession, dir: String): DataFrame = {
-    val keyed = Tables.parallel(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"),
-        length(col("text")).cast("long").as("len"))
-      .select(col("doc_id"), explode(ladderKeys).as("k"))
-      .select(col("doc_id"), col("k.level").as("level"),
-        col("k.k_lang").as("k_lang"), col("k.k_source").as("k_source"),
-        col("k.k_bucket").as("k_bucket"))
-    val classes = keyed
-      .groupBy("level", "k_lang", "k_source", "k_bucket")
-      .agg(count(lit(1)).as("class_size"))
-    val chosen = classes.groupBy("level").agg(
-      sum(when(col("class_size") < KAnon, col("class_size"))
-        .otherwise(0L)).as("suppressed"),
-      sum(col("class_size")).as("n_total"))
-      .filter(col("suppressed") * MaxSuppressDen <=
-        col("n_total") * MaxSuppressNum)
-      .agg(min("level").as("level"))
+    val (level, classes) = chosenClasses(s, dir)
     // dropped attributes are NULL at coarse levels — the class join
     // must be null-SAFE (<=>; the oracle mirrors with IS NOT DISTINCT
     // FROM). Inner join: every doc's chosen-level key has a class row
     // by construction (it contributed to the count).
-    val cls = classes.join(broadcast(chosen), "level")
+    val cls = classes.filter(col("level") === level)
       .select(col("k_lang").as("c_lang"), col("k_source").as("c_source"),
         col("k_bucket").as("c_bucket"), col("class_size"))
-    keyed
-      .join(broadcast(chosen), "level")
+    keyedDocs(s, dir)
+      .filter(col("level") === level)
       .join(broadcast(cls),
         col("k_lang") <=> col("c_lang") &&
           col("k_source") <=> col("c_source") &&

@@ -30,6 +30,7 @@ class PlanLockSpec extends AnyFunSuite {
     graft.sim.GraphStats.release()
     graft.sim.EmbedPca.release()
     graft.text.QualityClassifier.release()
+    graft.text.KAnonymity.release()
     // clearCache() above removes the memoized media table's cache entry
     // while the memo still holds the Dataset — later media plans would
     // silently lose their InMemoryTableScan; drop the memo so the digest

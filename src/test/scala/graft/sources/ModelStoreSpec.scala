@@ -88,6 +88,34 @@ class ModelStoreSpec extends AnyFunSuite {
       "rolled-back coefficients must be bit-exact")
   }
 
+  test("the store works against an explicit file:/// URI base (the " +
+    "Hadoop FileSystem path a cluster deployment resolves)") {
+    import graft.sim.IvfModel
+    val local = tmpBase()
+    val base = "file://" + local // non-default URI scheme, same payload
+    val good = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    val v1 = ModelStore.write(base, p => IvfModel.writeModel(spark, p, good))
+    assert(v1 == 1)
+    assert(ModelStore.committedVersions(base) == Seq(1))
+    // the version landed where the local-path view expects it, with its
+    // commit marker
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(local, "v=1", "_COMMITTED")))
+    // retention + torn-write laws hold identically through the URI
+    intercept[RuntimeException] {
+      ModelStore.write(base, _ => throw new RuntimeException("torn"))
+    }
+    (3 to 6).foreach { _ =>
+      ModelStore.write(base, p => IvfModel.writeModel(spark, p, good))
+    }
+    assert(ModelStore.committedVersions(base) == Seq(4, 5, 6))
+    val got = ModelStore.latestValid(base,
+      p => IvfModel.readModel(spark, p)._2)
+    assert(got.map(_._1).contains(6), s"latestValid through the URI: $got")
+    val centers = IvfModel.readModel(spark, got.get._2)._1
+    assert(centers.map(_.toSeq).toSeq == good.map(_.toSeq).toSeq)
+  }
+
   test("corrupt-a-byte: one flipped quality weight reds the manifest") {
     import graft.text.QualityModel
     val dir = java.nio.file.Files

@@ -25,6 +25,27 @@ class KAnonymitySpec extends AnyFunSuite {
       "fixture must carry both at-risk and safe classes")
   }
 
+  test("apply fails loudly when no ladder level satisfies the budget " +
+    "(corpus smaller than K) instead of emitting an empty relation") {
+    import spark.implicits._
+    val tiny = java.nio.file.Files
+      .createTempDirectory("graft-kanon-tiny").toString
+    // 2 docs < K=5: even the everything-in-one-class level 4 is sub-K,
+    // so 100% of the corpus would need suppression — over any budget
+    Seq((1L, "alpha bravo charlie", "en", "a"),
+        (2L, "delta echo foxtrot", "en", "a"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tiny/documents.parquet")
+    val e = intercept[IllegalStateException] {
+      KAnonymity.kAnonApply(spark, tiny)
+    }
+    assert(e.getMessage.contains("suppression budget"),
+      s"must name the unsatisfiable budget: ${e.getMessage}")
+    // the ladder readout itself stays total (all 5 rows, none chosen)
+    val gen = KAnonymity.kAnonGeneralize(spark, tiny).collect()
+    assert(gen.length == 5 && gen.forall(!_.getAs[Boolean]("chosen")))
+  }
+
   test("generalization ladder: suppressed mass is monotone non-increasing, " +
     "the chosen level is the minimal one within budget, and level 0 " +
     "agrees with the audit gate") {
