@@ -439,6 +439,35 @@ object StreamingPlanDigest {
           q.stop()
           cleanDirs(base, ckpt)
         }
+      },
+      // the tuned production loop: each candidate language mines at the
+      // depth a tiny literal choice table assigns it (the shipped
+      // bitext_probe_choice artifact stand-in)
+      "bitext_waves_tuned" -> { () =>
+        val mem = MemoryStream[(Long, String, Array[Float])]
+        val cands = spark.range(1).selectExpr("2L AS doc_id",
+          "'xx' AS lang", "array(0.5f, 0.5f) AS embedding", "0 AS cell")
+        val centers = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+        val choice = spark.range(1)
+          .selectExpr("'xx' AS lang", "2L AS nprobe")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-bitext-tn-twin").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-bitext-tn-twin-ckpt").toString
+        val q = StreamBitext.mineWavesTuned(
+          mem.toDS().toDF("doc_id", "lang", "embedding"), cands, centers,
+          choice, base, ckpt)
+        try {
+          mem.addData((1L, "en", Array(1f, 0f)))
+          q.processAllAvailable()
+          val exec = q.asInstanceOf[StreamingQueryWrapper]
+            .streamingQuery.lastExecution
+          require(exec != null, "no micro-batch executed")
+          outlineOf(exec.executedPlan)
+        } finally {
+          q.stop()
+          cleanDirs(base, ckpt)
+        }
       })
 
     twins.map { case (n, f) => n -> f() }.sortBy(_._1)

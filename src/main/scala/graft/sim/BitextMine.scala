@@ -155,6 +155,13 @@ object BitextMine {
   /** Multiprobe IVF: batch members whose top-P probe cells (`pcells`
     * on the batch side) include the candidate's cell. */
   private[sim] case object MaskProbes extends CandMask
+  /** Per-language-tuned multiprobe: the candidate's own `nprobe` column
+    * (its language's certified minimal depth — [[bitextProbeChoice]])
+    * decides how deep into the batch side's full-depth `pcells` prefix
+    * it retrieves. The production regime once the choice table ships:
+    * pair cost ∝ Σ over languages of P(lang)/cells instead of the
+    * global max. */
+  private[sim] case object MaskChosen extends CandMask
 
   /** Batch slice / candidate slice of a doc-vector relation — the
     * QMod/QCap mining-wave unit shared by every regime. */
@@ -210,7 +217,7 @@ object BitextMine {
       case MaskCell =>
         struct(col("doc_id").as("src_id"), col("embedding").as("semb"),
           col("nrm").as("snrm"), col("cell").as("scell"))
-      case MaskProbes =>
+      case MaskProbes | MaskChosen =>
         struct(col("doc_id").as("src_id"), col("embedding").as("semb"),
           col("nrm").as("snrm"), col("pcells").as("spcells"))
     }
@@ -228,6 +235,14 @@ object BitextMine {
         case MaskProbes =>
           filter(col("batch"),
             b => array_contains(b.getField("spcells"), col("cell")))
+        case MaskChosen =>
+          // the candidate's language-chosen depth slices the batch
+          // side's full-depth probe ranking — P(1)..P(nprobe) is exactly
+          // the uniform-depth-nprobe probe set, so the tuned single pass
+          // equals per-depth uniform runs restricted to each language
+          filter(col("batch"), b => array_contains(
+            slice(b.getField("spcells"), lit(1), col("nprobe").cast("int")),
+            col("cell")))
       })
       .withColumn("cosb", transform(col("cand"), b =>
         dot(col("embedding"), b.getField("semb")) /
@@ -314,6 +329,38 @@ object BitextMine {
     mineWave(batchDv.withColumn("pcells", probeCellsExpr(centers, np)),
       candDvWithCell, MaskProbes)
 
+  /** The TUNED wave pipeline: each candidate language mines at ITS
+    * certified minimal probe depth, read from `choice(lang, nprobe)` —
+    * the per-language table [[bitextProbeChoice]] certifies (shipped
+    * next to the quantizer artifact in production). Batch queries carry
+    * their FULL-depth probe ranking once; each candidate slices it to
+    * its language's depth in-row, so the whole wave is still ONE
+    * zero-shuffle candidate scan and pair cost is Σ_lang P(lang)/cells
+    * of brute — the dial the recall curve built, finally turned. A
+    * language absent from the choice table mines at the global
+    * [[MineNProbe]] default (left join + coalesce), so an uncertified
+    * language degrades to the round-11 behavior instead of vanishing. */
+  def mineWaveChosen(batchDv: DataFrame, candDvWithCell: DataFrame,
+                     centers: Array[Array[Double]],
+                     choice: DataFrame): DataFrame =
+    mineWave(
+      batchDv.withColumn("pcells", probeCellsExpr(centers, centers.length)),
+      candDvWithCell.join(broadcast(choice), Seq("lang"), "left")
+        .withColumn("nprobe",
+          coalesce(col("nprobe").cast("int"), lit(MineNProbe))),
+      MaskChosen)
+
+  /** Forward-best relation with per-language probe depths from the
+    * certified choice table — the production regime the
+    * `bitext_mine_tuned` gate serves. */
+  def forwardBestTuned(s: SparkSession, dir: String): DataFrame = {
+    val dvc = docVecsWithCell(s, dir)
+    val centers = synchronized(lastCenters).get
+    val choice = bitextProbeChoice(s, dir)
+      .select(col("tgt_lang").as("lang"), col("chosen_probe").as("nprobe"))
+    mineWaveChosen(batchSlice(dvc), candSlice(dvc), centers, choice)
+  }
+
   /** The three mining pipelines UN-materialized (one lazy plan each) —
     * the pre-checkpoint shapes `plans_aux.lock` digest-pins and
     * PlanAuditSpec asserts on. The production gates serve memoized
@@ -333,7 +380,21 @@ object BitextMine {
       "bitext_pipeline_multiprobe" ->
         mineWave(batchSlice(dvc)
             .withColumn("pcells", probeCellsExpr(centers, MineNProbe)),
-          candSlice(dvc), MaskProbes, materialize = false))
+          candSlice(dvc), MaskProbes, materialize = false),
+      // the tuned pipeline with a tiny literal choice stand-in (the
+      // streaming-lock discipline: the PLAN shape is what's pinned, and
+      // it does not depend on the choice table's contents — production
+      // reads the shipped per-language table instead)
+      "bitext_pipeline_tuned" ->
+        mineWave(batchSlice(dvc)
+            .withColumn("pcells", probeCellsExpr(centers, Ivf.NLists)),
+          candSlice(dvc)
+            .join(broadcast(
+              s.range(1).selectExpr("'xx' AS lang", "2L AS nprobe")),
+              Seq("lang"), "left")
+            .withColumn("nprobe",
+              coalesce(col("nprobe").cast("int"), lit(MineNProbe))),
+          MaskChosen, materialize = false))
   }
 
   @volatile private var lastCenters: Option[Array[Array[Double]]] = None
@@ -398,10 +459,24 @@ object BitextMine {
     else if (np >= Ivf.NLists) bruteFwd(s, dir)
     else probeFwd(s, dir, np)
 
+  // one-slot memo for the tuned relation (gate + plan digest share it)
+  private var tunedMemo: Option[(Any, DataFrame)] = None
+
+  private def tunedFwd(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = memoKey(s, dir)
+      tunedMemo match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val v = forwardBestTuned(s, dir).localCheckpoint(true)
+          tunedMemo = Some((key, v)); v
+      }
+    }
+
   /** Drop the memoized relations (PlanLockSpec fresh-state hook). */
   def release(): Unit = synchronized {
     bruteMemo = None; ivfMemo = None; probeMemos = Map.empty
-    evalMemo = None
+    evalMemo = None; tunedMemo = None
   }
 
   /** Gate: mined pairs — forward-best candidates above the margin
@@ -434,6 +509,26 @@ object BitextMine {
       .select(col("src_id"), col("tgt_lang"), col("tgt_id"),
         round(col("cos"), 4).as("cosine"),
         round(col("margin"), 4).as("margin"), col("mutual"))
+
+  /** Gate: mined pairs from the TUNED regime — the certification →
+    * choice → production loop CLOSED: each target language mines at the
+    * minimal probe depth [[bitextProbeChoice]] certified against the
+    * exhaustive miner (per-language recall ≥
+    * [[RecallTargetNum]]/[[RecallTargetDen]] of brute BY CONSTRUCTION of
+    * the choice), instead of the fixed global [[MineNProbe]]. The
+    * `chosen_probe` column states each pair's mining depth so the
+    * output is self-describing for a release review. */
+  def bitextMineTuned(s: SparkSession, dir: String): DataFrame = {
+    val choice = bitextProbeChoice(s, dir)
+      .select(col("tgt_lang"), col("chosen_probe"))
+    tunedFwd(s, dir)
+      .filter(col("margin") >= MarginThresh)
+      .join(broadcast(choice), "tgt_lang")
+      .select(col("src_id"), col("tgt_lang"), col("tgt_id"),
+        round(col("cos"), 4).as("cosine"),
+        round(col("margin"), 4).as("margin"), col("mutual"),
+        col("chosen_probe"))
+  }
 
   /** The cross-lingual decontamination wave over an explicit
     * doc-vector relation: queries are the SOURCE-language eval docs
@@ -620,6 +715,7 @@ object BitextMine {
     "bitext_ivf_recall" -> bitextIvfRecall,
     "bitext_recall_curve" -> bitextRecallCurve,
     "bitext_probe_choice" -> bitextProbeChoice,
+    "bitext_mine_tuned" -> bitextMineTuned,
     "bitext_decontam" -> bitextDecontam)
 
   /** The margin pipeline in SQL, reading `${p}pairs(src_id, tgt_id,
@@ -826,6 +922,40 @@ object BitextMine {
       |FROM sat WHERE rk = 1""".stripMargin
   }
 
+  /** Tuned-miner oracle: the per-depth forward-best chains the curve
+    * oracle already states, each restricted to the languages whose
+    * CHOICE is that depth — the pipeline is language-separable (every
+    * shuffle key contains the language or the unilingual tgt_id), so
+    * the engine's single per-language-masked pass equals the per-depth
+    * uniform runs joined to the choice table. */
+  private def tunedSql(centers: Array[Array[Double]]): String = {
+    val (ctes, select) = recallCurveParts(centers)
+    val interior = MineProbes.filter(p => p > 1 && p < Ivf.NLists)
+    val armCols = "src_id, tgt_lang, tgt_id, cos, margin, mutual"
+    val arms =
+      (s"SELECT 1::BIGINT AS nprobe, $armCols FROM ifwd" +:
+        interior.map(np =>
+          s"SELECT ${np}::BIGINT, $armCols FROM p${np}fwd") :+
+        s"SELECT ${Ivf.NLists}::BIGINT, $armCols FROM bfwd")
+        .mkString("\nUNION ALL\n")
+    s"""WITH $ctes,
+      |curve AS (
+      |$select),
+      |sat AS (SELECT *, row_number() OVER (
+      |          PARTITION BY tgt_lang ORDER BY nprobe ASC) AS rk
+      |        FROM curve
+      |        WHERE n_common * $RecallTargetDen >= n_brute * $RecallTargetNum),
+      |choice AS (SELECT tgt_lang, nprobe AS chosen_probe FROM sat
+      |           WHERE rk = 1),
+      |prfull AS (
+      |$arms)
+      |SELECT f.src_id, f.tgt_lang, f.tgt_id, round(f.cos, 4) AS cosine,
+      |  round(f.margin, 4) AS margin, f.mutual, c.chosen_probe
+      |FROM prfull f
+      |JOIN choice c ON c.tgt_lang = f.tgt_lang AND f.nprobe = c.chosen_probe
+      |WHERE f.margin >= $MarginThresh""".stripMargin
+  }
+
   /** A def, not a val: the IVF entries inline the trained centroids and
     * exist only after the pruned gates have run (the Ivf dynamic-oracle
     * convention; Verify dumps oracle SQL last). */
@@ -894,6 +1024,7 @@ object BitextMine {
             |${minedSelect("m")}""".stripMargin,
         "bitext_recall_curve" -> recallCurveSql(centers),
         "bitext_probe_choice" -> probeChoiceSql(centers),
+        "bitext_mine_tuned" -> tunedSql(centers),
         "bitext_ivf_recall" ->
           s"""WITH $dvCtes,
             |${brutePairs("b")},

@@ -67,4 +67,26 @@ object StreamBitext {
         ()
       }
       .start()
+
+  /** The TUNED mining loop — the pruned loop with the per-language
+    * probe-depth table `choice(lang, nprobe)` consumed instead of a
+    * fixed global depth ([[BitextMine.mineWaveChosen]] — shared code
+    * with the `bitext_mine_tuned` gate): each wave retrieves every
+    * candidate language at its certified minimal depth, so wave pair
+    * cost is Σ_lang P(lang)/cells of brute. The choice table is the
+    * artifact `bitext_probe_choice` certifies, shipped next to the
+    * quantizer exactly like the centroid array. */
+  def mineWavesTuned(waves: DataFrame, candidatesWithCell: DataFrame,
+                     centers: Array[Array[Double]], choice: DataFrame,
+                     base: String, checkpoint: String): StreamingQuery =
+    waves.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BitextMine.mineWaveChosen(batch, candidatesWithCell, centers, choice)
+          .filter(org.apache.spark.sql.functions.col("margin") >=
+            BitextMine.MarginThresh)
+          .write.mode("overwrite").parquet(s"$base/wave=$batchId")
+        ()
+      }
+      .start()
 }

@@ -208,6 +208,70 @@ class BitextMineSpec extends AnyFunSuite {
     }
   }
 
+  test("tuned miner: two languages with different choices mine at " +
+    "different depths (the choice table is actually consumed)") {
+    import spark.implicits._
+    // 2 quantizer cells; the query's probe ranking is [c0, c1] (it sits
+    // nearer c0), both candidates sit in cell 1 — so a language probing
+    // 1 cell cannot see the query, a language probing 2 can
+    val centers = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val batch = Seq((0L, "en", v(2, 1))).toDF("doc_id", "lang", "embedding")
+    val cands = Seq(
+      (1L, "aa", v(1.8, 1.2), 1),
+      (2L, "bb", v(1.9, 1.1), 1))
+      .toDF("doc_id", "lang", "embedding", "cell")
+    def langsAt(choice: Seq[(String, Long)]): Set[String] =
+      BitextMine.mineWaveChosen(batch, cands, centers,
+          choice.toDF("lang", "nprobe"))
+        .collect().map(_.getAs[String]("tgt_lang")).toSet
+    assert(langsAt(Seq("aa" -> 1L, "bb" -> 2L)) == Set("bb"),
+      "lang aa (depth 1) must not reach the cell-1 candidate; bb " +
+        "(depth 2) must")
+    assert(langsAt(Seq("aa" -> 2L, "bb" -> 2L)) == Set("aa", "bb"),
+      "at equal depth 2 both languages mine")
+    // a language missing from the choice table degrades to the global
+    // MineNProbe default (≥ 2 cells here), not to silence
+    assert(langsAt(Seq("bb" -> 1L)) == Set("aa"),
+      "uncertified lang aa mines at the default depth; bb at its " +
+        "chosen 1 sees nothing")
+  }
+
+  test("tuned gate consumes the choice: per-language counts equal the " +
+    "curve at each language's chosen depth, and depths differ when the " +
+    "choice does") {
+    val dir = "/root/testdata/sf0.001"
+    val choice = BitextMine.bitextProbeChoice(spark, dir).collect()
+      .map(r => r.getAs[String]("tgt_lang") ->
+        r.getAs[Long]("chosen_probe")).toMap
+    val curve = BitextMine.bitextRecallCurve(spark, dir).collect()
+      .map(r => (r.getAs[String]("tgt_lang"), r.getAs[Long]("nprobe")) ->
+        r.getAs[Long]("n_probe")).toMap
+    val tuned = BitextMine.bitextMineTuned(spark, dir).collect()
+    assert(tuned.nonEmpty, "tuned miner must fire at sf0.001")
+    tuned.foreach { r =>
+      assert(r.getAs[Long]("chosen_probe") ==
+        choice(r.getAs[String]("tgt_lang")),
+        "every pair must state its language's certified depth")
+    }
+    val byLang = tuned.groupBy(_.getAs[String]("tgt_lang"))
+      .view.mapValues(_.length.toLong).toMap
+    choice.foreach { case (l, p) =>
+      assert(byLang.getOrElse(l, 0L) == curve((l, p)),
+        s"lang $l tuned count must equal the curve's n_probe at P=$p")
+    }
+    // recall ≥ target at every language BY CONSTRUCTION of the choice:
+    // re-check against brute via the curve's n_common at the chosen depth
+    val common = BitextMine.bitextRecallCurve(spark, dir).collect()
+      .map(r => (r.getAs[String]("tgt_lang"), r.getAs[Long]("nprobe")) ->
+        ((r.getAs[Long]("n_brute"), r.getAs[Long]("n_common")))).toMap
+    choice.foreach { case (l, p) =>
+      val (nb, nc) = common((l, p))
+      assert(nc * BitextMine.RecallTargetDen >=
+        nb * BitextMine.RecallTargetNum,
+        s"lang $l: tuned recall below the certified target")
+    }
+  }
+
   test("ivf recall certification is internally consistent and non-trivial") {
     val dir = "/root/testdata/sf0.001"
     val rows = BitextMine.bitextIvfRecall(spark, dir).collect()

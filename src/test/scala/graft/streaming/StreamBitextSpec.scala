@@ -121,4 +121,67 @@ class StreamBitextSpec extends AnyFunSuite {
     assert(got(0L).nonEmpty || got(1L).nonEmpty,
       "the pruned waves must mine something at sf0.001")
   }
+
+  test("tuned waves consume the choice table and mine exactly as their " +
+    "batch-mode tuned run") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val (assigned, centers) = graft.sim.Ivf.assignments(spark, dir)
+    val dv = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(graft.Tables(spark, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    val candidates = dv.filter(col("lang") =!= BitextMine.SrcLang)
+      .join(assigned.select(col("vec_id").as("doc_id"), col("cell")),
+        "doc_id")
+      .localCheckpoint(true)
+    // the certified per-language depth table, exactly what production
+    // ships next to the quantizer artifact
+    val choice = BitextMine.bitextProbeChoice(spark, dir)
+      .select(col("tgt_lang").as("lang"), col("chosen_probe").as("nprobe"))
+      .localCheckpoint(true)
+    assert(choice.select("nprobe").distinct().count() > 1,
+      "fixture languages must not all choose the same depth, or the " +
+        "tuned/uniform regimes are indistinguishable here")
+    val batchDocs = dv.filter(col("lang") === BitextMine.SrcLang &&
+        col("doc_id") % BitextMine.QMod === 0)
+      .as[(Long, String, Array[Float])].collect().sortBy(_._1)
+    val (w0, w1) = batchDocs.splitAt(batchDocs.length / 2)
+
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bitext-tn-ckpt").toString
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bitext-tn").toString
+    val mem = MemoryStream[(Long, String, Array[Float])]
+    val q = StreamBitext.mineWavesTuned(
+      mem.toDS().toDF("doc_id", "lang", "embedding"),
+      candidates, centers, choice, base, ckpt)
+    try {
+      mem.addData(w0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(w1.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(base).collect()
+      .groupBy(_.getAs[Int]("wave").toLong)
+      .view.mapValues(_.map(r => (r.getAs[Long]("src_id"),
+        r.getAs[String]("tgt_lang"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("margin"), r.getAs[Boolean]("mutual"))).toSet)
+      .toMap
+    assert(got.keySet == Set(0L, 1L))
+
+    def batchMode(wave: Array[(Long, String, Array[Float])]) =
+      BitextMine.mineWaveChosen(
+          wave.toSeq.toDF("doc_id", "lang", "embedding"), candidates,
+          centers, choice)
+        .filter(col("margin") >= BitextMine.MarginThresh)
+        .collect().map(r => (r.getAs[Long]("src_id"),
+          r.getAs[String]("tgt_lang"), r.getAs[Long]("tgt_id"),
+          r.getAs[Double]("margin"), r.getAs[Boolean]("mutual"))).toSet
+
+    assert(got(0L) == batchMode(w0), "tuned wave 0 must equal batch")
+    assert(got(1L) == batchMode(w1), "tuned wave 1 must equal batch")
+    assert(got(0L).nonEmpty || got(1L).nonEmpty,
+      "the tuned waves must mine something at sf0.001")
+  }
 }
