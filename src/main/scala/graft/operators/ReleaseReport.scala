@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   * already handles them); the three blocking columns are the ones that
   * poison a RELEASE rather than a document.
   *
+  * The review also reads the POST-remediation view on the same row:
+  * `n_risk_docs_remediated` is the suppressed mass at the
+  * budget-chosen generalization level ([[KAnonymity.kAnonApply]] — the
+  * publisher's actual action), and `releasable_remediated` re-evaluates
+  * the verdict with raw risk replaced by it — so a release blocked only
+  * by quasi-identifier risk shows, pre- and post-remediation on one
+  * row, whether executing the ladder clears it. Leakage and
+  * contamination never remediate by coarsening and still block.
+  *
   * Every column composes an already-proven operator relation, so
   * beyond its own oracle this gate certifies the tiers AGREE with each
   * other on one join surface.
@@ -66,6 +75,17 @@ object ReleaseReport {
     val risk = KAnonymity.classCounts(Tables.parallel(s, dir, "documents"))
       .filter(col("class_size") < KAnonymity.KAnon)
       .groupBy("source").agg(sum("class_size").as("n_risk_docs"))
+    // the POST-remediation risk: the docs still suppressed at the
+    // budget-chosen generalization level ([[KAnonymity.kAnonApply]] —
+    // the SAME relation the apply gate publishes, so the review reads
+    // raw risk and remediated risk off one row and can see the
+    // generalization ladder actually clears (or fails to clear) a
+    // blocked release
+    val remed = KAnonymity.kAnonApply(s, dir)
+      .filter(col("suppressed"))
+      .select(col("doc_id"))
+      .join(docs, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_risk_docs_remediated"))
     val leakPairs = Sampling.splitLeakage(s, dir)
     val leak = leakPairs.select(col("a_id").as("doc_id"))
       .unionByName(leakPairs.select(col("b_id").as("doc_id")))
@@ -91,17 +111,28 @@ object ReleaseReport {
           .withColumn("n_xcontam_docs", lit(0L))
     byVerdict
       .join(broadcast(risk), Seq("source"), "left")
+      .join(broadcast(remed), Seq("source"), "left")
       .join(broadcast(leak), Seq("source"), "left")
       .join(broadcast(contam), Seq("source"), "left")
       .join(broadcast(xcontam), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_kept"),
         col("n_exact_dup"), col("n_near_dup"), col("n_quality"),
         coalesce(col("n_risk_docs"), lit(0L)).as("n_risk_docs"),
+        coalesce(col("n_risk_docs_remediated"), lit(0L))
+          .as("n_risk_docs_remediated"),
         coalesce(col("n_leak_docs"), lit(0L)).as("n_leak_docs"),
         coalesce(col("n_contam_docs"), lit(0L)).as("n_contam_docs"),
         coalesce(col("n_xcontam_docs"), lit(0L)).as("n_xcontam_docs"))
       .withColumn("releasable",
         col("n_risk_docs") === 0L && col("n_leak_docs") === 0L &&
+          col("n_contam_docs") === 0L && col("n_xcontam_docs") === 0L)
+      // the verdict AFTER executing the chosen generalization: the same
+      // blockers with raw risk replaced by the suppressed-at-chosen-level
+      // mass — a source blocked only by quasi-identifier risk releases
+      // here once the ladder clears it (leak/contamination never
+      // remediate by coarsening, so those columns still block)
+      .withColumn("releasable_remediated",
+        col("n_risk_docs_remediated") === 0L && col("n_leak_docs") === 0L &&
           col("n_contam_docs") === 0L && col("n_xcontam_docs") === 0L)
   }
 
@@ -167,18 +198,30 @@ object ReleaseReport {
           |${graft.sim.BitextMine.decontamCtes},
           |xcontam AS (SELECT d.source, count(*)::BIGINT AS n_xcontam_docs
           |            FROM xflag x JOIN documents d ON d.doc_id = x.doc_id
-          |            GROUP BY 1)
+          |            GROUP BY 1),
+          |${KAnonymity.applyCtes("ka")},
+          |karemed AS (SELECT d.source,
+          |    count(*)::BIGINT AS n_risk_docs_remediated
+          |  FROM kaapplied a JOIN documents d ON d.doc_id = a.doc_id
+          |  WHERE a.suppressed GROUP BY 1)
           |SELECT b.source, b.n_docs, b.n_kept, b.n_exact_dup, b.n_near_dup,
           |  b.n_quality,
           |  coalesce(r.n_risk_docs, 0)::BIGINT AS n_risk_docs,
+          |  coalesce(kr.n_risk_docs_remediated, 0)::BIGINT
+          |    AS n_risk_docs_remediated,
           |  coalesce(l.n_leak_docs, 0)::BIGINT AS n_leak_docs,
           |  coalesce(c.n_contam_docs, 0)::BIGINT AS n_contam_docs,
           |  coalesce(x.n_xcontam_docs, 0)::BIGINT AS n_xcontam_docs,
           |  (coalesce(r.n_risk_docs, 0) = 0 AND coalesce(l.n_leak_docs, 0) = 0
           |    AND coalesce(c.n_contam_docs, 0) = 0
-          |    AND coalesce(x.n_xcontam_docs, 0) = 0) AS releasable
+          |    AND coalesce(x.n_xcontam_docs, 0) = 0) AS releasable,
+          |  (coalesce(kr.n_risk_docs_remediated, 0) = 0
+          |    AND coalesce(l.n_leak_docs, 0) = 0
+          |    AND coalesce(c.n_contam_docs, 0) = 0
+          |    AND coalesce(x.n_xcontam_docs, 0) = 0) AS releasable_remediated
           |FROM byv b
           |LEFT JOIN risk r USING (source)
+          |LEFT JOIN karemed kr USING (source)
           |LEFT JOIN leak l USING (source)
           |LEFT JOIN contam c USING (source)
           |LEFT JOIN xcontam x USING (source)""".stripMargin))

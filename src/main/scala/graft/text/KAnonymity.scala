@@ -248,46 +248,54 @@ object KAnonymity {
       |  FROM ($inner))""".stripMargin
   }
 
-  /** The 5-level per-doc ladder keys in SQL (NULL = dropped attribute),
-    * shared by the apply oracle. */
-  private def keyedSql: String =
-    s"""keyed AS (
+  /** The WHOLE apply chain in SQL with CTE names prefixed `p`: per-doc
+    * ladder keys (NULL = dropped attribute), class counts, the
+    * budget-chosen level, and the per-doc chosen-level relation
+    * `${p}applied(doc_id, level, k_lang, k_source, k_bucket,
+    * suppressed)` — THE single statement of the remediation semantics,
+    * shared by the `k_anon_apply` oracle (p = "") and the
+    * release-report oracle's remediated-risk column (p = "ka") so the
+    * two can never drift. */
+  private[graft] def applyCtes(p: String): String =
+    s"""${p}d AS (SELECT doc_id, lang, source, length(text)::BIGINT AS len
+      |           FROM documents),
+      |${p}keyed AS (
       |  SELECT doc_id, 0::BIGINT AS level, lang AS k_lang,
       |    source AS k_source, (len // $LenBucket)::BIGINT AS k_bucket
-      |  FROM d
+      |  FROM ${p}d
       |  UNION ALL SELECT doc_id, 1::BIGINT, lang, source,
-      |    (len // $WideBucket)::BIGINT FROM d
+      |    (len // $WideBucket)::BIGINT FROM ${p}d
       |  UNION ALL SELECT doc_id, 2::BIGINT, lang, NULL::VARCHAR,
-      |    (len // $WideBucket)::BIGINT FROM d
+      |    (len // $WideBucket)::BIGINT FROM ${p}d
       |  UNION ALL SELECT doc_id, 3::BIGINT, lang, NULL::VARCHAR,
-      |    NULL::BIGINT FROM d
+      |    NULL::BIGINT FROM ${p}d
       |  UNION ALL SELECT doc_id, 4::BIGINT, NULL::VARCHAR, NULL::VARCHAR,
-      |    NULL::BIGINT FROM d)""".stripMargin
+      |    NULL::BIGINT FROM ${p}d),
+      |${p}classes AS (SELECT level, k_lang, k_source, k_bucket,
+      |              count(*)::BIGINT AS class_size
+      |            FROM ${p}keyed GROUP BY 1, 2, 3, 4),
+      |${p}lv AS (SELECT level,
+      |         sum(CASE WHEN class_size < $KAnon THEN class_size
+      |             ELSE 0 END) AS suppressed,
+      |         sum(class_size) AS n_total
+      |       FROM ${p}classes GROUP BY 1),
+      |${p}chosen AS (SELECT min(level) AS level FROM ${p}lv
+      |           WHERE suppressed * $MaxSuppressDen
+      |             <= n_total * $MaxSuppressNum),
+      |${p}applied AS (SELECT k.doc_id, k.level, k.k_lang, k.k_source,
+      |    k.k_bucket, (c.class_size < $KAnon) AS suppressed
+      |  FROM ${p}keyed k
+      |  JOIN ${p}chosen ch ON ch.level = k.level
+      |  JOIN ${p}classes c ON c.level = k.level
+      |    AND c.k_lang IS NOT DISTINCT FROM k.k_lang
+      |    AND c.k_source IS NOT DISTINCT FROM k.k_source
+      |    AND c.k_bucket IS NOT DISTINCT FROM k.k_bucket)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "k_anon_apply" ->
-      s"""WITH d AS (SELECT doc_id, lang, source, length(text)::BIGINT AS len
-        |           FROM documents),
-        |$keyedSql,
-        |classes AS (SELECT level, k_lang, k_source, k_bucket,
-        |              count(*)::BIGINT AS class_size
-        |            FROM keyed GROUP BY 1, 2, 3, 4),
-        |lv AS (SELECT level,
-        |         sum(CASE WHEN class_size < $KAnon THEN class_size
-        |             ELSE 0 END) AS suppressed,
-        |         sum(class_size) AS n_total
-        |       FROM classes GROUP BY 1),
-        |chosen AS (SELECT min(level) AS level FROM lv
-        |           WHERE suppressed * $MaxSuppressDen
-        |             <= n_total * $MaxSuppressNum)
-        |SELECT k.doc_id, k.level, k.k_lang, k.k_source, k.k_bucket,
-        |  (c.class_size < $KAnon) AS suppressed
-        |FROM keyed k
-        |JOIN chosen ch ON ch.level = k.level
-        |JOIN classes c ON c.level = k.level
-        |  AND c.k_lang IS NOT DISTINCT FROM k.k_lang
-        |  AND c.k_source IS NOT DISTINCT FROM k.k_source
-        |  AND c.k_bucket IS NOT DISTINCT FROM k.k_bucket""".stripMargin,
+      s"""WITH ${applyCtes("")}
+        |SELECT doc_id, level, k_lang, k_source, k_bucket, suppressed
+        |FROM applied""".stripMargin,
     "k_anonymity" ->
       s"""SELECT lang, source,
         |  (length(text) // $LenBucket)::BIGINT AS len_bucket,

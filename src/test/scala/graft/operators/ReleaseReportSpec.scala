@@ -73,6 +73,45 @@ class ReleaseReportSpec extends AnyFunSuite {
     assert(rep("b")._5, "source b must stay releasable")
   }
 
+  test("remediation view: a sub-K class blocks raw release but the " +
+    "budget-chosen generalization clears it — releasable_remediated") {
+    val rows = ReleaseReport
+      .releaseReport(spark, writeCorpus(cleanRows :+
+        ((120L, filler(120L), "zz", "a"))))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_risk_docs"),
+          r.getAs[Long]("n_risk_docs_remediated"),
+          r.getAs[Boolean]("releasable"),
+          r.getAs[Boolean]("releasable_remediated"))))
+      .toMap
+    // the zz singleton is raw risk; the ladder's chosen level (here the
+    // drop-everything level 4, the first within the 1% budget) merges it
+    // into the size-21 class, so the remediated mass is zero
+    assert(rows("a") == ((1L, 0L, false, true)),
+      s"source a must block raw and release remediated: ${rows("a")}")
+    assert(rows("b") == ((0L, 0L, true, true)),
+      s"source b is clean in both views: ${rows("b")}")
+  }
+
+  test("remediation never clears a leak: releasable_remediated still " +
+    "blocks on the leakage column") {
+    val ids = (200L until 260L)
+    val train = ids.find(splitOf(_) == "train").get
+    val test0 = ids.find(splitOf(_) == "test").get
+    val dup = "identical leak text with enough words to shingle " +
+      "and verify jaccard one"
+    val rows = ReleaseReport
+      .releaseReport(spark, writeCorpus(cleanRows ++
+        Seq((train, dup, "en", "a"), (test0, dup, "en", "a"))))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Boolean]("releasable_remediated")).toMap
+    assert(!rows("a"), "coarsening quasi-identifiers cannot remediate a " +
+      "cross-split leak — the remediated verdict must still block")
+    assert(rows("b"))
+  }
+
   test("a planted cross-split near-dup pair flips releasable via the " +
     "leakage column") {
     // pick two ids the hash split assigns to DIFFERENT splits
