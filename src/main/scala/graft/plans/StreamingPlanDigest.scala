@@ -326,6 +326,31 @@ object StreamingPlanDigest {
         }
       },
       // foreachBatch twin: the lock pins the micro-batch plan feeding
+      // the composed release maintainer — STATELESS like its two
+      // underlying stores; pins the micro-batch plan feeding the
+      // versioned manifest+k-anon+release composition
+      "release_report_stream" -> { () =>
+        val mem = MemoryStream[(Long, String, String, String)]
+        def t(n: String) =
+          java.nio.file.Files.createTempDirectory(n).toString
+        val (mBase, kBase, rBase, ckpt) =
+          (t("graft-rel-twin-m"), t("graft-rel-twin-k"),
+            t("graft-rel-twin-r"), t("graft-rel-twin-ckpt"))
+        val q = StreamRelease.maintain(
+          mem.toDS().toDF("doc_id", "text", "lang", "source"),
+          mBase, kBase, rBase, ckpt)
+        try {
+          mem.addData((1L, "a b", "en", "s"))
+          q.processAllAvailable()
+          val exec = q.asInstanceOf[StreamingQueryWrapper]
+            .streamingQuery.lastExecution
+          require(exec != null, "no micro-batch executed")
+          outlineOf(exec.executedPlan)
+        } finally {
+          q.stop()
+          cleanDirs(mBase, kBase, rBase, ckpt)
+        }
+      },
       // the manifest maintainer — STATELESS (no StateStore/watermark
       // nodes), the O(0)-engine-state claim in StreamManifest's scaladoc
       "corpus_manifest_stream" -> { () =>
