@@ -9,7 +9,8 @@ import graft.operators.{AsOfJoin, Attribution, Backlog, Cohort, EventPaths,
   MarketBasket, Pipeline, RelationalQueries, ReleaseReport, Resample, Rfm,
   RobustStats, RevenueMom, SeasonalBaseline, SessionEntryExit,
   SessionTypePairs, SkewJoin, Streaks, ZOrder}
-import graft.sim.{BitextMine, Coreset, EmbedPca, EmbeddingDrift, Eigencentrality,
+import graft.sim.{BitextMine, ChoiceModel, Coreset, EmbedPca, EmbeddingDrift,
+  Eigencentrality,
   GraphStats, Neighborhood, NormProfile, Ivf, IvfIncremental, IvfModel, KCore,
   KnnGraphIvf, LabelProp, PageRank, PcaModel, Pq, PqModel, SemDedup,
   SemanticDecontam, SimilarityQueries}
@@ -123,6 +124,7 @@ object SparkEntry {
       (Coreset.queries, Coreset.oracles),
       (SemanticDecontam.queries, SemanticDecontam.oracles),
       (BitextMine.queries, BitextMine.oracles),
+      (ChoiceModel.queries, ChoiceModel.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (CdcChunks.queries, CdcChunks.oracles))
 

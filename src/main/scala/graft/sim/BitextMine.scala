@@ -706,6 +706,57 @@ object BitextMine {
         col("n_brute"), col("n_probe"), col("n_common"))
   }
 
+  /** Gate: the threshold CHOICE the margin calibration curve exists to
+    * set — per language, the MINIMAL sweep threshold at which every
+    * mined pair is mutual-best (the paper's strictest "intersection"
+    * criterion, the precision proxy an unlabeled miner has: a
+    * forward-best pair that is not ALSO its target's best query is the
+    * hub/topical-near shape margins exist to suppress). Languages where
+    * no sweep point reaches full mutuality take the strictest threshold
+    * with `met_target = false` — a total choice (the probe-choice
+    * always-exists discipline), conservatively mining least where
+    * calibration failed. Zero-yield sweep points do not qualify (0/0
+    * mutuality is vacuous, not calibrated). Cost: a 5-rows-per-language
+    * window over the memo-riding margin curve. */
+  def bitextThresholdChoice(s: SparkSession, dir: String): DataFrame = {
+    val curve = bitextMarginCurve(s, dir)
+    val w = Window.partitionBy(col("tgt_lang")).orderBy(col("threshold").asc)
+    val sat = curve
+      .filter(col("n_mined") > 0L && col("n_mutual") === col("n_mined"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("tgt_lang"), col("threshold").as("chosen_threshold"),
+        col("n_mined"), col("n_mutual"), lit(true).as("met_target"))
+    val fallback = curve
+      .filter(col("threshold") === CurveThresholds.max)
+      .join(sat.select(col("tgt_lang")), Seq("tgt_lang"), "left_anti")
+      .select(col("tgt_lang"), col("threshold").as("chosen_threshold"),
+        col("n_mined"), col("n_mutual"), lit(false).as("met_target"))
+    sat.unionByName(fallback)
+  }
+
+  /** Gate: the fully-calibrated production miner — BOTH certified
+    * per-language dials consumed: candidates retrieve at the language's
+    * chosen probe depth ([[bitextProbeChoice]], the tuned wave) and
+    * pairs are cut at the language's chosen margin threshold
+    * ([[bitextThresholdChoice]]) instead of the global
+    * [[MarginThresh]]. The relation a 100 TB mining job actually
+    * publishes; each row states both dials it was mined under. */
+  def bitextMineCalibrated(s: SparkSession, dir: String): DataFrame = {
+    val th = bitextThresholdChoice(s, dir)
+      .select(col("tgt_lang"), col("chosen_threshold"))
+    val pc = bitextProbeChoice(s, dir)
+      .select(col("tgt_lang"), col("chosen_probe"))
+    tunedFwd(s, dir)
+      .join(broadcast(th), "tgt_lang")
+      .filter(col("margin") >= col("chosen_threshold"))
+      .join(broadcast(pc), "tgt_lang")
+      .select(col("src_id"), col("tgt_lang"), col("tgt_id"),
+        round(col("cos"), 4).as("cosine"),
+        round(col("margin"), 4).as("margin"), col("mutual"),
+        col("chosen_probe"), col("chosen_threshold"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bitext_mine" -> bitextMine,
     "bitext_mine_ivf" -> bitextMineIvf,
@@ -716,6 +767,8 @@ object BitextMine {
     "bitext_recall_curve" -> bitextRecallCurve,
     "bitext_probe_choice" -> bitextProbeChoice,
     "bitext_mine_tuned" -> bitextMineTuned,
+    "bitext_threshold_choice" -> bitextThresholdChoice,
+    "bitext_mine_calibrated" -> bitextMineCalibrated,
     "bitext_decontam" -> bitextDecontam)
 
   /** The margin pipeline in SQL, reading `${p}pairs(src_id, tgt_id,
@@ -922,13 +975,15 @@ object BitextMine {
       |FROM sat WHERE rk = 1""".stripMargin
   }
 
-  /** Tuned-miner oracle: the per-depth forward-best chains the curve
-    * oracle already states, each restricted to the languages whose
-    * CHOICE is that depth — the pipeline is language-separable (every
-    * shuffle key contains the language or the unilingual tgt_id), so
-    * the engine's single per-language-masked pass equals the per-depth
-    * uniform runs joined to the choice table. */
-  private def tunedSql(centers: Array[Array[Double]]): String = {
+  /** Tuned-miner CTE chain, ending in `prfull` (the per-depth
+    * forward-best chains the curve oracle already states, with full
+    * columns) and `choice` (the per-language chosen depth) — shared by
+    * the tuned and calibrated oracles. Valid because the pipeline is
+    * language-separable (every shuffle key contains the language or the
+    * unilingual tgt_id), so the engine's single per-language-masked
+    * pass equals the per-depth uniform runs joined to the choice
+    * table. */
+  private def tunedCtes(centers: Array[Array[Double]]): String = {
     val (ctes, select) = recallCurveParts(centers)
     val interior = MineProbes.filter(p => p > 1 && p < Ivf.NLists)
     val armCols = "src_id, tgt_lang, tgt_id, cos, margin, mutual"
@@ -938,7 +993,7 @@ object BitextMine {
           s"SELECT ${np}::BIGINT, $armCols FROM p${np}fwd") :+
         s"SELECT ${Ivf.NLists}::BIGINT, $armCols FROM bfwd")
         .mkString("\nUNION ALL\n")
-    s"""WITH $ctes,
+    s"""$ctes,
       |curve AS (
       |$select),
       |sat AS (SELECT *, row_number() OVER (
@@ -948,13 +1003,75 @@ object BitextMine {
       |choice AS (SELECT tgt_lang, nprobe AS chosen_probe FROM sat
       |           WHERE rk = 1),
       |prfull AS (
-      |$arms)
+      |$arms)""".stripMargin
+  }
+
+  private def tunedSql(centers: Array[Array[Double]]): String =
+    s"""WITH ${tunedCtes(centers)}
       |SELECT f.src_id, f.tgt_lang, f.tgt_id, round(f.cos, 4) AS cosine,
       |  round(f.margin, 4) AS margin, f.mutual, c.chosen_probe
       |FROM prfull f
       |JOIN choice c ON c.tgt_lang = f.tgt_lang AND f.nprobe = c.chosen_probe
       |WHERE f.margin >= $MarginThresh""".stripMargin
-  }
+
+  /** The threshold-choice chain over a named forward-best relation,
+    * ending in `tchoice(tgt_lang, chosen_threshold, n_mined, n_mutual,
+    * met_target)` — THE single SQL statement of the intersection
+    * criterion, shared by the standalone oracle (over `fwd`) and the
+    * calibrated-miner oracle (over `bfwd`). */
+  private def thresholdChoiceCtes(fwd: String): String =
+    s"""mcurve AS (SELECT t.threshold, f.tgt_lang,
+      |    count(*) FILTER (f.margin >= t.threshold)::BIGINT AS n_mined,
+      |    count(*) FILTER (f.margin >= t.threshold AND f.mutual)::BIGINT
+      |      AS n_mutual
+      |  FROM $fwd f
+      |  CROSS JOIN (SELECT unnest([${CurveThresholds.mkString(", ")}]
+      |                ::DOUBLE[]) AS threshold) t
+      |  GROUP BY 1, 2),
+      |tsat AS (SELECT *, row_number() OVER (
+      |           PARTITION BY tgt_lang ORDER BY threshold ASC) AS rk
+      |         FROM mcurve WHERE n_mined > 0 AND n_mutual = n_mined),
+      |tchoice AS (
+      |  SELECT tgt_lang, threshold AS chosen_threshold, n_mined,
+      |    n_mutual, TRUE AS met_target
+      |  FROM tsat WHERE rk = 1
+      |  UNION ALL
+      |  SELECT c.tgt_lang, c.threshold, c.n_mined, c.n_mutual, FALSE
+      |  FROM mcurve c
+      |  WHERE c.threshold = ${CurveThresholds.max}
+      |    AND c.tgt_lang NOT IN (SELECT tgt_lang FROM tsat WHERE rk = 1))"""
+      .stripMargin
+
+  /** Calibrated-miner oracle: the tuned chain joined to BOTH dials —
+    * per-language depth from `choice`, per-language threshold from
+    * `tchoice` over the brute forward-best (the certification surface,
+    * exactly what the engine's curve rides). */
+  private def calibratedSql(centers: Array[Array[Double]]): String =
+    s"""WITH ${tunedCtes(centers)},
+      |${thresholdChoiceCtes("bfwd")}
+      |SELECT f.src_id, f.tgt_lang, f.tgt_id, round(f.cos, 4) AS cosine,
+      |  round(f.margin, 4) AS margin, f.mutual, c.chosen_probe,
+      |  t.chosen_threshold
+      |FROM prfull f
+      |JOIN choice c ON c.tgt_lang = f.tgt_lang AND f.nprobe = c.chosen_probe
+      |JOIN tchoice t ON t.tgt_lang = f.tgt_lang
+      |WHERE f.margin >= t.chosen_threshold""".stripMargin
+
+  /** Both certified dials joined per language, SQL — the oracle chain
+    * [[ChoiceModel]]'s roundtrip gate replays (the reload is bit-exact,
+    * so the reloaded table must hash-equal the freshly-derived one). */
+  private[sim] def dialsSql(centers: Array[Array[Double]]): String =
+    s"""WITH ${tunedCtes(centers)},
+      |${thresholdChoiceCtes("bfwd")}
+      |SELECT c.tgt_lang, c.chosen_probe, t.chosen_threshold, t.met_target,
+      |  TRUE AS manifest_ok
+      |FROM choice c JOIN tchoice t ON t.tgt_lang = c.tgt_lang"""
+      .stripMargin
+
+  /** The trained quantizer centroids, once any pruned gate has run
+    * (the [[ChoiceModel]] oracle needs them). */
+  private[sim] def centersNow: Option[Array[Array[Double]]] =
+    synchronized(lastCenters)
 
   /** A def, not a val: the IVF entries inline the trained centroids and
     * exist only after the pruned gates have run (the Ivf dynamic-oracle
@@ -1007,7 +1124,14 @@ object BitextMine {
           |    AS n_mutual,
           |  round(min(margin), 4) AS min_margin,
           |  round(max(margin), 4) AS max_margin
-          |FROM fwd GROUP BY 1""".stripMargin)
+          |FROM fwd GROUP BY 1""".stripMargin,
+      "bitext_threshold_choice" ->
+        s"""WITH $dvCtes,
+          |${brutePairs("")},
+          |${marginChain("")},
+          |${thresholdChoiceCtes("fwd")}
+          |SELECT tgt_lang, chosen_threshold, n_mined, n_mutual, met_target
+          |FROM tchoice""".stripMargin)
     synchronized(lastCenters) match {
       case None => base
       case Some(centers) => base ++ Map(
@@ -1025,6 +1149,7 @@ object BitextMine {
         "bitext_recall_curve" -> recallCurveSql(centers),
         "bitext_probe_choice" -> probeChoiceSql(centers),
         "bitext_mine_tuned" -> tunedSql(centers),
+        "bitext_mine_calibrated" -> calibratedSql(centers),
         "bitext_ivf_recall" ->
           s"""WITH $dvCtes,
             |${brutePairs("b")},

@@ -1,0 +1,119 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-language mining-dial persistence — the sixth leg of the
+  * model-artifact lifecycle ([[IvfModel]] centroids, [[PqModel]]
+  * codebooks, [[graft.text.BpeModel]] merges, [[graft.text
+  * .QualityModel]] weights, [[PcaModel]] moments): the probe-depth and
+  * margin-threshold tables ([[BitextMine.bitextProbeChoice]] /
+  * [[BitextMine.bitextThresholdChoice]]) are exactly the per-language
+  * configuration a production miner ships NEXT TO the quantizer
+  * (CCMatrix tunes both per pair), so they get the same versioned,
+  * checksummed, rollback-proven treatment. The gate derives both dials,
+  * writes them as one index-keyed parquet artifact beside a checksummed
+  * manifest (language count, the recall target the depths were chosen
+  * against, the sweep thresholds, and a sha over the canonical
+  * serialization), reloads the newest committed valid version
+  * ([[graft.sources.ModelStore]]), and emits the RELOADED table against
+  * an oracle that re-derives both dials from scratch — hash-green ⇔ the
+  * storage round trip preserved every depth and threshold exactly.
+  *
+  * Scale: the artifact is languages × one row (strings + a long + a
+  * double + a bool) — trivially broadcast to any fleet; deriving the
+  * dials rides the memoized certification relations. */
+object ChoiceModel {
+
+  def modelDir(dir: String): String = {
+    val name = new java.io.File(dir).getName
+    s"target/bitext_choice/${name}_${Integer.toHexString(dir.hashCode)}"
+  }
+
+  private def fmtD(d: Double): String = java.lang.Double.toString(d)
+
+  /** Language-keyed canonical checksum — any corrupted depth, flipped
+    * threshold, dropped language, or toggled calibration flag changes
+    * the string. */
+  def choiceSha(rows: Seq[(String, Long, Double, Boolean)]): String = {
+    val canon = rows.sortBy(_._1)
+      .map { case (l, p, t, m) => s"$l:$p:${fmtD(t)}:$m" }.mkString(";")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  def writeModel(s: SparkSession, path: String,
+                 rows: Seq[(String, Long, Double, Boolean)]): Unit = {
+    import s.implicits._
+    rows.toDF("tgt_lang", "chosen_probe", "chosen_threshold", "met_target")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/dials")
+    Seq((rows.length,
+        BitextMine.RecallTargetNum, BitextMine.RecallTargetDen,
+        BitextMine.CurveThresholds.mkString(","), choiceSha(rows)))
+      .toDF("n_langs", "recall_num", "recall_den", "sweep", "choice_sha")
+      .write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Reload + verify. Returns (rows sorted by language, manifest_ok). */
+  def readModel(s: SparkSession, path: String):
+      (Seq[(String, Long, Double, Boolean)], Boolean) = {
+    val rows = s.read.parquet(s"$path/dials").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val mf = s.read.parquet(s"$path/manifest").head()
+    val ok = mf.getAs[String]("choice_sha") == choiceSha(rows) &&
+      mf.getAs[Int]("n_langs") == rows.length &&
+      mf.getAs[Long]("recall_num") == BitextMine.RecallTargetNum &&
+      mf.getAs[Long]("recall_den") == BitextMine.RecallTargetDen &&
+      mf.getAs[String]("sweep") == BitextMine.CurveThresholds.mkString(",")
+    (rows, ok)
+  }
+
+  /** Newest committed, manifest-valid version (the IvfModel rollback
+    * discipline). */
+  def readLatestValid(s: SparkSession, base: String):
+      (Int, Seq[(String, Long, Double, Boolean)], Boolean) = {
+    val (v, path) = graft.sources.ModelStore.latestValid(base,
+      p => readModel(s, p)._2)
+      .getOrElse(sys.error(s"no valid committed model under $base"))
+    val (rows, ok) = readModel(s, path)
+    (v, rows, ok)
+  }
+
+  /** Gate: derive both dials (memo-riding) → versioned write → reload
+    * latest valid → emit the RELOADED table, oracled against a from-
+    * scratch re-derivation of both dials. */
+  def bitextChoiceRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val trained = BitextMine.bitextProbeChoice(s, dir)
+      .select(col("tgt_lang"), col("chosen_probe"))
+      .join(BitextMine.bitextThresholdChoice(s, dir)
+        .select(col("tgt_lang"), col("chosen_threshold"),
+          col("met_target")), "tgt_lang")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val base = modelDir(dir)
+    graft.sources.ModelStore.write(base, p => writeModel(s, p, trained))
+    val (_, reloaded, ok) = readLatestValid(s, base)
+    synchronized {
+      lastOracle = Some(BitextMine.dialsSql(BitextMine.centersNow.get))
+    }
+    reloaded
+      .toDF("tgt_lang", "chosen_probe", "chosen_threshold", "met_target")
+      .withColumn("manifest_ok", lit(ok))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bitext_choice_roundtrip" -> bitextChoiceRoundtrip)
+
+  private var lastOracle: Option[String] = None
+
+  def oracles: Map[String, String] = synchronized(lastOracle) match {
+    case Some(sql) => Map("bitext_choice_roundtrip" -> sql)
+    case None => Map.empty
+  }
+}

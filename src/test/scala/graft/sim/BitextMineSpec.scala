@@ -272,6 +272,65 @@ class BitextMineSpec extends AnyFunSuite {
     }
   }
 
+  test("threshold choice: minimal sweep point with full mutuality, " +
+    "total per language, fallback flagged; depths differ across langs") {
+    val dir = "/root/testdata/sf0.001"
+    val curve = BitextMine.bitextMarginCurve(spark, dir).collect()
+      .map(r => (r.getAs[String]("tgt_lang"), r.getAs[Double]("threshold")) ->
+        ((r.getAs[Long]("n_mined"), r.getAs[Long]("n_mutual")))).toMap
+    val choice = BitextMine.bitextThresholdChoice(spark, dir).collect()
+      .map(r => r.getAs[String]("tgt_lang") ->
+        ((r.getAs[Double]("chosen_threshold"),
+          r.getAs[Boolean]("met_target")))).toMap
+    assert(choice.keySet == Set("fr", "es", "de", "zh"),
+      "one choice per language, always (fallback is total)")
+    def fullyMutual(l: String, t: Double): Boolean = {
+      val (m, u) = curve((l, t)); m > 0 && u == m
+    }
+    choice.foreach { case (l, (t, met)) =>
+      if (met) {
+        assert(fullyMutual(l, t), s"lang $l: chosen $t must be calibrated")
+        BitextMine.CurveThresholds.filter(_ < t).foreach { q =>
+          assert(!fullyMutual(l, q),
+            s"lang $l: smaller threshold $q also calibrated — not minimal")
+        }
+      } else assert(t == BitextMine.CurveThresholds.max,
+        s"lang $l: the fallback must be the strictest sweep point")
+    }
+    // the fixture's curves differ enough that the choice is per-language
+    assert(choice.values.map(_._1).toSet.size > 1,
+      "fixture languages must not all choose the same threshold, or the " +
+        "per-language calibration is indistinguishable from a global one")
+  }
+
+  test("calibrated miner consumes BOTH dials: per-language rows are " +
+    "exactly the tuned relation cut at that language's chosen threshold") {
+    val dir = "/root/testdata/sf0.001"
+    val th = BitextMine.bitextThresholdChoice(spark, dir).collect()
+      .map(r => r.getAs[String]("tgt_lang") ->
+        r.getAs[Double]("chosen_threshold")).toMap
+    val cal = BitextMine.bitextMineCalibrated(spark, dir).collect()
+    assert(cal.nonEmpty, "calibrated miner must fire at sf0.001")
+    cal.foreach { r =>
+      val l = r.getAs[String]("tgt_lang")
+      assert(r.getAs[Double]("chosen_threshold") == th(l))
+      assert(r.getAs[Double]("margin") >= th(l) - 5e-5,
+        s"lang $l: a pair below its language's threshold leaked through")
+    }
+    // per-language count = tuned pairs (the unfiltered per-depth wave)
+    // at that language's own cut — computed from the tuned gate where
+    // the chosen threshold is ≥ the gate's global MarginThresh
+    val tuned = BitextMine.bitextMineTuned(spark, dir).collect()
+    th.foreach { case (l, t) =>
+      if (t >= BitextMine.MarginThresh) {
+        val want = tuned.count(r => r.getAs[String]("tgt_lang") == l &&
+          r.getAs[Double]("margin") >= t)
+        val got = cal.count(_.getAs[String]("tgt_lang") == l)
+        assert(got == want, s"lang $l: calibrated count $got != $want")
+      }
+    }
+  }
+
   test("ivf recall certification is internally consistent and non-trivial") {
     val dir = "/root/testdata/sf0.001"
     val rows = BitextMine.bitextIvfRecall(spark, dir).collect()

@@ -134,6 +134,25 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(got.toSeq == flipped.toSeq)
   }
 
+  test("corrupt-a-byte: one flipped mining dial reds the choice manifest") {
+    import graft.sim.ChoiceModel
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-choicemodel").toString
+    val rows = Seq(("de", 4L, 1.15, true), ("fr", 2L, 1.05, true),
+      ("zh", 8L, 1.25, false))
+    ChoiceModel.writeModel(spark, dir, rows)
+    val (got, ok) = ChoiceModel.readModel(spark, dir)
+    assert(ok && got == rows.sortBy(_._1), "clean write must verify")
+    // rewrite the dials with one deeper probe, manifest untouched
+    import spark.implicits._
+    val flipped = rows.updated(0, ("de", 8L, 1.15, true))
+    flipped.toDF("tgt_lang", "chosen_probe", "chosen_threshold",
+        "met_target")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/dials")
+    assert(!ChoiceModel.readModel(spark, dir)._2,
+      "a flipped probe depth must red manifest_ok")
+  }
+
   test("corrupt-a-byte: one flipped PCA coefficient reds the manifest") {
     import graft.sim.{EmbedPca, PcaModel}
     val dir = java.nio.file.Files
