@@ -493,6 +493,35 @@ object StreamingPlanDigest {
           q.stop()
           cleanDirs(base, ckpt)
         }
+      },
+      // the fully-calibrated loop: both per-language dials from a tiny
+      // literal stand-in of the shipped ChoiceModel artifact
+      "bitext_waves_calibrated" -> { () =>
+        val mem = MemoryStream[(Long, String, Array[Float])]
+        val cands = spark.range(1).selectExpr("2L AS doc_id",
+          "'xx' AS lang", "array(0.5f, 0.5f) AS embedding", "0 AS cell")
+        val centers = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+        val dials = spark.range(1).selectExpr("'xx' AS tgt_lang",
+          "2L AS chosen_probe", "1.05 AS chosen_threshold",
+          "true AS met_target")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-bitext-cal-twin").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-bitext-cal-twin-ckpt").toString
+        val q = StreamBitext.mineWavesCalibrated(
+          mem.toDS().toDF("doc_id", "lang", "embedding"), cands, centers,
+          dials, base, ckpt)
+        try {
+          mem.addData((1L, "en", Array(1f, 0f)))
+          q.processAllAvailable()
+          val exec = q.asInstanceOf[StreamingQueryWrapper]
+            .streamingQuery.lastExecution
+          require(exec != null, "no micro-batch executed")
+          outlineOf(exec.executedPlan)
+        } finally {
+          q.stop()
+          cleanDirs(base, ckpt)
+        }
       })
 
     twins.map { case (n, f) => n -> f() }.sortBy(_._1)

@@ -89,4 +89,30 @@ object StreamBitext {
         ()
       }
       .start()
+
+  /** The FULLY-calibrated mining loop — both per-language dials consumed
+    * from the shipped artifact ([[graft.sim.ChoiceModel]]'s reloaded
+    * `dials(tgt_lang, chosen_probe, chosen_threshold, met_target)`
+    * table): each wave retrieves every candidate language at its
+    * certified depth and cuts pairs at that language's calibrated
+    * threshold instead of the global default — the streaming face of
+    * `bitext_mine_calibrated`, shared code end to end. */
+  def mineWavesCalibrated(waves: DataFrame, candidatesWithCell: DataFrame,
+                          centers: Array[Array[Double]], dials: DataFrame,
+                          base: String, checkpoint: String): StreamingQuery = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val probe = dials.select(col("tgt_lang").as("lang"),
+      col("chosen_probe").as("nprobe"))
+    val thresh = dials.select(col("tgt_lang"), col("chosen_threshold"))
+    waves.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BitextMine.mineWaveChosen(batch, candidatesWithCell, centers, probe)
+          .join(broadcast(thresh), "tgt_lang")
+          .filter(col("margin") >= col("chosen_threshold"))
+          .write.mode("overwrite").parquet(s"$base/wave=$batchId")
+        ()
+      }
+      .start()
+  }
 }

@@ -184,4 +184,72 @@ class StreamBitextSpec extends AnyFunSuite {
     assert(got(0L).nonEmpty || got(1L).nonEmpty,
       "the tuned waves must mine something at sf0.001")
   }
+
+  test("calibrated waves consume the SHIPPED dial artifact and mine " +
+    "exactly as the calibrated batch cut") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val (assigned, centers) = graft.sim.Ivf.assignments(spark, dir)
+    val dv = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(graft.Tables(spark, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    val candidates = dv.filter(col("lang") =!= BitextMine.SrcLang)
+      .join(assigned.select(col("vec_id").as("doc_id"), col("cell")),
+        "doc_id")
+      .localCheckpoint(true)
+    // the artifact path a production fleet actually reads: run the
+    // roundtrip gate (derive → versioned write → reload) and take the
+    // RELOADED dial table
+    graft.sim.ChoiceModel.bitextChoiceRoundtrip(spark, dir).collect()
+    val (_, dialRows, ok) = graft.sim.ChoiceModel.readLatestValid(
+      spark, graft.sim.ChoiceModel.modelDir(dir))
+    assert(ok, "the shipped artifact must be manifest-valid")
+    val dials = dialRows
+      .toDF("tgt_lang", "chosen_probe", "chosen_threshold", "met_target")
+      .localCheckpoint(true)
+    val batchDocs = dv.filter(col("lang") === BitextMine.SrcLang &&
+        col("doc_id") % BitextMine.QMod === 0)
+      .as[(Long, String, Array[Float])].collect().sortBy(_._1)
+    val (w0, w1) = batchDocs.splitAt(batchDocs.length / 2)
+
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bitext-cal-ckpt").toString
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bitext-cal").toString
+    val mem = MemoryStream[(Long, String, Array[Float])]
+    val q = StreamBitext.mineWavesCalibrated(
+      mem.toDS().toDF("doc_id", "lang", "embedding"),
+      candidates, centers, dials, base, ckpt)
+    try {
+      mem.addData(w0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(w1.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(base).collect()
+      .groupBy(_.getAs[Int]("wave").toLong)
+      .view.mapValues(_.map(r => (r.getAs[Long]("src_id"),
+        r.getAs[String]("tgt_lang"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("margin"), r.getAs[Boolean]("mutual"))).toSet)
+      .toMap
+    assert(got.keySet == Set(0L, 1L))
+
+    def batchMode(wave: Array[(Long, String, Array[Float])]) =
+      BitextMine.mineWaveChosen(
+          wave.toSeq.toDF("doc_id", "lang", "embedding"), candidates,
+          centers, dials.select(col("tgt_lang").as("lang"),
+            col("chosen_probe").as("nprobe")))
+        .join(dials.select(col("tgt_lang"), col("chosen_threshold")),
+          "tgt_lang")
+        .filter(col("margin") >= col("chosen_threshold"))
+        .collect().map(r => (r.getAs[Long]("src_id"),
+          r.getAs[String]("tgt_lang"), r.getAs[Long]("tgt_id"),
+          r.getAs[Double]("margin"), r.getAs[Boolean]("mutual"))).toSet
+
+    assert(got(0L) == batchMode(w0), "calibrated wave 0 must equal batch")
+    assert(got(1L) == batchMode(w1), "calibrated wave 1 must equal batch")
+    assert(got(0L).nonEmpty || got(1L).nonEmpty,
+      "the calibrated waves must mine something at sf0.001")
+  }
 }
