@@ -197,7 +197,9 @@ object ScaleValidate {
       Seq("bitext_mine", "bitext_lang_stats", "bitext_mine_ivf",
         "bitext_ivf_recall", "bitext_margin_curve",
         "bitext_mine_multiprobe", "bitext_recall_curve",
-        "bitext_probe_choice", "bitext_mine_tuned", "bitext_decontam")),
+        "bitext_probe_choice", "bitext_mine_tuned",
+        "bitext_threshold_choice", "bitext_mine_calibrated",
+        "bitext_choice_roundtrip", "bitext_decontam")),
     ("shard-plan", "two-level prefix sum: block-subtotal partials ∝ " +
       "blocks = docs/BlockDocs ≪F×; placement join carries broadcast-" +
       "side block offsets + per-(source, blk) windows over ≤ BlockDocs " +
