@@ -49,11 +49,16 @@ object ReleaseReport {
     * SAME resolution path [[Tables]] uses (a Spark read attempt), so the
     * answer is correct on any filesystem the tables actually live on
     * (HDFS/object storage included); the former `java.io.File` check was
-    * local-FS-only and silently zeroed the xcontam column elsewhere. */
+    * local-FS-only and silently zeroed the xcontam column elsewhere.
+    * ONLY a missing path means "no embedding space": any other analysis
+    * failure (torn write, unreadable schema) PROPAGATES — a governance
+    * gate must fail loudly there, not zero a blocker column. */
   private def hasEmbeddings(s: SparkSession, dir: String): Boolean =
     try { Tables(s, dir, "embeddings"); true }
     catch {
-      case _: org.apache.spark.sql.AnalysisException => false
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
+        false
     }
 
   def releaseReport(s: SparkSession, dir: String): DataFrame = {
@@ -81,11 +86,23 @@ object ReleaseReport {
     // raw risk and remediated risk off one row and can see the
     // generalization ladder actually clears (or fails to clear) a
     // blocked release
-    val remed = KAnonymity.kAnonApply(s, dir)
-      .filter(col("suppressed"))
-      .select(col("doc_id"))
-      .join(docs, "doc_id")
-      .groupBy("source").agg(count(lit(1)).as("n_risk_docs_remediated"))
+    // kAnonApply FAILS LOUDLY when no ladder level fits the budget —
+    // right for the publisher's apply gate, wrong for a blocker REPORT,
+    // whose job is to state the blockage: when remediation is
+    // impossible, the post-remediation residue IS the raw risk (nothing
+    // can be generalized away within budget), so the report degrades to
+    // that instead of crashing (oracle mirrors via the NULL-level CASE)
+    val remed =
+      try KAnonymity.kAnonApply(s, dir)
+        .filter(col("suppressed"))
+        .select(col("doc_id"))
+        .join(docs, "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_risk_docs_remediated"))
+      catch {
+        case _: IllegalStateException =>
+          risk.select(col("source"),
+            col("n_risk_docs").as("n_risk_docs_remediated"))
+      }
     val leakPairs = Sampling.splitLeakage(s, dir)
     val leak = leakPairs.select(col("a_id").as("doc_id"))
       .unionByName(leakPairs.select(col("b_id").as("doc_id")))
@@ -207,7 +224,9 @@ object ReleaseReport {
           |SELECT b.source, b.n_docs, b.n_kept, b.n_exact_dup, b.n_near_dup,
           |  b.n_quality,
           |  coalesce(r.n_risk_docs, 0)::BIGINT AS n_risk_docs,
-          |  coalesce(kr.n_risk_docs_remediated, 0)::BIGINT
+          |  (CASE WHEN (SELECT level FROM kachosen) IS NULL
+          |     THEN coalesce(r.n_risk_docs, 0)
+          |     ELSE coalesce(kr.n_risk_docs_remediated, 0) END)::BIGINT
           |    AS n_risk_docs_remediated,
           |  coalesce(l.n_leak_docs, 0)::BIGINT AS n_leak_docs,
           |  coalesce(c.n_contam_docs, 0)::BIGINT AS n_contam_docs,
@@ -215,7 +234,9 @@ object ReleaseReport {
           |  (coalesce(r.n_risk_docs, 0) = 0 AND coalesce(l.n_leak_docs, 0) = 0
           |    AND coalesce(c.n_contam_docs, 0) = 0
           |    AND coalesce(x.n_xcontam_docs, 0) = 0) AS releasable,
-          |  (coalesce(kr.n_risk_docs_remediated, 0) = 0
+          |  ((CASE WHEN (SELECT level FROM kachosen) IS NULL
+          |      THEN coalesce(r.n_risk_docs, 0)
+          |      ELSE coalesce(kr.n_risk_docs_remediated, 0) END) = 0
           |    AND coalesce(l.n_leak_docs, 0) = 0
           |    AND coalesce(c.n_contam_docs, 0) = 0
           |    AND coalesce(x.n_xcontam_docs, 0) = 0) AS releasable_remediated

@@ -325,10 +325,9 @@ object StreamingPlanDigest {
           mem.addData((900001L, "zq zr zs zt"))
         }
       },
-      // foreachBatch twin: the lock pins the micro-batch plan feeding
-      // the composed release maintainer — STATELESS like its two
-      // underlying stores; pins the micro-batch plan feeding the
-      // versioned manifest+k-anon+release composition
+      // foreachBatch twin: pins the micro-batch plan feeding the
+      // composed release maintainer (versioned manifest + k-anon +
+      // release composition) — STATELESS like its two underlying stores
       "release_report_stream" -> { () =>
         val mem = MemoryStream[(Long, String, String, String)]
         def t(n: String) =

@@ -735,6 +735,20 @@ object BitextMine {
     sat.unionByName(fallback)
   }
 
+  /** Cut a forward-best relation at per-language thresholds
+    * (`thresh(tgt_lang, chosen_threshold)`), languages ABSENT from the
+    * table degrading to the global [[MarginThresh]] (left join +
+    * coalesce — the [[mineWaveChosen]] depth-fallback law applied to
+    * the second dial): a language the dial artifact predates mines at
+    * the round-11 defaults instead of silently vanishing. Shared by the
+    * batch gate and [[graft.streaming.StreamBitext
+    * .mineWavesCalibrated]]. */
+  def applyThresholds(fwd: DataFrame, thresh: DataFrame): DataFrame =
+    fwd.join(broadcast(thresh), Seq("tgt_lang"), "left")
+      .withColumn("chosen_threshold",
+        coalesce(col("chosen_threshold"), lit(MarginThresh)))
+      .filter(col("margin") >= col("chosen_threshold"))
+
   /** Gate: the fully-calibrated production miner — BOTH certified
     * per-language dials consumed: candidates retrieve at the language's
     * chosen probe depth ([[bitextProbeChoice]], the tuned wave) and
@@ -747,9 +761,10 @@ object BitextMine {
       .select(col("tgt_lang"), col("chosen_threshold"))
     val pc = bitextProbeChoice(s, dir)
       .select(col("tgt_lang"), col("chosen_probe"))
-    tunedFwd(s, dir)
-      .join(broadcast(th), "tgt_lang")
-      .filter(col("margin") >= col("chosen_threshold"))
+    // the gate's dials are total by construction (both choices emit a
+    // row per language); applyThresholds' fallback is inert here but
+    // keeps the gate on the same code path as the streaming loop
+    applyThresholds(tunedFwd(s, dir), th)
       .join(broadcast(pc), "tgt_lang")
       .select(col("src_id"), col("tgt_lang"), col("tgt_id"),
         round(col("cos"), 4).as("cosine"),

@@ -25,10 +25,8 @@ import org.apache.spark.sql.functions._
   * dials rides the memoized certification relations. */
 object ChoiceModel {
 
-  def modelDir(dir: String): String = {
-    val name = new java.io.File(dir).getName
-    s"target/bitext_choice/${name}_${Integer.toHexString(dir.hashCode)}"
-  }
+  def modelDir(dir: String): String =
+    graft.sources.ModelStore.modelDir("bitext_choice", dir)
 
   private def fmtD(d: Double): String = java.lang.Double.toString(d)
 

@@ -41,10 +41,8 @@ object IvfModel {
   /** Deterministic per-(sf-dir) artifact location under the build dir;
     * versions live in `v=<n>` subdirectories
     * ([[graft.sources.ModelStore]]). */
-  def modelDir(dir: String): String = {
-    val name = new java.io.File(dir).getName
-    s"target/ivf_model/${name}_${Integer.toHexString(dir.hashCode)}"
-  }
+  def modelDir(dir: String): String =
+    graft.sources.ModelStore.modelDir("ivf_model", dir)
 
   /** Production read path: newest committed, manifest-valid version —
     * a torn or corrupted newer write is skipped and the previous

@@ -25,10 +25,8 @@ import org.apache.spark.sql.functions._
   * zero-shuffle literal chain. */
 object PcaModel {
 
-  def modelDir(dir: String): String = {
-    val name = new java.io.File(dir).getName
-    s"target/pca_model/${name}_${Integer.toHexString(dir.hashCode)}"
-  }
+  def modelDir(dir: String): String =
+    graft.sources.ModelStore.modelDir("pca_model", dir)
 
   private def fmtD(d: Double): String = java.lang.Double.toString(d)
 

@@ -19,10 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object PqModel {
 
-  def modelDir(dir: String): String = {
-    val name = new java.io.File(dir).getName
-    s"target/pq_model/${name}_${Integer.toHexString(dir.hashCode)}"
-  }
+  def modelDir(dir: String): String =
+    graft.sources.ModelStore.modelDir("pq_model", dir)
 
   /** Newest committed, manifest-valid version (the [[IvfModel]]
     * rollback discipline). */

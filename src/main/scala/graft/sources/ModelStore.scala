@@ -13,9 +13,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * committed version that passes the model's own manifest validation,
   * so a torn or corrupted write is simply skipped and the previous
   * version keeps serving — the rollback proof in ModelStoreSpec.
-  * Retention keeps the newest [[Keep]] committed versions (plus the
-  * torn tails newer than them, which the next write's prune sweeps once
-  * they are older than a committed successor).
+  * Retention keeps the newest [[Keep]] committed versions; torn
+  * (uncommitted) directories are swept only once they fall BELOW the
+  * oldest retained committed version — an uncommitted number inside the
+  * retained window may be a concurrent writer mid-write.
   *
   * All IO goes through the Hadoop [[FileSystem]] API, resolved per base
   * URI from the active Spark session's Hadoop conf — so the SAME store
@@ -37,6 +38,15 @@ object ModelStore {
 
   /** Committed versions retained after each write. */
   val Keep = 3
+
+  /** Deterministic per-(family, corpus-dir) artifact base under the
+    * build dir — THE single statement of the local artifact layout,
+    * shared by every model family (a layout change, e.g. a configurable
+    * cluster base, lands once here). */
+  def modelDir(family: String, dir: String): String = {
+    val name = new java.io.File(dir).getName
+    s"target/$family/${name}_${Integer.toHexString(dir.hashCode)}"
+  }
 
   private val CommitMarker = "_COMMITTED"
   private val AllocMarker = "_ALLOCATED"
@@ -103,6 +113,17 @@ object ModelStore {
     while (!tryClaim(fs, base, next)) next += 1
     val dir = versionPath(base, next)
     writer(dir)
+    // commit guard: if a CONCURRENT writer's prune swept this claimed
+    // directory mid-write (cross-JVM — the monitor only serializes
+    // writers in-process), the alloc marker is gone and parts of the
+    // artifact may have been recreated after the sweep. Committing then
+    // would violate the store's core invariant (committed ⇒ fully
+    // written), so fail the write loudly instead — the caller retries
+    // and the half-written dir stays uncommitted, invisible to readers.
+    if (!fs.exists(new Path(dir, AllocMarker)))
+      throw new IllegalStateException(
+        s"version claim $dir was swept by a concurrent prune mid-write — " +
+          "refusing to commit a possibly-partial artifact")
     fs.create(new Path(dir, CommitMarker), false).close()
     prune(fs, root)
     next
@@ -128,18 +149,20 @@ object ModelStore {
 
   /** Keep the newest [[Keep]] committed versions; delete older
     * committed ones and any uncommitted (torn) directory older than the
-    * newest committed version. */
+    * OLDEST RETAINED committed version — not merely the newest: an
+    * uncommitted number between retained committed versions may be a
+    * concurrent writer still writing (cross-JVM), and sweeping it would
+    * race that write. Below `keepFrom` a claim is provably stale
+    * relative to [[Keep]] full committed generations; the commit guard
+    * in [[write]] turns the residual race into a loud failure rather
+    * than a torn committed artifact. */
   private def prune(fs: FileSystem, root: Path): Unit = {
     val dirs = versionDirs(fs, root)
     val committed = dirs.filter(v => isCommitted(fs, v._2)).map(_._1)
     if (committed.nonEmpty) {
       val keepFrom = committed.takeRight(Keep).head
-      val newestCommitted = committed.last
       dirs.foreach { case (v, p) =>
-        val drop =
-          if (isCommitted(fs, p)) v < keepFrom
-          else v < newestCommitted
-        if (drop) fs.delete(p, true)
+        if (v < keepFrom) fs.delete(p, true)
       }
     }
   }

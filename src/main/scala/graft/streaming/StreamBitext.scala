@@ -100,16 +100,21 @@ object StreamBitext {
   def mineWavesCalibrated(waves: DataFrame, candidatesWithCell: DataFrame,
                           centers: Array[Array[Double]], dials: DataFrame,
                           base: String, checkpoint: String): StreamingQuery = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.col
     val probe = dials.select(col("tgt_lang").as("lang"),
       col("chosen_probe").as("nprobe"))
     val thresh = dials.select(col("tgt_lang"), col("chosen_threshold"))
     waves.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        BitextMine.mineWaveChosen(batch, candidatesWithCell, centers, probe)
-          .join(broadcast(thresh), "tgt_lang")
-          .filter(col("margin") >= col("chosen_threshold"))
+        // applyThresholds (shared with the batch gate's fallback law)
+        // degrades an uncertified language to the GLOBAL threshold —
+        // mirroring mineWaveChosen's depth fallback; an inner join here
+        // would silently drop every pair of a language the dial
+        // artifact predates
+        BitextMine.applyThresholds(
+            BitextMine.mineWaveChosen(batch, candidatesWithCell, centers,
+              probe), thresh)
           .write.mode("overwrite").parquet(s"$base/wave=$batchId")
         ()
       }

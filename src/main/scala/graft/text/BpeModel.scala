@@ -23,10 +23,8 @@ import org.apache.spark.sql.functions._
   * apply. */
 object BpeModel {
 
-  def modelDir(dir: String): String = {
-    val name = new java.io.File(dir).getName
-    s"target/bpe_model/${name}_${Integer.toHexString(dir.hashCode)}"
-  }
+  def modelDir(dir: String): String =
+    graft.sources.ModelStore.modelDir("bpe_model", dir)
 
   /** Newest committed, manifest-valid version (the
     * [[graft.sim.IvfModel]] rollback discipline). */

@@ -26,10 +26,8 @@ import org.apache.spark.sql.functions._
   * zero-shuffle literal projection. */
 object QualityModel {
 
-  def modelDir(dir: String): String = {
-    val name = new java.io.File(dir).getName
-    s"target/quality_model/${name}_${Integer.toHexString(dir.hashCode)}"
-  }
+  def modelDir(dir: String): String =
+    graft.sources.ModelStore.modelDir("quality_model", dir)
 
   private def fmtD(d: Double): String = java.lang.Double.toString(d)
 

@@ -94,6 +94,24 @@ class ReleaseReportSpec extends AnyFunSuite {
       s"source b is clean in both views: ${rows("b")}")
   }
 
+  test("remediation impossible (corpus smaller than K): the report " +
+    "degrades to residue = raw risk instead of crashing or lying green") {
+    val rows = ReleaseReport
+      .releaseReport(spark, writeCorpus(
+        (200L until 203L).map(i => (i, filler(i), "en", "a"))))
+      .collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_risk_docs"),
+        r.getAs[Long]("n_risk_docs_remediated"),
+        r.getAs[Boolean]("releasable"),
+        r.getAs[Boolean]("releasable_remediated")))
+    // 3 docs < K=5: every doc is raw risk, no ladder level fits the
+    // budget (even one-class-of-all is sub-K), so nothing remediates
+    assert(rows.toSeq == Seq(("a", 3L, 3L, false, false)),
+      s"remediated residue must equal raw risk when no level fits: " +
+        rows.toSeq)
+  }
+
   test("remediation never clears a leak: releasable_remediated still " +
     "blocks on the leakage column") {
     val ids = (200L until 260L)

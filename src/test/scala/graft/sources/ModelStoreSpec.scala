@@ -44,9 +44,40 @@ class ModelStoreSpec extends AnyFunSuite {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(p, "payload.txt"), "good again"))
     assert(v3 == 3, "the torn version number must not be reused")
-    // the torn v=2 dir is swept once a newer committed version exists
-    assert(!java.nio.file.Files.exists(
+    // the torn v=2 dir is NOT swept while it sits inside the retained
+    // committed window (it could be a concurrent writer mid-write)...
+    assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(ModelStore.versionPath(base, 2))))
+    // ...and IS swept once Keep newer committed versions age it out
+    (4 to 6).foreach { _ =>
+      ModelStore.write(base, p =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p, "payload.txt"), "newer"))
+    }
+    assert(ModelStore.committedVersions(base) == Seq(4, 5, 6))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ModelStore.versionPath(base, 2))),
+      "the torn dir must be swept once below the retained window")
+  }
+
+  test("commit guard: a claim swept mid-write fails the write loudly " +
+    "instead of committing a possibly-partial artifact") {
+    val base = tmpBase()
+    ModelStore.write(base, p =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p, "payload.txt"), "good"))
+    val e = intercept[IllegalStateException] {
+      ModelStore.write(base, { p =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p, "payload.txt"), "partial")
+        // simulate a concurrent prune sweeping the claimed dir mid-write
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(p, "_ALLOCATED"))
+      })
+    }
+    assert(e.getMessage.contains("concurrent prune"))
+    assert(ModelStore.committedVersions(base) == Seq(1),
+      "the swept claim must never become a committed version")
   }
 
   test("latestValid skips a committed-but-invalid version") {
