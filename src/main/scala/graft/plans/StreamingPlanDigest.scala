@@ -332,12 +332,13 @@ object StreamingPlanDigest {
         val mem = MemoryStream[(Long, String, String, String)]
         def t(n: String) =
           java.nio.file.Files.createTempDirectory(n).toString
-        val (mBase, kBase, rBase, ckpt) =
+        val (mBase, kBase, lBase, rBase, ckpt) =
           (t("graft-rel-twin-m"), t("graft-rel-twin-k"),
-            t("graft-rel-twin-r"), t("graft-rel-twin-ckpt"))
+            t("graft-rel-twin-l"), t("graft-rel-twin-r"),
+            t("graft-rel-twin-ckpt"))
         val q = StreamRelease.maintain(
           mem.toDS().toDF("doc_id", "text", "lang", "source"),
-          mBase, kBase, rBase, ckpt)
+          mBase, kBase, lBase, rBase, ckpt)
         try {
           mem.addData((1L, "a b", "en", "s"))
           q.processAllAvailable()
@@ -347,7 +348,7 @@ object StreamingPlanDigest {
           outlineOf(exec.executedPlan)
         } finally {
           q.stop()
-          cleanDirs(mBase, kBase, rBase, ckpt)
+          cleanDirs(mBase, kBase, lBase, rBase, ckpt)
         }
       },
       // the manifest maintainer — STATELESS (no StateStore/watermark

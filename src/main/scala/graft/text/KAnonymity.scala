@@ -105,6 +105,66 @@ object KAnonymity {
       k(4, lit(null).cast("string"), noSrc, noBucket))
   }
 
+  /** Ladder class counts SPLIT by document source — the counting MONOID
+    * the ONLINE remediation readout maintains
+    * ([[graft.streaming.StreamRelease]]): rows keyed (level, class key,
+    * source) add under union, and re-aggregating away `source` recovers
+    * the class sizes — so both the budget-chosen level AND the
+    * per-source suppressed mass derive from this ONE domain-bounded
+    * relation (classes × levels × sources), never per-doc state. The
+    * ladder keys are [[ladderKeys]] verbatim — the same statement the
+    * batch gates explode. */
+  def ladderClassCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source").as("doc_source"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("len"))
+      .select(col("doc_source"), explode(ladderKeys).as("k"))
+      .select(col("k.level").as("level"), col("k.k_lang").as("k_lang"),
+        col("k.k_source").as("k_source"), col("k.k_bucket").as("k_bucket"),
+        col("doc_source").as("source"))
+      .groupBy("level", "k_lang", "k_source", "k_bucket", "source")
+      .agg(count(lit(1)).as("n"))
+
+  /** Monoid merge: ladder counts add by (level, class key, source). */
+  def mergeLadder(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("level", "k_lang", "k_source", "k_bucket", "source")
+      .agg(sum("n").as("n"))
+
+  /** The per-source POST-remediation risk mass derived from the ladder
+    * monoid ALONE: re-aggregate class sizes, pick the minimal
+    * in-budget level (DEGRADING to the level-0 audit key when no level
+    * fits — residue = raw risk, the [[graft.operators.ReleaseReport]]
+    * law), and sum each source's documents left in sub-K classes
+    * there. Agrees with the per-doc [[kAnonApply]] path by
+    * construction (each doc lies in exactly one chosen-level class);
+    * proven against the batch release gate in StreamReleaseSpec. */
+  def remediatedBySource(counts: DataFrame): DataFrame = {
+    val classes = counts
+      .groupBy("level", "k_lang", "k_source", "k_bucket")
+      .agg(sum("n").as("class_size"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val chosen = classes.groupBy("level").agg(
+        sum(when(col("class_size") < KAnon, col("class_size"))
+          .otherwise(0L)).as("suppressed"),
+        sum(col("class_size")).as("n_total"))
+      .withColumn("min_ok", min(when(
+        col("suppressed") * MaxSuppressDen <=
+          col("n_total") * MaxSuppressNum, col("level"))).over(w))
+      .select(coalesce(col("min_ok"), lit(0L)).as("chosen"))
+      .distinct()
+    val subK = classes.filter(col("class_size") < KAnon)
+      .select(col("level").as("c_level"), col("k_lang").as("c_lang"),
+        col("k_source").as("c_source"), col("k_bucket").as("c_bucket"))
+    counts
+      .join(broadcast(chosen), col("level") === col("chosen"))
+      .join(broadcast(subK),
+        col("level") === col("c_level") &&
+          col("k_lang") <=> col("c_lang") &&
+          col("k_source") <=> col("c_source") &&
+          col("k_bucket") <=> col("c_bucket"))
+      .groupBy("source").agg(sum("n").as("n_risk_docs_remediated"))
+  }
+
   /** Gate: the remediation readout — per ladder level, the class count,
     * sub-K class count, suppressed-document count (docs that remain in
     * sub-K classes at that level), the budget verdict, and the `chosen`
