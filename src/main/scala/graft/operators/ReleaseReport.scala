@@ -91,7 +91,11 @@ object ReleaseReport {
     // whose job is to state the blockage: when remediation is
     // impossible, the post-remediation residue IS the raw risk (nothing
     // can be generalized away within budget), so the report degrades to
-    // that instead of crashing (oracle mirrors via the NULL-level CASE)
+    // that instead of crashing (oracle mirrors via the NULL-level CASE).
+    // ONLY the dedicated budget verdict is caught — any other
+    // IllegalStateException (Spark internals, checkpoint failure) is a
+    // real failure and must propagate, not be reinterpreted as
+    // "remediation impossible".
     val remed =
       try KAnonymity.kAnonApply(s, dir)
         .filter(col("suppressed"))
@@ -99,7 +103,7 @@ object ReleaseReport {
         .join(docs, "doc_id")
         .groupBy("source").agg(count(lit(1)).as("n_risk_docs_remediated"))
       catch {
-        case _: IllegalStateException =>
+        case _: KAnonymity.BudgetUnsatisfiableException =>
           risk.select(col("source"),
             col("n_risk_docs").as("n_risk_docs_remediated"))
       }

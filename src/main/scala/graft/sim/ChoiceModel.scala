@@ -56,7 +56,12 @@ object ChoiceModel {
   /** Reload + verify. Returns (rows sorted by language, manifest_ok). */
   def readModel(s: SparkSession, path: String):
       (Seq[(String, Long, Double, Boolean)], Boolean) = {
-    val rows = s.read.parquet(s"$path/dials").collect()
+    // decode by NAME, not position — a column reorder in a future
+    // writeModel must fail checksum validation, never silently swap
+    // fields into the wrong dial
+    val rows = s.read.parquet(s"$path/dials")
+      .select("tgt_lang", "chosen_probe", "chosen_threshold", "met_target")
+      .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getBoolean(3)))
       .sortBy(_._1).toSeq

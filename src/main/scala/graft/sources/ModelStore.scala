@@ -26,12 +26,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * there). Everything here is model-bounded metadata IO (a directory
   * listing plus artifact files ∝ model size, never corpus).
   *
-  * Concurrency: version allocation claims its number with an ATOMIC
-  * create-exclusive of the version's [[AllocMarker]]
-  * (`FileSystem.create(…, overwrite = false)` — the conditional-put
-  * primitive; two writers racing the same number see exactly one
-  * winner, the loser retries at the next number). Within a JVM, writers
-  * AND readers serialize on the object monitor so a reader's
+  * Concurrency: version allocation claims its number by writing a
+  * UNIQUE writer token into the version's [[AllocMarker]] with
+  * `FileSystem.create(…, overwrite = false)`, and the token is re-read
+  * immediately before commit — a commit goes through only when the
+  * marker still holds THIS writer's token. On filesystems with atomic
+  * create-exclusive (HDFS, local/file://) the create IS a conditional
+  * put: two writers racing the same number see exactly one winner and
+  * the loser retries at the next number, so allocation is fully atomic
+  * there. On object stores whose create(overwrite=false) is a
+  * non-atomic existence-check + PUT (plain S3A/GCS), two cross-JVM
+  * writers CAN both pass the create; the token re-read then aborts
+  * every writer whose marker was overwritten, narrowing the double-
+  * commit window to a PUT-vs-re-read race — run such stores with a
+  * conditional-put mode (e.g. `fs.s3a.create.conditional`) or fence
+  * writers externally if that residual window matters. Within a JVM,
+  * writers AND readers serialize on the object monitor so a reader's
   * list-validate walk can never race a concurrent prune deleting an
   * aged version mid-iteration. */
 object ModelStore {
@@ -89,17 +99,47 @@ object ModelStore {
   /** Path of a version directory (exists or not). */
   def versionPath(base: String, v: Int): String = s"$base/v=$v"
 
-  /** Atomically claim version `v`: create its directory and then its
-    * alloc marker with overwrite=false — the create-exclusive is the
-    * conditional put; exactly one of two racing writers wins. */
-  private def tryClaim(fs: FileSystem, base: String, v: Int): Boolean = {
+  /** Claim version `v`: create its directory and write THIS writer's
+    * token into the alloc marker with overwrite=false. On atomic
+    * create-exclusive filesystems (HDFS, local) the create is the
+    * conditional put — exactly one of two racing writers wins; the
+    * token exists so [[write]]'s pre-commit re-read can also detect a
+    * non-atomic store letting two writers through (see object doc). */
+  private def tryClaim(fs: FileSystem, base: String, v: Int,
+                       token: String): Boolean = {
     val dir = new Path(versionPath(base, v))
     fs.mkdirs(dir)
-    try { fs.create(new Path(dir, AllocMarker), false).close(); true }
+    try {
+      val out = fs.create(new Path(dir, AllocMarker), false)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+      true
+    }
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.io.IOException if fs.exists(new Path(dir, AllocMarker)) =>
         false
+    }
+  }
+
+  /** The alloc marker's current token: None when the marker is GONE
+    * (prune sweep); Some(other) when it exists but doesn't read back as
+    * written — a foreign writer's token, or bytes rewritten out-of-band
+    * (e.g. a checksummed local FS seeing a bypassing rewrite) — either
+    * way not this writer's claim anymore. */
+  private def readToken(fs: FileSystem, dir: Path): Option[String] = {
+    val marker = new Path(dir, AllocMarker)
+    try {
+      val in = fs.open(marker)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](256)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        if (fs.exists(marker)) Some("<unreadable-marker>") else None
     }
   }
 
@@ -109,21 +149,32 @@ object ModelStore {
     * marker file and prune. Returns the committed version number. */
   def write(base: String, writer: String => Unit): Int = synchronized {
     val (fs, root) = fsFor(base)
+    val token = java.util.UUID.randomUUID().toString
     var next = versionDirs(fs, root).lastOption.map(_._1 + 1).getOrElse(1)
-    while (!tryClaim(fs, base, next)) next += 1
+    while (!tryClaim(fs, base, next, token)) next += 1
     val dir = versionPath(base, next)
     writer(dir)
-    // commit guard: if a CONCURRENT writer's prune swept this claimed
-    // directory mid-write (cross-JVM — the monitor only serializes
-    // writers in-process), the alloc marker is gone and parts of the
-    // artifact may have been recreated after the sweep. Committing then
+    // commit guard: re-read the alloc marker and require OUR token.
+    // Catches two cross-JVM races the in-process monitor can't: (a) a
+    // concurrent writer's prune swept this claimed directory mid-write
+    // (marker gone — parts of the artifact may have been recreated
+    // after the sweep); (b) on an object store without atomic
+    // create-exclusive, a second writer claimed the same number and
+    // overwrote the marker (foreign token). Committing in either state
     // would violate the store's core invariant (committed ⇒ fully
-    // written), so fail the write loudly instead — the caller retries
-    // and the half-written dir stays uncommitted, invisible to readers.
-    if (!fs.exists(new Path(dir, AllocMarker)))
-      throw new IllegalStateException(
+    // written by one writer), so fail loudly instead — the caller
+    // retries and the half-written dir stays uncommitted, invisible to
+    // readers.
+    readToken(fs, new Path(dir)) match {
+      case Some(t) if t == token => ()
+      case Some(_) => throw new IllegalStateException(
+        s"version claim $dir was re-claimed by a concurrent writer " +
+          "(non-atomic create on this filesystem?) — refusing to commit " +
+          "a possibly-interleaved artifact")
+      case None => throw new IllegalStateException(
         s"version claim $dir was swept by a concurrent prune mid-write — " +
           "refusing to commit a possibly-partial artifact")
+    }
     fs.create(new Path(dir, CommitMarker), false).close()
     prune(fs, root)
     next

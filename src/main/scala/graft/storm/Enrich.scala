@@ -278,11 +278,12 @@ object Enrich {
     * (transform_test.go:96-103), and so does this path.
     */
   def parseRawJson(df: DataFrame, valueCol: String = "value",
-                   kafkaTsCol: String = "timestamp"): DataFrame = {
+                   kafkaTsCol: String = "timestamp",
+                   keep: Seq[String] = Nil): DataFrame = {
     val parsed = df.withColumn("_rec", parsedWithCorrupt(col(valueCol)))
     val rawCols = Model.rawFieldNames.map(f => col(s"_rec.$f").as(f))
     parsed.select(
-      rawCols ++ Seq(
+      keep.map(col) ++ rawCols ++ Seq(
         col(kafkaTsCol).as("kafka_timestamp"),
         (col("_rec").isNull || col("_rec._corrupt").isNotNull)
           .as("parse_error")): _*)

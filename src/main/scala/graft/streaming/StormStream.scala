@@ -192,15 +192,24 @@ object StormStream {
     queryName.foreach(writer.queryName)
     writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // cache both layers: raw (poison routing reads original payloads)
-        // and transformed (write + count each act on it) — without the
-        // second cache the whole enrichment would recompute per action
-        val raw = batch.cache()
-        val t = transform(raw).cache()
+        // ONE parse per micro-batch: the envelope columns ride through the
+        // parse + enrichment (`keep`), so the poison split filters the SAME
+        // cached `parse_error` column the good side reads — no second
+        // from_json over the raw value — and the dead-letter rows are the
+        // ORIGINAL envelope columns reconstructed from the cached frame.
+        // `transform` stays the stream ≡ batch contract; this inlines it
+        // with the envelope passthrough (parseErrorFlag remains the shared
+        // flag DEFINITION — parseRawJson computes the identical expression
+        // over the identical parse).
+        val envCols = batch.columns.toSeq
+        val t = Enrich.enrich(
+          Enrich.parseRawJson(batch, keep = envCols),
+          keep = "parse_error" +: envCols).cache()
         try {
           val good = toWire(t.filter(!col("parse_error")))
           writeGood(good)
-          val poison = raw.filter(Enrich.parseErrorFlag(col("value")))
+          val poison = t.filter(col("parse_error"))
+            .select(envCols.map(col): _*)
           val nPoison = poison.count()
           // produced/error counters mirror the reference's
           // messages_produced_total / transform_errors_total
@@ -215,7 +224,7 @@ object StormStream {
                 "poison provenance lines this batch")
             writePoison(poison)
           }
-        } finally { t.unpersist(); raw.unpersist() }
+        } finally { t.unpersist(); () }
       }
       .start()
   }

@@ -46,6 +46,15 @@ import org.apache.spark.sql.functions._
   * 100 TB the class domain is unchanged; only partials scale. */
 object KAnonymity {
 
+  /** Thrown when no ladder level satisfies the suppression budget — a
+    * DEDICATED type (still an IllegalStateException for existing
+    * callers) so a blocker report can catch exactly "remediation is
+    * impossible" without also swallowing unrelated engine
+    * IllegalStateExceptions (checkpoint failures, Spark internals) as
+    * a budget verdict. */
+  final class BudgetUnsatisfiableException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Release threshold (k = 5, the classic working value). */
   val KAnon = 5
 
@@ -245,7 +254,7 @@ object KAnonymity {
             .collect()
           val level = Option(lvls.head).filterNot(_.isNullAt(0))
             .map(_.getLong(0))
-            .getOrElse(throw new IllegalStateException(
+            .getOrElse(throw new BudgetUnsatisfiableException(
               s"k-anonymity generalization: no ladder level satisfies the " +
                 s"$MaxSuppressNum/$MaxSuppressDen suppression budget " +
                 s"(corpus smaller than K=$KAnon?) — nothing is publishable"))

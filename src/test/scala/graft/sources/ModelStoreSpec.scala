@@ -80,6 +80,24 @@ class ModelStoreSpec extends AnyFunSuite {
       "the swept claim must never become a committed version")
   }
 
+  test("commit guard: a claim whose alloc marker holds a FOREIGN token " +
+    "(a second writer let through by a non-atomic create) fails loudly") {
+    val base = tmpBase()
+    val e = intercept[IllegalStateException] {
+      ModelStore.write(base, { p =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p, "payload.txt"), "mine")
+        // simulate an object store whose create(overwrite=false) is
+        // check+PUT: a second writer's token lands over ours
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p, "_ALLOCATED"), "foreign-token")
+      })
+    }
+    assert(e.getMessage.contains("re-claimed"))
+    assert(ModelStore.committedVersions(base).isEmpty,
+      "the re-claimed version must never commit")
+  }
+
   test("latestValid skips a committed-but-invalid version") {
     val base = tmpBase()
     ModelStore.write(base, p =>

@@ -36,7 +36,9 @@ class KAnonymitySpec extends AnyFunSuite {
         (2L, "delta echo foxtrot", "en", "a"))
       .toDF("doc_id", "text", "lang", "source")
       .write.mode("overwrite").parquet(s"$tiny/documents.parquet")
-    val e = intercept[IllegalStateException] {
+    // the DEDICATED budget type, so ReleaseReport's degrade path can
+    // catch exactly this and nothing else
+    val e = intercept[KAnonymity.BudgetUnsatisfiableException] {
       KAnonymity.kAnonApply(spark, tiny)
     }
     assert(e.getMessage.contains("suppression budget"),
