@@ -1085,7 +1085,7 @@ object BitextMine {
 
   /** The trained quantizer centroids, once any pruned gate has run
     * (the [[ChoiceModel]] oracle needs them). */
-  private[sim] def centersNow: Option[Array[Array[Double]]] =
+  private[graft] def centersNow: Option[Array[Array[Double]]] =
     synchronized(lastCenters)
 
   /** A def, not a val: the IVF entries inline the trained centroids and

@@ -40,16 +40,25 @@ object ChoiceModel {
       .digest(canon.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
 
+  /** Write one artifact version. `quantizerSha` BINDS the dials to the
+    * quantizer they were certified against ([[IvfModel.centroidSha]] of
+    * the centers the certification sweep actually probed): a dial table
+    * is only meaningful for the index it was tuned on, so the sha rides
+    * the manifest and [[readLatestValid]] refuses versions certified on
+    * a different (e.g. since-retrained) quantizer. */
   def writeModel(s: SparkSession, path: String,
-                 rows: Seq[(String, Long, Double, Boolean)]): Unit = {
+                 rows: Seq[(String, Long, Double, Boolean)],
+                 quantizerSha: String): Unit = {
     import s.implicits._
     rows.toDF("tgt_lang", "chosen_probe", "chosen_threshold", "met_target")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/dials")
     Seq((rows.length,
         BitextMine.RecallTargetNum, BitextMine.RecallTargetDen,
-        BitextMine.CurveThresholds.mkString(","), choiceSha(rows)))
-      .toDF("n_langs", "recall_num", "recall_den", "sweep", "choice_sha")
+        BitextMine.CurveThresholds.mkString(","), choiceSha(rows),
+        quantizerSha))
+      .toDF("n_langs", "recall_num", "recall_den", "sweep", "choice_sha",
+        "quantizer_sha")
       .write.mode("overwrite").parquet(s"$path/manifest")
   }
 
@@ -74,13 +83,27 @@ object ChoiceModel {
     (rows, ok)
   }
 
+  /** The quantizer sha this artifact version was certified against. */
+  def readQuantizerSha(s: SparkSession, path: String): String =
+    s.read.parquet(s"$path/manifest").head().getAs[String]("quantizer_sha")
+
   /** Newest committed, manifest-valid version (the IvfModel rollback
-    * discipline). */
-  def readLatestValid(s: SparkSession, base: String):
+    * discipline). When `quantizerSha` is given, a version is valid ONLY
+    * if it was certified against THAT quantizer — a dial artifact that
+    * predates a quantizer retrain is stale (its depths/thresholds were
+    * swept on another geometry) and silently mis-probes the new index,
+    * so the walk skips it exactly like a torn write: an OLDER matching
+    * version keeps serving, and if none matches the reload fails loudly
+    * (re-certify before mining). */
+  def readLatestValid(s: SparkSession, base: String,
+                      quantizerSha: Option[String] = None):
       (Int, Seq[(String, Long, Double, Boolean)], Boolean) = {
     val (v, path) = graft.sources.ModelStore.latestValid(base,
-      p => readModel(s, p)._2)
-      .getOrElse(sys.error(s"no valid committed model under $base"))
+      p => readModel(s, p)._2 &&
+        quantizerSha.forall(_ == readQuantizerSha(s, p)))
+      .getOrElse(sys.error(s"no valid committed model under $base" +
+        quantizerSha.fold("")(q => s" certified against quantizer $q — " +
+          "re-run the certification sweep against the current index")))
     val (rows, ok) = readModel(s, path)
     (v, rows, ok)
   }
@@ -100,8 +123,15 @@ object ChoiceModel {
         r.getBoolean(3)))
       .sortBy(_._1).toSeq
     val base = modelDir(dir)
-    graft.sources.ModelStore.write(base, p => writeModel(s, p, trained))
-    val (_, reloaded, ok) = readLatestValid(s, base)
+    // the quantizer the certification sweep actually probed (set by the
+    // memoized assignment join the probe-choice derivation rides) —
+    // bound into the manifest and demanded back at reload, so a dial
+    // version certified on a since-retrained index can never serve
+    val qsha = IvfModel.centroidSha(BitextMine.centersNow.getOrElse(
+      sys.error("choice derivation did not train a quantizer")))
+    graft.sources.ModelStore.write(base,
+      p => writeModel(s, p, trained, qsha))
+    val (_, reloaded, ok) = readLatestValid(s, base, Some(qsha))
     synchronized {
       lastOracle = Some(BitextMine.dialsSql(BitextMine.centersNow.get))
     }

@@ -189,7 +189,7 @@ class ModelStoreSpec extends AnyFunSuite {
       .createTempDirectory("graft-choicemodel").toString
     val rows = Seq(("de", 4L, 1.15, true), ("fr", 2L, 1.05, true),
       ("zh", 8L, 1.25, false))
-    ChoiceModel.writeModel(spark, dir, rows)
+    ChoiceModel.writeModel(spark, dir, rows, "test-quantizer-sha")
     val (got, ok) = ChoiceModel.readModel(spark, dir)
     assert(ok && got == rows.sortBy(_._1), "clean write must verify")
     // rewrite the dials with one deeper probe, manifest untouched

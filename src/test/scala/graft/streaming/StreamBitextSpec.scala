@@ -203,8 +203,13 @@ class StreamBitextSpec extends AnyFunSuite {
     // roundtrip gate (derive → versioned write → reload) and take the
     // RELOADED dial table
     graft.sim.ChoiceModel.bitextChoiceRoundtrip(spark, dir).collect()
+    // reload DEMANDING the quantizer actually in use — the staleness
+    // binding a mining fleet runs with (ChoiceModelSpec proves the
+    // reject path; here the happy path must serve)
+    val qsha = graft.sim.IvfModel.centroidSha(
+      graft.sim.BitextMine.centersNow.get)
     val (_, dialRows, ok) = graft.sim.ChoiceModel.readLatestValid(
-      spark, graft.sim.ChoiceModel.modelDir(dir))
+      spark, graft.sim.ChoiceModel.modelDir(dir), Some(qsha))
     assert(ok, "the shipped artifact must be manifest-valid")
     val dials = dialRows
       .toDF("tgt_lang", "chosen_probe", "chosen_threshold", "met_target")
