@@ -63,11 +63,15 @@ object StormQueries {
         .as("Comments"))
   }
 
-  /** Shared oracle CTE producing the identical raw projection in DuckDB. */
-  private val rawSql: String =
-    """raw AS (
+  /** Shared oracle CTE producing the identical raw projection in DuckDB.
+    * `ktsExpr` is the kafka-timestamp expression — the synthetic gates
+    * use the event's own (second-truncated) ts; the api-check gate
+    * overrides it with the checker's constant, exactly like
+    * [[StormValidate.apiTransformCheck]] does on the Spark side. */
+  private def rawSqlWithKts(ktsExpr: String): String =
+    s"""raw AS (
       |  SELECT event_id,
-      |    date_trunc('second', ts) AS kts,
+      |    $ktsExpr AS kts,
       |    CASE event_type WHEN 'click' THEN 'hail' WHEN 'view' THEN 'wind'
       |      WHEN 'error' THEN 'tornado' WHEN 'purchase' THEN 'HAIL'
       |      ELSE 'gusty' END AS rtype,
@@ -97,6 +101,8 @@ object StormQueries {
       |      WHEN 1 THEN 'no office here'
       |      ELSE 'spotter says (KTLX) ' END AS comments
       |  FROM events)""".stripMargin
+
+  private val rawSql: String = rawSqlWithKts("date_trunc('second', ts)")
 
   /** Oracle CTE chain re-implementing parse + enrichment rules in SQL over
     * any `raw` CTE exposing (kts, rtype, rtime, size, f_scale, speed, loc,
@@ -280,11 +286,68 @@ object StormQueries {
         date_format(col("processed_at"), "yyyy-MM-dd HH:mm:ss").as("processed_at"))
   }
 
+  /** Gate for [[StormValidate.rowParity]] (J5) — the positional
+    * row-parity validator run against a PLANTED divergence: side `b` is
+    * the enriched projection with every 97th event's magnitude bumped,
+    * so the violations relation is exactly those rows, cross-checked by
+    * a DuckDB `row_number` zip over the same total order. The gate
+    * upgrades J5 from spec-only to hash-checked: the range-partitioned
+    * zipWithIndex must assign exactly the ranks a global ORDER BY
+    * event_id assigns, or the join keys (and the hash) diverge. */
+  def stormRowParity(s: SparkSession, dir: String): DataFrame = {
+    val a = stormEnrich(s, dir)
+      .select(col("event_id"), col("id"), col("magnitude"))
+    val b = a.withColumn("magnitude",
+      when(col("event_id") % 97 === 0, col("magnitude") + 1)
+        .otherwise(col("magnitude")))
+    StormValidate.rowParity(a, b, Seq("event_id"))
+  }
+
+  /** Gate for [[StormValidate.apiTransformCheck]] (J3+J4) — the
+    * tolerant API cross-check run against a PLANTED api set: the
+    * expected relation's own rows with (a) every 17th event missing
+    * (→ `missing_in_api`), (b) every 13th magnitude off by 0.5 and
+    * every 19th severity forced (→ field violations), and (c) every
+    * 11th event duplicated with a corrupted state under a LATER `_row`
+    * (→ silently dropped by the first-wins dedup — the ON CONFLICT DO
+    * NOTHING mirror). `_row` is 2·event_id for originals and
+    * 2·event_id+1 for duplicates so first-wins is total even across
+    * hash-colliding ids. The oracle replays the entire construction —
+    * enrichment chain, corruption, dedup, per-field tolerant compare —
+    * in SQL. */
+  def stormApiCheck(s: SparkSession, dir: String): DataFrame = {
+    val raw = syntheticRaw(s, dir)
+    // the checker re-derives `expected` internally from this same raw
+    // relation (with its own constant kafka_timestamp); the planted api
+    // set must corrupt THAT relation, so build it identically here
+    val expected = Enrich.enrich(
+      raw.withColumn("kafka_timestamp",
+        to_timestamp(lit("2024-04-26 00:00:00"))),
+      processedAt = to_timestamp(lit("2024-04-27 06:00:00")),
+      keep = Seq("event_id"))
+    val api = expected
+      .filter(col("event_id") % 17 =!= 0)
+      .withColumn("magnitude",
+        when(col("event_id") % 13 === 0, col("magnitude") + 0.5)
+          .otherwise(col("magnitude")))
+      .withColumn("severity",
+        when(col("event_id") % 19 === 0, lit("extreme"))
+          .otherwise(col("severity")))
+      .withColumn("_row", col("event_id") * 2)
+      .unionByName(expected.filter(col("event_id") % 11 === 0)
+        .withColumn("state", lit("XX"))
+        .withColumn("_row", col("event_id") * 2 + 1))
+      .drop("event_id")
+    StormValidate.apiTransformCheck(raw, api)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "storm_enrich" -> stormEnrich,
     "storm_severity_counts" -> stormSeverityCounts,
     "storm_bucket_counts" -> stormBucketCounts,
-    "storm_fixture" -> stormFixture)
+    "storm_fixture" -> stormFixture,
+    "storm_row_parity" -> stormRowParity,
+    "storm_api_check" -> stormApiCheck)
 
   val oracles: Map[String, String] = Map(
     "storm_enrich" ->
@@ -311,5 +374,99 @@ object StormQueries {
           |  strftime(date_trunc('hour', event_time), '%Y-%m-%d %H:%M:%S')
           |    AS time_bucket,
           |  '2024-04-27 06:00:00' AS processed_at
-          |FROM sev""".stripMargin))
+          |FROM sev""".stripMargin),
+    "storm_row_parity" ->
+      (enrichedSql + ",\n" +
+        """pa AS (SELECT event_id, id, magnitude FROM sev),
+          |pb AS (SELECT event_id, id,
+          |         CASE WHEN event_id % 97 = 0 THEN magnitude + 1
+          |              ELSE magnitude END AS magnitude FROM sev),
+          |ai AS (SELECT *, row_number() OVER (ORDER BY event_id) AS _rn
+          |       FROM pa),
+          |bi AS (SELECT *, row_number() OVER (ORDER BY event_id) AS _rn
+          |       FROM pb)
+          |SELECT coalesce(a._rn, b._rn) AS "row",
+          |  a.event_id AS a_event_id, b.event_id AS b_event_id,
+          |  a.id AS a_id, b.id AS b_id,
+          |  a.magnitude AS a_magnitude, b.magnitude AS b_magnitude
+          |FROM ai a FULL OUTER JOIN bi b ON a._rn = b._rn
+          |WHERE a._rn IS NULL OR b._rn IS NULL
+          |   OR a.event_id IS DISTINCT FROM b.event_id
+          |   OR a.id IS DISTINCT FROM b.id
+          |   OR a.magnitude IS DISTINCT FROM b.magnitude""".stripMargin),
+    "storm_api_check" ->
+      (chainSql(rawSqlWithKts("TIMESTAMP '2024-04-26 00:00:00'")) + ",\n" +
+        """expd AS (SELECT event_id, id, etype AS event_type, lat, lon,
+          |    magnitude, unit, severity, event_time, location_name,
+          |    location_distance, location_direction, state, county,
+          |    source_office, date_trunc('hour', event_time) AS time_bucket
+          |  FROM sev),
+          |apirows AS (
+          |  SELECT * REPLACE (
+          |      CASE WHEN event_id % 13 = 0 THEN magnitude + 0.5
+          |           ELSE magnitude END AS magnitude,
+          |      CASE WHEN event_id % 19 = 0 THEN 'extreme'
+          |           ELSE severity END AS severity),
+          |    event_id * 2 AS _row
+          |  FROM expd WHERE event_id % 17 <> 0
+          |  UNION ALL
+          |  SELECT * REPLACE ('XX' AS state), event_id * 2 + 1 AS _row
+          |  FROM expd WHERE event_id % 11 = 0),
+          |apidedup AS (SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY _row)
+          |      AS rn
+          |    FROM apirows) WHERE rn = 1),
+          |joined AS (SELECT e.id,
+          |    e.event_type AS e_event_type, a.event_type AS a_event_type,
+          |    e.lat AS e_lat, a.lat AS a_lat,
+          |    e.lon AS e_lon, a.lon AS a_lon,
+          |    e.magnitude AS e_magnitude, a.magnitude AS a_magnitude,
+          |    e.unit AS e_unit, a.unit AS a_unit,
+          |    e.severity AS e_severity, a.severity AS a_severity,
+          |    e.event_time AS e_event_time, a.event_time AS a_event_time,
+          |    e.location_name AS e_ln, a.location_name AS a_ln,
+          |    e.location_distance AS e_ld, a.location_distance AS a_ld,
+          |    e.location_direction AS e_ldir, a.location_direction AS a_ldir,
+          |    e.state AS e_state, a.state AS a_state,
+          |    e.county AS e_county, a.county AS a_county,
+          |    e.source_office AS e_so, a.source_office AS a_so,
+          |    e.time_bucket AS e_tb, a.time_bucket AS a_tb
+          |  FROM expd e JOIN apidedup a ON a.id = e.id)
+          |SELECT id, field FROM (
+          |  SELECT id, 'event_type' AS field FROM joined
+          |    WHERE e_event_type IS DISTINCT FROM a_event_type
+          |  UNION ALL SELECT id, 'lat' FROM joined
+          |    WHERE NOT coalesce(abs(e_lat - a_lat) < 1e-9
+          |      OR (e_lat IS NULL AND a_lat IS NULL), FALSE)
+          |  UNION ALL SELECT id, 'lon' FROM joined
+          |    WHERE NOT coalesce(abs(e_lon - a_lon) < 1e-9
+          |      OR (e_lon IS NULL AND a_lon IS NULL), FALSE)
+          |  UNION ALL SELECT id, 'magnitude' FROM joined
+          |    WHERE NOT coalesce(abs(e_magnitude - a_magnitude) < 1e-9
+          |      OR (e_magnitude IS NULL AND a_magnitude IS NULL), FALSE)
+          |  UNION ALL SELECT id, 'unit' FROM joined
+          |    WHERE e_unit IS DISTINCT FROM a_unit
+          |  UNION ALL SELECT id, 'severity' FROM joined
+          |    WHERE e_severity IS DISTINCT FROM a_severity
+          |  UNION ALL SELECT id, 'event_time' FROM joined
+          |    WHERE e_event_time IS DISTINCT FROM a_event_time
+          |  UNION ALL SELECT id, 'location_name' FROM joined
+          |    WHERE e_ln IS DISTINCT FROM a_ln
+          |  UNION ALL SELECT id, 'location_distance' FROM joined
+          |    WHERE NOT coalesce(abs(e_ld - a_ld) < 1e-9
+          |      OR (e_ld IS NULL AND a_ld IS NULL)
+          |      OR e_ld IS NOT DISTINCT FROM a_ld, FALSE)
+          |  UNION ALL SELECT id, 'location_direction' FROM joined
+          |    WHERE e_ldir IS DISTINCT FROM a_ldir
+          |  UNION ALL SELECT id, 'state' FROM joined
+          |    WHERE e_state IS DISTINCT FROM a_state
+          |  UNION ALL SELECT id, 'county' FROM joined
+          |    WHERE e_county IS DISTINCT FROM a_county
+          |  UNION ALL SELECT id, 'source_office' FROM joined
+          |    WHERE e_so IS DISTINCT FROM a_so
+          |  UNION ALL SELECT id, 'time_bucket' FROM joined
+          |    WHERE e_tb IS DISTINCT FROM a_tb
+          |  UNION ALL SELECT e.id, 'missing_in_api' FROM expd e
+          |    WHERE NOT EXISTS (SELECT 1 FROM apidedup a
+          |                      WHERE a.id = e.id))""".stripMargin))
 }

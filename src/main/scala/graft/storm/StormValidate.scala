@@ -111,12 +111,17 @@ object StormValidate {
 
     val joined = expected.as("e").join(deduped.as("a"), Seq("id"))
     // three-valued logic: a NULL comparison (one side null) must count as a
-    // violation, not silently drop — coalesce to false like schemaAlignment
-    val fails = checks.map { case (name, ok) =>
-      joined.filter(!coalesce(ok, lit(false)))
-        .select(col("id"), lit(name).as("field"))
-    }
-    val fieldViolations = fails.reduce(_ unionByName _)
+    // violation, not silently drop — coalesce to false like schemaAlignment.
+    // ALL field checks evaluate in ONE pass over the joined relation (an
+    // array of violated field names, exploded): a per-field filter+union
+    // would re-scan and re-join the corpus once per compared field — 14
+    // corpus scans at 100 TB for a single validation pass.
+    val violArr = array(checks.map { case (name, ok) =>
+      when(!coalesce(ok, lit(false)), lit(name))
+    }: _*)
+    val fieldViolations = joined
+      .select(col("id"),
+        explode(filter(violArr, x => x.isNotNull)).as("field"))
     val unmatched = expected.as("e")
       .join(deduped.select("id"), Seq("id"), "left_anti")
       .select(col("id"), lit("missing_in_api").as("field"))

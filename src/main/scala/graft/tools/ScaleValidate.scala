@@ -263,6 +263,10 @@ object ScaleValidate {
       "winsorize_events")),
     ("storm-chain", "enrichment is a projection; rollups ∝ groups: ≪F×", Seq(
       "storm_enrich", "storm_severity_counts")),
+    ("storm-validate", "parity = range-repartition sort + index join " +
+      "∝ rows: ≈F×; api check = enrich projection + id join ∝ rows: ≈F×, " +
+      "violations output-sized", Seq(
+      "storm_row_parity", "storm_api_check")),
     ("exact-distinct", "countDistinct partials ∝ distinct (key,id): ≈F×", Seq(
       "storm_bucket_counts", "hll_distinct", "q7_distinct_customers",
       "media_audio_fp_groups", "media_video_fp_groups")))
