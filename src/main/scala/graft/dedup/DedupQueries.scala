@@ -486,6 +486,14 @@ object DedupQueries {
     contamPairs(corpus.join(broadcast(eval), "s"))
   }
 
+  /** The frozen eval-side shingle table `(eval_id, s)` — the broadcast
+    * relation an ONLINE decontaminator checks arriving documents
+    * against ([[graft.streaming.StreamContam]]); exactly
+    * [[decontaminate]]'s eval split, exposed so the streaming face and
+    * the batch gate can never disagree on who the eval set is. */
+  def evalShingleTable(s: SparkSession, dir: String): DataFrame =
+    evalCorpusSplit(shingles(s, dir))._1
+
   /** The REPORT side of decontamination — per EVAL document, how
     * compromised is it: total distinct shingles, how many occur anywhere
     * in the training corpus, the contamination fraction, and how many

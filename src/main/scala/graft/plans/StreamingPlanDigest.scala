@@ -327,18 +327,22 @@ object StreamingPlanDigest {
       },
       // foreachBatch twin: pins the micro-batch plan feeding the
       // composed release maintainer (versioned manifest + k-anon +
-      // release composition) — STATELESS like its two underlying stores
+      // ladder + leak + contamination + release composition) —
+      // STATELESS like all five underlying stores (everything heavy is
+      // foreachBatch-internal batch work against frozen feeds)
       "release_report_stream" -> { () =>
         val mem = MemoryStream[(Long, String, String, String)]
         def t(n: String) =
           java.nio.file.Files.createTempDirectory(n).toString
-        val (mBase, kBase, lBase, rBase, ckpt) =
-          (t("graft-rel-twin-m"), t("graft-rel-twin-k"),
-            t("graft-rel-twin-l"), t("graft-rel-twin-r"),
-            t("graft-rel-twin-ckpt"))
+        val b = StreamRelease.Bases(t("graft-rel-twin-m"),
+          t("graft-rel-twin-k"), t("graft-rel-twin-l"),
+          t("graft-rel-twin-lk"), t("graft-rel-twin-c"),
+          t("graft-rel-twin-r"))
+        val ckpt = t("graft-rel-twin-ckpt")
+        val feeds = StreamRelease.pairFeeds(spark, IndexSfDir)
         val q = StreamRelease.maintain(
           mem.toDS().toDF("doc_id", "text", "lang", "source"),
-          mBase, kBase, lBase, rBase, ckpt)
+          b, feeds, ckpt)
         try {
           mem.addData((1L, "a b", "en", "s"))
           q.processAllAvailable()
@@ -348,7 +352,7 @@ object StreamingPlanDigest {
           outlineOf(exec.executedPlan)
         } finally {
           q.stop()
-          cleanDirs(mBase, kBase, lBase, rBase, ckpt)
+          cleanDirs(b.all :+ ckpt: _*)
         }
       },
       // the manifest maintainer — STATELESS (no StateStore/watermark

@@ -86,10 +86,14 @@ object StreamNearDup {
         substring(sha2(concat_ws(",", rows: _*), 256), 1, 16).as("bh"))
     }: _*)
 
-  /** Arriving (doc_id, text) stream → verified near-dup alerts
-    * (a_id, b_id, est_jaccard, jaccard) in the batch query's canonical
-    * (min, max) orientation and rounding. */
-  def matchesOverStream(docs: DataFrame, idx: Index): DataFrame = {
+  /** The verified-match relation BEFORE pair normalization — one row
+    * per (arriving doc, corpus partner, band hit) above the exact
+    * Jaccard threshold, the arriving side still identified as `s_doc`.
+    * Shared trunk of [[matchesOverStream]] (which adds the signature
+    * estimate and canonicalizes) and [[rawMatches]] (which keeps the
+    * orientation for consumers that must ATTRIBUTE the hit, e.g. the
+    * cross-split release flags). */
+  private def verified(docs: DataFrame, idx: Index): DataFrame = {
     val stopLit = array(idx.stopShingles.map(lit(_)): _*)
       .cast("array<string>")
     val enriched = docs
@@ -104,9 +108,6 @@ object StreamNearDup {
         explode(bandExpr(col("s_sig"))).as("bb"))
       .select(col("s_doc"), col("s_sh"), col("s_n"), col("s_sig"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val est = (0 until NumPerms).map(j =>
-      when(element_at(col("s_sig"), j + 1) ===
-        element_at(col("c_sig"), j + 1), 1).otherwise(0)).reduce(_ + _)
     enriched
       .join(idx.bands, Seq("band", "bh")) // stream-static inner equi-join
       .filter(col("c_doc") =!= col("s_doc"))
@@ -115,6 +116,16 @@ object StreamNearDup {
       .withColumn("jaccard",
         col("common") / (col("s_n") + col("c_n") - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Arriving (doc_id, text) stream → verified near-dup alerts
+    * (a_id, b_id, est_jaccard, jaccard) in the batch query's canonical
+    * (min, max) orientation and rounding. */
+  def matchesOverStream(docs: DataFrame, idx: Index): DataFrame = {
+    val est = (0 until NumPerms).map(j =>
+      when(element_at(col("s_sig"), j + 1) ===
+        element_at(col("c_sig"), j + 1), 1).otherwise(0)).reduce(_ + _)
+    verified(docs, idx)
       .join(idx.sigs, "c_doc")
       .select(
         least(col("s_doc"), col("c_doc")).as("a_id"),
@@ -123,6 +134,18 @@ object StreamNearDup {
         round(col("jaccard"), 4).as("jaccard"))
       .dropDuplicates("a_id", "b_id")
   }
+
+  /** Verified matches with the ARRIVING side kept identified:
+    * (s_doc, c_doc, jaccard), multi-band hits collapsed. For consumers
+    * that must attribute the hit to the stream side vs the frozen side
+    * ([[StreamSplitLeakage.crossSplitFlags]]); skips the signature
+    * estimate (no `sigs` join) — flags need the verdict, not the
+    * sketch diagnostics. */
+  def rawMatches(docs: DataFrame, idx: Index): DataFrame =
+    verified(docs, idx)
+      .select(col("s_doc"), col("c_doc"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .dropDuplicates("s_doc", "c_doc")
 
   def outputMode: OutputMode = OutputMode.Append()
 }

@@ -1,79 +1,116 @@
 package graft.streaming
 
+import graft.Tables
 import graft.text.KAnonymity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** ONLINE release readout — the governance surfaces that maintain
-  * themselves per micro-batch ([[StreamManifest]] for corpus content,
-  * [[StreamKAnonymity]] for quasi-identifier class counts, and the
-  * ladder monoid [[KAnonymity.ladderClassCounts]] for remediation)
-  * COMPOSED into one versioned release row per source, the streaming
-  * face of [[graft.operators.ReleaseReport]]'s monoid-maintainable
-  * columns: per batch, update all three underlying stores, then join
-  * the latest committed versions (all `v=batchId` — the versions this
-  * very batch just wrote) into `(source, n_docs, total_chars,
-  * n_risk_docs, n_risk_docs_remediated, releasable,
-  * releasable_remediated)` and write it as version `v=batchId` of the
-  * release store.
+/** ONLINE release readout — every release dimension that can be
+  * maintained per micro-batch, COMPOSED into one versioned release row
+  * per source: corpus content ([[StreamManifest]]), quasi-identifier
+  * risk raw and remediated ([[StreamKAnonymity]] + the ladder monoid
+  * [[KAnonymity.ladderClassCounts]]), cross-split LEAKAGE
+  * ([[StreamSplitLeakage.crossSplitFlags]] against the frozen near-dup
+  * index — a distinct-set store, ∝ flagged docs), and string
+  * CONTAMINATION ([[StreamContam.contamFlags]] against the frozen eval
+  * shingles — a per-source counting monoid, each doc decidable at its
+  * own arrival). Per batch: update all five underlying stores, then
+  * join the versions this very batch wrote (all `v=batchId`) into
+  * `(source, n_docs, total_chars, n_risk_docs, n_risk_docs_remediated,
+  * n_leak_docs, n_contam_docs, releasable, releasable_remediated,
+  * scope)` and write it as version `v=batchId` of the release store.
   *
-  * The remediated column works online because the WHOLE remediation
-  * derivation is monoid-expressible: ladder class counts split by
-  * source add under union, class sizes re-aggregate from them, the
-  * budget-chosen level is a 5-row readout of those sizes, and the
-  * per-source suppressed mass is a bounded join back — no per-doc
-  * state, ever ([[KAnonymity.remediatedBySource]], proven ≡ the batch
-  * release gate's column in StreamReleaseSpec).
+  * `releasable` now blocks on the same three online dimensions the
+  * batch gate blocks on minus exactly one: TRANSLATED contamination
+  * (`bitext_decontam`) is NOT composable online, and the [[Scope]]
+  * column states that IN the stored schema (not only here) so a reader
+  * of the parquet store alone sees the verdict's coverage. The reason
+  * is structural, not an implementation gap: the bitext ratio margin
+  * normalizes each pair's cosine by both sides' local DENSITY over the
+  * candidate corpus (Artetxe & Schwenk 2019), so one arriving candidate
+  * changes the margins — and can flip the flags — of pairs it is not
+  * part of; the flag set is a function of the WHOLE corpus, not of the
+  * arriving document, hence no per-doc or counting monoid exists for
+  * it (StreamReleaseSpec plants exactly this geometry and watches an
+  * existing flag flip under one insertion). The write-funnel columns
+  * (kept/dup/quality) stay with the batch gate for the same reason the
+  * funnel itself is a batch job.
   *
   * Replay-idempotent for the [[StreamManifest]] reason, COMPOSED: all
   * inputs version by batchId (their merges read strictly-earlier
   * bases), so a re-delivered batch recomputes exactly the same input
-  * versions and therefore exactly the same release row, and overwrites
-  * its own release version. A release review reads ONE directory whose
-  * latest committed version is the current releasability of the
-  * ingested corpus — without ever re-scanning it.
+  * versions and overwrites its own release version. A release review
+  * reads ONE directory whose latest committed version is the current
+  * releasability of the ingested corpus — without re-scanning it.
   *
-  * Scope (stated, not silent): the composed columns are the
-  * monoid-maintainable ones — corpus size/content and k-anonymity risk,
-  * raw and remediated. The pair-relation blockers (split leakage, eval
-  * contamination) are not counting monoids — they need the
-  * cross-document pair joins the BATCH release gate composes
-  * ([[graft.operators.ReleaseReport]]), and their online twins
-  * ([[StreamSplitLeakage]], [[StreamNearDup]]) already maintain the
-  * underlying pair feeds separately. `releasable` here therefore means
-  * "no quasi-identifier risk", the release dimension that CAN be kept
-  * current at ingest cost ∝ batch.
-  *
-  * Scale: per batch, work is the three underlying updates (partials ∝
-  * batch, state ∝ sources + classes × levels) plus bounded joins —
-  * nothing corpus-sized; external state ∝ (sources + classes × levels)
-  * × retained versions. */
+  * Scale: per batch, the five updates cost partials ∝ batch (manifest,
+  * k-anon, ladder, contamination) plus the index probe (∝ batch × band
+  * hits) — nothing corpus-sized is scanned per batch except the
+  * doc→source projection joined against the ALERT-sized leak hits (a
+  * production fleet freezes that projection next to the index).
+  * External state: sources + classes × levels bounded stores, plus the
+  * leak store ∝ flagged docs (alert-sized by the same argument as the
+  * near-dup alert stream). */
 object StreamRelease {
 
-  /** The composed readout from explicit manifest / class-count / ladder
-    * relations — the join the versioned stores feed; relation-first so
-    * the spec can prove stream ≡ batch against
-    * [[graft.sources.CorpusManifest.contentManifest]] +
-    * [[KAnonymity.classCounts]] + [[KAnonymity.ladderClassCounts]] over
-    * the full prefix. */
-  def compose(manifest: DataFrame, classes: DataFrame,
-              ladder: DataFrame): DataFrame = {
+  /** The stored scope statement — what the ONLINE verdict covers, in
+    * the schema itself (a verdict column whose coverage lives only in
+    * scaladoc invites over-reading the parquet). */
+  val Scope: String =
+    "releasable = kanon+leakage+contamination; " +
+      "translated-contamination and write-funnel verdicts are " +
+      "batch-gate-only (bitext margin is corpus-relative)"
+
+  /** The frozen pair-relation feeds the leak/contam maintainers probe:
+    * the banded near-dup index, the indexed corpus's doc→source
+    * projection, and the eval shingle table. Build ONCE before the
+    * stream starts (the [[StreamNearDup.Index]] discipline). */
+  final case class PairFeeds(index: StreamNearDup.Index,
+                             corpusSources: DataFrame,
+                             evalShingles: DataFrame)
+
+  def pairFeeds(s: SparkSession, dir: String): PairFeeds = PairFeeds(
+    StreamNearDup.buildIndex(s, dir),
+    Tables(s, dir, "documents")
+      .select(col("doc_id").as("c_doc"), col("source").as("c_source")),
+    // eval side is benchmark-sized — materialize once, broadcast later
+    StreamContam.evalShingles(s, dir).localCheckpoint(true))
+
+  /** The composed readout from explicit relations — relation-first so
+    * the spec can prove stream ≡ batch against the batch builders
+    * ([[graft.sources.CorpusManifest.contentManifest]],
+    * [[KAnonymity.classCounts]], [[KAnonymity.ladderClassCounts]], the
+    * batch gate's leak/contam doc sets). `leakFlags` is the DISTINCT
+    * (doc_id, source) leak-doc relation; `contamCounts` is the
+    * per-source (source, n_contam_docs) rollup. */
+  def compose(manifest: DataFrame, classes: DataFrame, ladder: DataFrame,
+              leakFlags: DataFrame, contamCounts: DataFrame): DataFrame = {
     val risk = classes
       .filter(col("class_size") < KAnonymity.KAnon)
       .groupBy("source").agg(sum("class_size").as("n_risk_docs"))
     val remed = KAnonymity.remediatedBySource(ladder)
+    val leak = leakFlags
+      .groupBy("source").agg(count(lit(1)).as("n_leak_docs"))
     manifest
       .join(broadcast(risk), Seq("source"), "left")
       .join(broadcast(remed), Seq("source"), "left")
+      .join(broadcast(leak), Seq("source"), "left")
+      .join(broadcast(contamCounts), Seq("source"), "left")
       .select(col("source"), col("n_rows").as("n_docs"),
         col("total_chars"),
         coalesce(col("n_risk_docs"), lit(0L)).as("n_risk_docs"),
         coalesce(col("n_risk_docs_remediated"), lit(0L))
-          .as("n_risk_docs_remediated"))
-      .withColumn("releasable", col("n_risk_docs") === 0L)
+          .as("n_risk_docs_remediated"),
+        coalesce(col("n_leak_docs"), lit(0L)).as("n_leak_docs"),
+        coalesce(col("n_contam_docs"), lit(0L)).as("n_contam_docs"))
+      .withColumn("releasable",
+        col("n_risk_docs") === 0L && col("n_leak_docs") === 0L &&
+          col("n_contam_docs") === 0L)
       .withColumn("releasable_remediated",
-        col("n_risk_docs_remediated") === 0L)
+        col("n_risk_docs_remediated") === 0L && col("n_leak_docs") === 0L &&
+          col("n_contam_docs") === 0L)
+      .withColumn("scope", lit(Scope))
   }
 
   /** One idempotent micro-batch update of the ladder monoid (the
@@ -92,24 +129,67 @@ object StreamRelease {
       .parquet(StreamManifest.versionDir(base, batchId))
   }
 
-  /** One idempotent micro-batch update: maintain all three underlying
+  /** One idempotent micro-batch update of the leak-doc SET: union this
+    * batch's cross-split flags into the latest earlier version and
+    * dedup — set-union is idempotent under replay AND under the pair
+    * rediscovery from a pair's second endpoint. Store ∝ flagged docs. */
+  def updateLeak(s: SparkSession, base: String, feeds: PairFeeds,
+                 batch: DataFrame, batchId: Long): Unit = {
+    val bf = StreamSplitLeakage.crossSplitFlags(batch, feeds.index,
+      feeds.corpusSources)
+    val merged = StreamManifest.latestVersion(base, Some(batchId)) match {
+      case Some(v) =>
+        s.read.parquet(StreamManifest.versionDir(base, v))
+          .unionByName(bf).distinct()
+      case None => bf
+    }
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(StreamManifest.versionDir(base, batchId))
+  }
+
+  /** One idempotent micro-batch update of the per-source contamination
+    * counts: counts ADD under union because each document is decidable
+    * (and therefore counted) exactly once, at its own arrival
+    * ([[StreamContam]]); versioning by batchId makes replays no-ops. */
+  def updateContam(s: SparkSession, base: String, feeds: PairFeeds,
+                   batch: DataFrame, batchId: Long): Unit = {
+    val bc = StreamContam.contamFlags(batch, feeds.evalShingles)
+      .groupBy("source").agg(count(lit(1)).as("n_contam_docs"))
+    val merged = StreamManifest.latestVersion(base, Some(batchId)) match {
+      case Some(v) =>
+        s.read.parquet(StreamManifest.versionDir(base, v))
+          .unionByName(bc)
+          .groupBy("source").agg(sum("n_contam_docs").as("n_contam_docs"))
+      case None => bc
+    }
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(StreamManifest.versionDir(base, batchId))
+  }
+
+  /** Store bases for the five underlying stores + the composed row. */
+  final case class Bases(manifest: String, kanon: String, ladder: String,
+                         leak: String, contam: String, release: String) {
+    def all: Seq[String] =
+      Seq(manifest, kanon, ladder, leak, contam, release)
+  }
+
+  /** One idempotent micro-batch update: maintain all five underlying
     * stores at `v=batchId`, then write their composition as `v=batchId`
     * of the release store. */
-  def update(s: SparkSession, manifestBase: String, kanonBase: String,
-             ladderBase: String, releaseBase: String, batch: DataFrame,
+  def update(s: SparkSession, b: Bases, feeds: PairFeeds, batch: DataFrame,
              batchId: Long): Unit = {
-    StreamManifest.update(s, manifestBase, batch, batchId)
-    StreamKAnonymity.update(s, kanonBase, batch, batchId)
-    updateLadder(s, ladderBase, batch, batchId)
-    val manifest = s.read.parquet(
-      StreamManifest.versionDir(manifestBase, batchId))
-    val classes = s.read.parquet(
-      StreamManifest.versionDir(kanonBase, batchId))
-    val ladder = s.read.parquet(
-      StreamManifest.versionDir(ladderBase, batchId))
+    StreamManifest.update(s, b.manifest, batch, batchId)
+    StreamKAnonymity.update(s, b.kanon, batch, batchId)
+    updateLadder(s, b.ladder, batch, batchId)
+    updateLeak(s, b.leak, feeds, batch, batchId)
+    updateContam(s, b.contam, feeds, batch, batchId)
+    def rd(base: String) =
+      s.read.parquet(StreamManifest.versionDir(base, batchId))
     // sources-bounded relation: one file per version
-    compose(manifest, classes, ladder).coalesce(1).write.mode("overwrite")
-      .parquet(StreamManifest.versionDir(releaseBase, batchId))
+    compose(rd(b.manifest), rd(b.kanon), rd(b.ladder), rd(b.leak),
+        rd(b.contam))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(StreamManifest.versionDir(b.release, batchId))
   }
 
   /** The current release readout (None before the first batch). */
@@ -119,13 +199,11 @@ object StreamRelease {
 
   /** Maintain the versioned release readout over a document stream
     * (`doc_id, text, lang, source` — the corpus ingest shape). */
-  def maintain(docs: DataFrame, manifestBase: String, kanonBase: String,
-               ladderBase: String, releaseBase: String,
+  def maintain(docs: DataFrame, b: Bases, feeds: PairFeeds,
                checkpoint: String): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        update(b.sparkSession, manifestBase, kanonBase, ladderBase,
-          releaseBase, b, id)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        update(batch.sparkSession, b, feeds, batch, id)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

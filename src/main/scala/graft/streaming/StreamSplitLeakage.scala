@@ -42,4 +42,35 @@ object StreamSplitLeakage {
       .filter(col("corpus_split") =!= "train")
 
   def outputMode: OutputMode = OutputMode.Append()
+
+  /** Cross-split LEAK-DOC flags for the online release composition —
+    * the batch blocker ([[Sampling.splitLeakage]]: verified near-dup
+    * pairs whose members landed in DIFFERENT splits) maintained at
+    * ingest. Each arriving doc probes the frozen near-dup index; both
+    * sides' splits come from the SAME hash assignment
+    * ([[Sampling.splitOf]] — a pure in-row expression, no table), and a
+    * differing pair flags BOTH endpoints, because the batch gate counts
+    * every document touching a leaking pair. Sources: the arriving
+    * doc's rides the batch; the frozen partner's comes from
+    * `corpusSources` (`c_doc`, `c_source` — the doc→source projection
+    * frozen with the index).
+    *
+    * Output: DISTINCT (doc_id, source). Distinct-SET semantics are
+    * load-bearing downstream: a pair is rediscovered from its second
+    * endpoint when that endpoint arrives, so a counting monoid would
+    * double-flag — the versioned store unions and dedups instead
+    * ([[StreamRelease]]), and its size is ∝ flagged docs (alert-sized),
+    * never corpus-sized. */
+  def crossSplitFlags(batch: DataFrame, idx: StreamNearDup.Index,
+                      corpusSources: DataFrame): DataFrame = {
+    val hits = StreamNearDup.rawMatches(
+        batch.select(col("doc_id"), col("text")), idx)
+      .filter(Sampling.splitOf(col("s_doc")) =!= Sampling.splitOf(col("c_doc")))
+    val sSide = hits.select(col("s_doc").as("doc_id"))
+      .join(batch.select(col("doc_id"), col("source")), "doc_id")
+    val cSide = hits.select(col("c_doc").as("doc_id"))
+      .join(corpusSources.select(col("c_doc").as("doc_id"),
+        col("c_source").as("source")), "doc_id")
+    sSide.unionByName(cSide).distinct()
+  }
 }

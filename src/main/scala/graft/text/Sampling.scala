@@ -67,17 +67,29 @@ object Sampling {
     * retries and repartitions must all agree), and `group_split` assigns
     * by `source` only, so correlated documents travel together and cannot
     * leak across the split boundary. Pure projection: no shuffle at all. */
+  /** Split-bucket hash of a doc key — THE single statement of the
+    * assignment hash, shared by [[trainSplit]], [[splitLeakfree]] and
+    * the in-row streaming form [[splitOf]] so a consumer can never
+    * disagree with the table about where a document landed. */
+  private[graft] def splitBucket(key: Column): Column =
+    pmod(hex32(concat(lit("split|"), key)), lit(100))
+
+  private[graft] def splitFromBucket(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+  /** A document's split as ONE in-row expression (no table lookup) —
+    * what a streaming consumer computes for an ARRIVING doc; equals
+    * [[trainSplit]]'s `split` column by shared construction. */
+  def splitOf(docId: Column): Column = splitFromBucket(splitBucket(docId))
+
   def trainSplit(s: SparkSession, dir: String): DataFrame = {
-    def split(bucket: Column): Column =
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     Tables(s, dir, "documents")
-      .withColumn("bucket",
-        pmod(hex32(concat(lit("split|"), col("doc_id"))), lit(100)))
+      .withColumn("bucket", splitBucket(col("doc_id")))
       .withColumn("g_bucket",
         pmod(hex32(concat(lit("gsplit|"), col("source"))), lit(100)))
       .select(col("doc_id"), col("source"), col("bucket"),
-        split(col("bucket")).as("split"),
-        split(col("g_bucket")).as("group_split"))
+        splitFromBucket(col("bucket")).as("split"),
+        splitFromBucket(col("g_bucket")).as("group_split"))
   }
 
   /** Cross-split leakage report — the governance check a train/val/test
@@ -116,17 +128,14 @@ object Sampling {
     * naive assignment. Scale: one left join against the pair-bound
     * cluster labels on top of the zero-shuffle projection. */
   def splitLeakfree(s: SparkSession, dir: String): DataFrame = {
-    def split(bucket: Column): Column =
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     val clusters = graft.dedup.ConnectedComponents.dedupClusters(s, dir)
       .select(col("doc_id"), col("cluster_id"))
     Tables(s, dir, "documents")
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("bucket",
-        pmod(hex32(concat(lit("split|"), col("split_key"))), lit(100)))
+      .withColumn("bucket", splitBucket(col("split_key")))
       .select(col("doc_id"), col("split_key"), col("bucket"),
-        split(col("bucket")).as("split"))
+        splitFromBucket(col("bucket")).as("split"))
   }
 
   /** Deterministic stratified sampling — the reproducible twin of
