@@ -122,6 +122,15 @@ object Bench {
         graft.dedup.DedupQueries.dedupSimhashHamming(spark, sfDir); () }),
       ("prefix_docsets", () => graft.dedup.PrefixJoin.warm(spark, sfDir)),
       ("ivf_quantizer", () => { graft.sim.Ivf.assignments(spark, sfDir); () }),
+      // The mining tier's four memo families, in dependency order (the
+      // round-12 tier cost — brute + single-cell + interior depths +
+      // tuned wave — previously landed on the tier's alphabetical first
+      // payer as one opaque number). Tuned also pays the dial
+      // certification (probe curve + choice) its wave consumes.
+      ("bitext_memo_brute", () => graft.sim.BitextMine.warmBrute(spark, sfDir)),
+      ("bitext_memo_ivf", () => graft.sim.BitextMine.warmIvf(spark, sfDir)),
+      ("bitext_memo_probes", () => graft.sim.BitextMine.warmProbes(spark, sfDir)),
+      ("bitext_memo_tuned", () => graft.sim.BitextMine.warmTuned(spark, sfDir)),
       ("pq_model", () => { graft.sim.Pq.encoded(spark, sfDir); () }),
       ("knn_edges", () => { graft.sim.GraphStats.mutualEdges(spark, sfDir); () }),
       ("pca_model", () => { graft.sim.EmbedPca.model(spark, sfDir); () }),

@@ -479,6 +479,20 @@ object BitextMine {
     evalMemo = None; tunedMemo = None
   }
 
+  // Bench-attribution warms (round-12 verdict: the tier's whole memo
+  // cost landed on its alphabetical first payer — one number hiding any
+  // regression inside the shared builds). Called in dependency order by
+  // Bench's memoTimed so each line times exactly the increment it adds:
+  // brute is standalone; ivf assumes the quantizer memo is paid; probes
+  // assume ivf (cell assignments + centers); tuned assumes all three
+  // (its dial certification rides the probe curve's memos).
+  def warmBrute(s: SparkSession, dir: String): Unit = { bruteFwd(s, dir); () }
+  def warmIvf(s: SparkSession, dir: String): Unit = { ivfFwd(s, dir); () }
+  def warmProbes(s: SparkSession, dir: String): Unit =
+    MineProbes.filter(p => p > 1 && p < Ivf.NLists)
+      .foreach(probeFwd(s, dir, _))
+  def warmTuned(s: SparkSession, dir: String): Unit = { tunedFwd(s, dir); () }
+
   /** Gate: mined pairs — forward-best candidates above the margin
     * threshold, with the mutual (intersection-variant) flag. */
   def bitextMine(s: SparkSession, dir: String): DataFrame =
