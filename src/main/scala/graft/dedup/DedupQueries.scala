@@ -66,15 +66,25 @@ object DedupQueries {
   val PermB: IndexedSeq[Long] =
     (0 until NumPerms).map(j => coefSource("b", j) % MinhashPrime)
 
-  /** 3-word shingles (engine-wide trigram definition, TextQueries.trigrams),
-    * distinct per doc, exploded to (doc_id, s). */
-  def shingles(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.parallel(s, dir, "documents")
+  /** THE document → distinct-3-word-shingle projection over an explicit
+    * (doc_id, text[, keep…]) relation — the engine-wide shingle
+    * definition stated ONCE, shared by the batch corpus scan
+    * ([[shingles]]) and the streaming per-batch face
+    * ([[graft.streaming.StreamContam.contamFlags]]) so the two can
+    * never drift apart on tokenization or distinctness. */
+  def shingleProjection(docs: DataFrame,
+                        keep: Seq[String] = Nil): DataFrame = {
+    val d = docs
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= 3)
-    d.select(col("doc_id"),
-      explode(array_distinct(trigrams(col("w")))).as("s"))
+    d.select(col("doc_id") +: keep.map(col) :+
+      explode(array_distinct(trigrams(col("w")))).as("s"): _*)
   }
+
+  /** 3-word shingles (engine-wide trigram definition, TextQueries.trigrams),
+    * distinct per doc, exploded to (doc_id, s). */
+  def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleProjection(Tables.parallel(s, dir, "documents"))
 
   /** SQL twin of [[shingles]] (CTE `sh(doc_id, s)`), shared with the
     * Bloom prefilter oracle. */
@@ -474,12 +484,18 @@ object DedupQueries {
     sh.filter(col("doc_id") >= DecontamEvalDocs))
 
   /** Threshold pairs from the matched (corpus doc, eval doc, shingle)
-    * relation — the overlap rule, stated once. */
-  private def contamPairs(matched: DataFrame): DataFrame =
+    * relation — the overlap rule, stated once; `groupCols` lets the
+    * streaming face carry its source column through the same rule
+    * ([[graft.streaming.StreamContam.contamFlags]]). */
+  private[graft] def contamPairsBy(matched: DataFrame,
+                                   groupCols: Seq[String]): DataFrame =
     matched
-      .groupBy("doc_id", "eval_id")
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= DecontamMinOverlap)
+
+  private def contamPairs(matched: DataFrame): DataFrame =
+    contamPairsBy(matched, Seq("doc_id", "eval_id"))
 
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val (eval, corpus) = evalCorpusSplit(shingles(s, dir))

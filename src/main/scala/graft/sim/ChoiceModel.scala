@@ -62,9 +62,11 @@ object ChoiceModel {
       .write.mode("overwrite").parquet(s"$path/manifest")
   }
 
-  /** Reload + verify. Returns (rows sorted by language, manifest_ok). */
-  def readModel(s: SparkSession, path: String):
-      (Seq[(String, Long, Double, Boolean)], Boolean) = {
+  /** One read of a version: (rows sorted by language, manifest_ok,
+    * quantizer_sha) — exactly one dials read + one manifest read, the
+    * unit [[readLatestValid]]'s walk issues per probed version. */
+  private def readFull(s: SparkSession, path: String):
+      (Seq[(String, Long, Double, Boolean)], Boolean, String) = {
     // decode by NAME, not position — a column reorder in a future
     // writeModel must fail checksum validation, never silently swap
     // fields into the wrong dial
@@ -80,12 +82,15 @@ object ChoiceModel {
       mf.getAs[Long]("recall_num") == BitextMine.RecallTargetNum &&
       mf.getAs[Long]("recall_den") == BitextMine.RecallTargetDen &&
       mf.getAs[String]("sweep") == BitextMine.CurveThresholds.mkString(",")
-    (rows, ok)
+    (rows, ok, mf.getAs[String]("quantizer_sha"))
   }
 
-  /** The quantizer sha this artifact version was certified against. */
-  def readQuantizerSha(s: SparkSession, path: String): String =
-    s.read.parquet(s"$path/manifest").head().getAs[String]("quantizer_sha")
+  /** Reload + verify. Returns (rows sorted by language, manifest_ok). */
+  def readModel(s: SparkSession, path: String):
+      (Seq[(String, Long, Double, Boolean)], Boolean) = {
+    val (rows, ok, _) = readFull(s, path)
+    (rows, ok)
+  }
 
   /** Newest committed, manifest-valid version (the IvfModel rollback
     * discipline). When `quantizerSha` is given, a version is valid ONLY
@@ -98,13 +103,21 @@ object ChoiceModel {
   def readLatestValid(s: SparkSession, base: String,
                       quantizerSha: Option[String] = None):
       (Int, Seq[(String, Long, Double, Boolean)], Boolean) = {
-    val (v, path) = graft.sources.ModelStore.latestValid(base,
-      p => readModel(s, p)._2 &&
-        quantizerSha.forall(_ == readQuantizerSha(s, p)))
+    // the walk's predicate CAPTURES its read, so the winning version is
+    // decoded exactly once (the walk stops at the first valid version,
+    // so the last capture IS the winner) — no re-read of dials or
+    // manifest after the walk returns
+    var hit: Option[(Seq[(String, Long, Double, Boolean)], Boolean)] = None
+    val (v, _) = graft.sources.ModelStore.latestValid(base, { p =>
+      val (rows, ok, qsha) = readFull(s, p)
+      val valid = ok && quantizerSha.forall(_ == qsha)
+      if (valid) hit = Some((rows, ok))
+      valid
+    })
       .getOrElse(sys.error(s"no valid committed model under $base" +
         quantizerSha.fold("")(q => s" certified against quantizer $q — " +
           "re-run the certification sweep against the current index")))
-    val (rows, ok) = readModel(s, path)
+    val (rows, ok) = hit.get
     (v, rows, ok)
   }
 

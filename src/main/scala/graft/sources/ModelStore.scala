@@ -126,6 +126,12 @@ object ModelStore {
     * written — a foreign writer's token, or bytes rewritten out-of-band
     * (e.g. a checksummed local FS seeing a bypassing rewrite) — either
     * way not this writer's claim anymore. */
+  /** Distinguished from any real token (UUIDs): the marker exists but
+    * could not be read — a transient IO failure on a healthy claim OR a
+    * foreign writer's half-landed overwrite. [[write]] reports it as
+    * such instead of asserting a concurrency bug that may not exist. */
+  private val UnreadableToken = "<unreadable-marker>"
+
   private def readToken(fs: FileSystem, dir: Path): Option[String] = {
     val marker = new Path(dir, AllocMarker)
     try {
@@ -139,7 +145,7 @@ object ModelStore {
       } finally in.close()
     } catch {
       case scala.util.control.NonFatal(_) =>
-        if (fs.exists(marker)) Some("<unreadable-marker>") else None
+        if (fs.exists(marker)) Some(UnreadableToken) else None
     }
   }
 
@@ -167,6 +173,12 @@ object ModelStore {
     // readers.
     readToken(fs, new Path(dir)) match {
       case Some(t) if t == token => ()
+      case Some(UnreadableToken) => throw new IllegalStateException(
+        s"alloc marker of $dir could not be read back before commit — " +
+          "a transient read failure on a healthy claim OR a foreign " +
+          "writer's overwrite; refusing to commit either way (a retried " +
+          "write allocates a fresh version; if this persists, inspect " +
+          "the marker)")
       case Some(_) => throw new IllegalStateException(
         s"version claim $dir was re-claimed by a concurrent writer " +
           "(non-atomic create on this filesystem?) — refusing to commit " +

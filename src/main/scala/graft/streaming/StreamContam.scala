@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.dedup.DedupQueries
-import graft.text.TextQueries.{trigrams, words}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,16 +36,15 @@ object StreamContam {
     * threshold — exactly the batch gate's flagged-doc set restricted
     * to this batch. */
   def contamFlags(batch: DataFrame, evalSh: DataFrame): DataFrame = {
-    val sh = batch
-      .filter(col("doc_id") >= DedupQueries.DecontamEvalDocs)
-      .withColumn("w", words(col("text")))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(trigrams(col("w")))).as("s"))
-    sh.join(broadcast(evalSh), "s")
-      .groupBy("doc_id", "source", "eval_id")
-      .agg(count(lit(1)).as("n_overlap"))
-      .filter(col("n_overlap") >= DedupQueries.DecontamMinOverlap)
+    // projection and threshold are the BATCH definitions
+    // ([[DedupQueries.shingleProjection]] / [[DedupQueries
+    // .contamPairsBy]]), not restatements — the stream ≡ batch
+    // contamination equality the release verdict rests on cannot drift
+    val sh = DedupQueries.shingleProjection(
+      batch.filter(col("doc_id") >= DedupQueries.DecontamEvalDocs),
+      keep = Seq("source"))
+    DedupQueries.contamPairsBy(sh.join(broadcast(evalSh), "s"),
+        Seq("doc_id", "source", "eval_id"))
       .select(col("doc_id"), col("source")).distinct()
   }
 }

@@ -46,12 +46,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Scale: per batch, the five updates cost partials ∝ batch (manifest,
   * k-anon, ladder, contamination) plus the index probe (∝ batch × band
-  * hits) — nothing corpus-sized is scanned per batch except the
-  * doc→source projection joined against the ALERT-sized leak hits (a
-  * production fleet freezes that projection next to the index).
-  * External state: sources + classes × levels bounded stores, plus the
-  * leak store ∝ flagged docs (alert-sized by the same argument as the
-  * near-dup alert stream). */
+  * hits) — nothing corpus-sized is scanned per batch: the doc→source
+  * projection the leak path joins against its ALERT-sized hits is
+  * frozen (materialized) with the index in [[pairFeeds]], and the
+  * micro-batch itself is cached once in [[update]] so the five store
+  * updates (and the leak path's two references) read one
+  * materialization, not six re-reads of the source. External state:
+  * sources + classes × levels bounded stores, plus the leak store ∝
+  * flagged docs (alert-sized by the same argument as the near-dup
+  * alert stream). */
 object StreamRelease {
 
   /** The stored scope statement — what the ONLINE verdict covers, in
@@ -72,8 +75,13 @@ object StreamRelease {
 
   def pairFeeds(s: SparkSession, dir: String): PairFeeds = PairFeeds(
     StreamNearDup.buildIndex(s, dir),
+    // frozen WITH the index (two narrow columns ∝ corpus docs — the
+    // projection a production fleet ships next to the index): per-batch
+    // leak joins read the materialized rows instead of re-scanning the
+    // documents parquet every trigger
     Tables(s, dir, "documents")
-      .select(col("doc_id").as("c_doc"), col("source").as("c_source")),
+      .select(col("doc_id").as("c_doc"), col("source").as("c_source"))
+      .localCheckpoint(true),
     // eval side is benchmark-sized — materialize once, broadcast later
     StreamContam.evalShingles(s, dir).localCheckpoint(true))
 
@@ -83,7 +91,16 @@ object StreamRelease {
     * [[KAnonymity.classCounts]], [[KAnonymity.ladderClassCounts]], the
     * batch gate's leak/contam doc sets). `leakFlags` is the DISTINCT
     * (doc_id, source) leak-doc relation; `contamCounts` is the
-    * per-source (source, n_contam_docs) rollup. */
+    * per-source (source, n_contam_docs) rollup.
+    *
+    * Mid-stream leak accounting is CORPUS-level by design: a leaking
+    * pair flags BOTH endpoints (the batch gate's rule), so a source's
+    * `n_leak_docs` counts frozen-corpus partner docs that may not have
+    * streamed yet — it can exceed `n_docs` before closure, and a source
+    * implicated in a leak BEFORE any of its own docs arrive still gets
+    * a row (n_docs = 0, releasable = false) via the source spine below
+    * rather than silently dropping its flags. Both effects vanish at
+    * corpus closure, where the row equals the batch gate's. */
   def compose(manifest: DataFrame, classes: DataFrame, ladder: DataFrame,
               leakFlags: DataFrame, contamCounts: DataFrame): DataFrame = {
     val risk = classes
@@ -92,7 +109,16 @@ object StreamRelease {
     val remed = KAnonymity.remediatedBySource(ladder)
     val leak = leakFlags
       .groupBy("source").agg(count(lit(1)).as("n_leak_docs"))
-    manifest
+    // source spine: manifest sources plus any leak-implicated source
+    // with no ingested docs yet (all joins stay broadcast-left; at
+    // closure the anti-join side is empty and the spine IS the manifest)
+    val spine = manifest.select("source", "n_rows", "total_chars")
+      .unionByName(
+        leak.select("source").distinct()
+          .join(manifest.select("source"), Seq("source"), "left_anti")
+          .withColumn("n_rows", lit(0L))
+          .withColumn("total_chars", lit(0L)))
+    spine
       .join(broadcast(risk), Seq("source"), "left")
       .join(broadcast(remed), Seq("source"), "left")
       .join(broadcast(leak), Seq("source"), "left")
@@ -178,18 +204,25 @@ object StreamRelease {
     * of the release store. */
   def update(s: SparkSession, b: Bases, feeds: PairFeeds, batch: DataFrame,
              batchId: Long): Unit = {
-    StreamManifest.update(s, b.manifest, batch, batchId)
-    StreamKAnonymity.update(s, b.kanon, batch, batchId)
-    updateLadder(s, b.ladder, batch, batchId)
-    updateLeak(s, b.leak, feeds, batch, batchId)
-    updateContam(s, b.contam, feeds, batch, batchId)
-    def rd(base: String) =
-      s.read.parquet(StreamManifest.versionDir(base, batchId))
-    // sources-bounded relation: one file per version
-    compose(rd(b.manifest), rd(b.kanon), rd(b.ladder), rd(b.leak),
-        rd(b.contam))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(StreamManifest.versionDir(b.release, batchId))
+    // one materialization of the micro-batch: the five store updates
+    // (and the leak path's two references — index probe + source join)
+    // read the cached rows instead of re-running the source projection
+    // ~6× per trigger (the StormStream foreachBatch discipline)
+    val cached = batch.cache()
+    try {
+      StreamManifest.update(s, b.manifest, cached, batchId)
+      StreamKAnonymity.update(s, b.kanon, cached, batchId)
+      updateLadder(s, b.ladder, cached, batchId)
+      updateLeak(s, b.leak, feeds, cached, batchId)
+      updateContam(s, b.contam, feeds, cached, batchId)
+      def rd(base: String) =
+        s.read.parquet(StreamManifest.versionDir(base, batchId))
+      // sources-bounded relation: one file per version
+      compose(rd(b.manifest), rd(b.kanon), rd(b.ladder), rd(b.leak),
+          rd(b.contam))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(StreamManifest.versionDir(b.release, batchId))
+    } finally { cached.unpersist(); () }
   }
 
   /** The current release readout (None before the first batch). */

@@ -88,14 +88,42 @@ class ModelStoreSpec extends AnyFunSuite {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(p, "payload.txt"), "mine")
         // simulate an object store whose create(overwrite=false) is
-        // check+PUT: a second writer's token lands over ours
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(p, "_ALLOCATED"), "foreign-token")
+        // check+PUT: a second writer's token lands over ours, THROUGH
+        // the Hadoop FS so the marker stays readable (a real foreign
+        // writer's PUT is checksum-consistent)
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(p, "_ALLOCATED"), true)
+        try out.write("foreign-token".getBytes("UTF-8")) finally out.close()
       })
     }
     assert(e.getMessage.contains("re-claimed"))
     assert(ModelStore.committedVersions(base).isEmpty,
       "the re-claimed version must never commit")
+  }
+
+  test("commit guard: a marker that exists but cannot be read back " +
+    "(transient IO or half-landed foreign PUT) aborts WITHOUT asserting " +
+    "a concurrency bug") {
+    val base = tmpBase()
+    val e = intercept[IllegalStateException] {
+      ModelStore.write(base, { p =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p, "payload.txt"), "mine")
+        // an out-of-band rewrite invalidates the checksummed local FS's
+        // CRC — the marker exists but the read-back fails, exactly the
+        // ambiguous state a transient read hiccup produces
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p, "_ALLOCATED"), "foreign-token")
+      })
+    }
+    assert(e.getMessage.contains("could not be read back"),
+      s"ambiguous marker state must be diagnosed as such: ${e.getMessage}")
+    assert(!e.getMessage.contains("re-claimed"),
+      "must not assert a definite foreign claim it cannot prove")
+    assert(ModelStore.committedVersions(base).isEmpty,
+      "the unverifiable claim must never commit")
   }
 
   test("latestValid skips a committed-but-invalid version") {
