@@ -136,6 +136,55 @@ class StreamReleaseSpec extends AnyFunSuite {
       == before, "the readout must survive the sweep")
   }
 
+  test("a source implicated in a leak BEFORE any of its own docs arrive " +
+    "gets a blocking row (n_docs=0) — its flags are not silently dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // pick a cross-split leaking pair whose endpoints live in DIFFERENT
+    // sources, and stream ONLY one endpoint — the partner's source has
+    // ingested nothing when the readout is taken
+    val docsSrc = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val pair = Sampling.splitLeakage(spark, dir)
+      .join(docsSrc.select(col("doc_id").as("a_id"),
+        col("source").as("src_a")), "a_id")
+      .join(docsSrc.select(col("doc_id").as("b_id"),
+        col("source").as("src_b")), "b_id")
+      .filter(col("src_a") =!= col("src_b"))
+      .select("a_id", "src_a", "src_b").head()
+    val (aId, aSrc, bSrc) =
+      (pair.getLong(0), pair.getString(1), pair.getString(2))
+    val aDoc = graft.Tables(spark, dir, "documents")
+      .filter(col("doc_id") === aId)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)].head()
+
+    val b = bases()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-rel-orphan-ckpt").toString
+    val feeds = StreamRelease.pairFeeds(spark, dir)
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = StreamRelease.maintain(
+      mem.toDS().toDF("doc_id", "text", "lang", "source"), b, feeds, ckpt)
+    try { mem.addData(aDoc); q.processAllAvailable() } finally q.stop()
+
+    val rows = StreamRelease.runningRelease(spark, b.release).get
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_leak_docs"),
+          r.getAs[Boolean]("releasable"),
+          r.getAs[Boolean]("releasable_remediated")))).toMap
+    assert(rows.contains(bSrc),
+      s"partner source $bSrc (no ingested docs) must still get a row")
+    val (bDocs, bLeak, bOk, bOkRemed) = rows(bSrc)
+    assert(bDocs == 0L && bLeak >= 1L && !bOk && !bOkRemed,
+      s"orphan source $bSrc must read n_docs=0 with blocking leak " +
+        s"flags, got $bDocs/$bLeak/$bOk/$bOkRemed")
+    // the arriving side's own source carries its endpoint too
+    assert(rows(aSrc)._2 >= 1L,
+      s"arriving source $aSrc must carry its own endpoint's flag")
+  }
+
   test("the online verdict moves: a clean source releases until a batch " +
     "plants a sub-K class — and the remediated verdict clears it when " +
     "the ladder can absorb it") {
