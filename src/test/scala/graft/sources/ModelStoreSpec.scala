@@ -29,6 +29,46 @@ class ModelStoreSpec extends AnyFunSuite {
       java.nio.file.Paths.get(ModelStore.versionPath(base, 1))))
   }
 
+  test("concurrent writers: 8 threads x 5 writes race the claim loop — " +
+    "every version number is unique, every commit's payload is its own " +
+    "writer's, and retention converges") {
+    val base = tmpBase()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).flatMap { t =>
+        (1 to 5).map { i =>
+          pool.submit(new java.util.concurrent.Callable[(String, Int)] {
+            def call(): (String, Int) = {
+              val tag = s"writer$t-$i"
+              val v = ModelStore.write(base, p =>
+                java.nio.file.Files.writeString(
+                  java.nio.file.Paths.get(p, "payload.txt"), tag))
+              (tag, v)
+            }
+          })
+        }
+      }
+      val got = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // no version number was ever shared between two writers
+      assert(got.map(_._2).distinct.size == 40,
+        s"40 writes must claim 40 distinct versions, got ${got.map(_._2).sorted}")
+      // retention converged to the newest Keep committed versions, and
+      // each retained payload is exactly the bytes of the writer that
+      // claimed that number — no interleaving
+      val byVersion = got.map(_.swap).toMap
+      val committed = ModelStore.committedVersions(base)
+      assert(committed.size == ModelStore.Keep &&
+        committed == got.map(_._2).sorted.takeRight(ModelStore.Keep),
+        s"retention must keep the newest ${ModelStore.Keep}, got $committed")
+      committed.foreach { v =>
+        val payload = java.nio.file.Files.readString(java.nio.file.Paths
+          .get(ModelStore.versionPath(base, v), "payload.txt"))
+        assert(payload == byVersion(v),
+          s"v=$v must hold its claiming writer's payload, got $payload")
+      }
+    } finally pool.shutdownNow()
+  }
+
   test("a torn write (writer throws) leaves no committed version and " +
     "never recycles its number") {
     val base = tmpBase()
