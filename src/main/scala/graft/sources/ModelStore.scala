@@ -121,17 +121,18 @@ object ModelStore {
     }
   }
 
-  /** The alloc marker's current token: None when the marker is GONE
-    * (prune sweep); Some(other) when it exists but doesn't read back as
-    * written — a foreign writer's token, or bytes rewritten out-of-band
-    * (e.g. a checksummed local FS seeing a bypassing rewrite) — either
-    * way not this writer's claim anymore. */
   /** Distinguished from any real token (UUIDs): the marker exists but
     * could not be read — a transient IO failure on a healthy claim OR a
     * foreign writer's half-landed overwrite. [[write]] reports it as
     * such instead of asserting a concurrency bug that may not exist. */
   private val UnreadableToken = "<unreadable-marker>"
 
+  /** The alloc marker's current token: None when the marker is GONE
+    * (prune sweep); [[UnreadableToken]] when it exists but cannot be
+    * read back (transient IO, a checksummed FS seeing an out-of-band
+    * rewrite, or a foreign half-landed PUT); Some(other) when it reads
+    * back as a different writer's token — the last two are either way
+    * not this writer's claim anymore. */
   private def readToken(fs: FileSystem, dir: Path): Option[String] = {
     val marker = new Path(dir, AllocMarker)
     try {

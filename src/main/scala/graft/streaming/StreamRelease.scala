@@ -114,7 +114,7 @@ object StreamRelease {
     // closure the anti-join side is empty and the spine IS the manifest)
     val spine = manifest.select("source", "n_rows", "total_chars")
       .unionByName(
-        leak.select("source").distinct()
+        leak.select("source") // one row per source already (rollup above)
           .join(manifest.select("source"), Seq("source"), "left_anti")
           .withColumn("n_rows", lit(0L))
           .withColumn("total_chars", lit(0L)))

@@ -61,12 +61,6 @@ object Sampling {
         col("running_tokens"))
   }
 
-  /** Deterministic train/val/test assignment — the split every training
-    * pipeline needs to be REPRODUCIBLE and LEAK-FREE: the bucket is a
-    * sha256-derived hash of a salted doc key (never `rand()` — reruns,
-    * retries and repartitions must all agree), and `group_split` assigns
-    * by `source` only, so correlated documents travel together and cannot
-    * leak across the split boundary. Pure projection: no shuffle at all. */
   /** Split-bucket hash of a doc key — THE single statement of the
     * assignment hash, shared by [[trainSplit]], [[splitLeakfree]] and
     * the in-row streaming form [[splitOf]] so a consumer can never
@@ -82,6 +76,12 @@ object Sampling {
     * [[trainSplit]]'s `split` column by shared construction. */
   def splitOf(docId: Column): Column = splitFromBucket(splitBucket(docId))
 
+  /** Deterministic train/val/test assignment — the split every training
+    * pipeline needs to be REPRODUCIBLE and LEAK-FREE: the bucket is a
+    * sha256-derived hash of a salted doc key (never `rand()` — reruns,
+    * retries and repartitions must all agree), and `group_split` assigns
+    * by `source` only, so correlated documents travel together and cannot
+    * leak across the split boundary. Pure projection: no shuffle at all. */
   def trainSplit(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "documents")
       .withColumn("bucket", splitBucket(col("doc_id")))
