@@ -133,6 +133,8 @@ object Bench {
       ("bitext_memo_tuned", () => graft.sim.BitextMine.warmTuned(spark, sfDir)),
       ("pq_model", () => { graft.sim.Pq.encoded(spark, sfDir); () }),
       ("knn_edges", () => { graft.sim.GraphStats.mutualEdges(spark, sfDir); () }),
+      ("exact_nf", () => graft.sim.Neighborhood.warmExact(spark, sfDir)),
+      ("kcore_peel", () => graft.sim.KCore.warmPeel(spark, sfDir)),
       ("pca_model", () => { graft.sim.EmbedPca.model(spark, sfDir); () }),
       ("quality_weights", () => {
         graft.text.QualityClassifier.weights(spark, sfDir); () }),

@@ -27,18 +27,30 @@ object MarketBasket {
   val SupportDen = 50L
 
   def marketBasket(s: SparkSession, dir: String): DataFrame = {
-    val items = Tables(s, dir, "lineitem")
+    // Basket-first shape (optimization guide §2.3/§2.4): ONE corpus
+    // exchange builds per-order item sets (collect_set both dedups —
+    // replacing the former distinct() shuffle — and groups); the pair
+    // stage then explodes C(basket,2) combinations IN-TASK from the
+    // sorted set instead of a corpus self-join on the order key (which
+    // cost two more corpus exchanges). Sorted set + "later elements
+    // only" is exactly the former item_a < item_b join condition, so
+    // pair_count / item counts / n_orders are row-identical.
+    val baskets = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .join(broadcast(Tables(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-      .distinct()
-    val n1 = items.agg(countDistinct("ok").as("n_orders"))
-    val itemCounts = items.groupBy("item").agg(count(lit(1)).as("c"))
-    val pairs = items.toDF("ok", "item_a")
-      .join(items.toDF("ok2", "item_b"),
-        col("ok") === col("ok2") && col("item_a") < col("item_b"))
+      .groupBy("ok").agg(array_sort(collect_set(col("item"))).as("items"))
+      .localCheckpoint(true) // read 3×: n_orders + item counts + pairs
+    val n1 = baskets.agg(count(lit(1)).as("n_orders"))
+    val itemCounts = baskets.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("c"))
+    val pairs = baskets.select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), " +
+          "y -> struct(x AS item_a, y AS item_b))))")).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("pair_count"))
     pairs
       .crossJoin(broadcast(n1))

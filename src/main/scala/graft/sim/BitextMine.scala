@@ -437,17 +437,25 @@ object BitextMine {
   // bounded by |MineProbes| and evicted on a corpus switch
   private var probeMemos: Map[(Any, Int), DataFrame] = Map.empty
 
-  private def probeFwd(s: SparkSession, dir: String, np: Int): DataFrame =
-    synchronized {
-      val key = (memoKey(s, dir), np)
-      probeMemos.get(key) match {
-        case Some(v) => v
-        case None =>
+  private def probeFwd(s: SparkSession, dir: String, np: Int): DataFrame = {
+    val key = (memoKey(s, dir), np)
+    synchronized(probeMemos.get(key)) match {
+      case Some(v) => v
+      case None =>
+        // build OUTSIDE the monitor so [[warmProbes]] can overlap the
+        // independent interior depths (§2.6); publication stays
+        // synchronized and first-write-wins, so a rare double build of
+        // the same depth resolves to one canonical relation
+        val v = forwardBestMultiprobe(s, dir, np).localCheckpoint(true)
+        synchronized {
           probeMemos = probeMemos.filter(_._1._1 == key._1)
-          val v = forwardBestMultiprobe(s, dir, np).localCheckpoint(true)
-          probeMemos += key -> v; v
-      }
+          probeMemos.get(key) match {
+            case Some(w) => w
+            case None => probeMemos += key -> v; v
+          }
+        }
     }
+  }
 
   /** Forward-best relation at probe depth `np`, riding the exact-alias
     * endpoints: P=1 IS the single-cell regime (top-1 probe = assignment
@@ -488,9 +496,22 @@ object BitextMine {
   // (its dial certification rides the probe curve's memos).
   def warmBrute(s: SparkSession, dir: String): Unit = { bruteFwd(s, dir); () }
   def warmIvf(s: SparkSession, dir: String): Unit = { ivfFwd(s, dir); () }
-  def warmProbes(s: SparkSession, dir: String): Unit =
-    MineProbes.filter(p => p > 1 && p < Ivf.NLists)
-      .foreach(probeFwd(s, dir, _))
+  def warmProbes(s: SparkSession, dir: String): Unit = {
+    val depths = MineProbes.filter(p => p > 1 && p < Ivf.NLists)
+    if (depths.isEmpty) return
+    Ivf.assignments(s, dir) // quantizer memo warm before the depths overlap
+    // the interior-depth waves are independent reads of the same warm
+    // memos — overlap them (§2.6); each wave's jobs back-fill the
+    // executor slots the others' stage tails leave idle
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(depths.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(
+        depths.map(np => scala.concurrent.Future { probeFwd(s, dir, np) })),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+  }
   def warmTuned(s: SparkSession, dir: String): Unit = { tunedFwd(s, dir); () }
 
   /** Gate: mined pairs — forward-best candidates above the margin

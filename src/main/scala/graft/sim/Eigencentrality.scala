@@ -38,8 +38,13 @@ object Eigencentrality {
   def eigenFp(nodes: DataFrame, undirected: DataFrame, n: Long,
               iterations: Int = Iterations): DataFrame = {
     require(n > 0, "empty node set")
+    // materialized once, PARTITIONED by the per-iteration join key so
+    // only the rank side exchanges each round (guide §2.4; localCheckpoint
+    // preserves the repartition's hash partitioning)
     val ed = undirected.select(col("u").as("src"), col("v").as("dst"))
       .union(undirected.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(true)
     val x0 = nodes.select(col("id"), lit(Scale / n).as("x"))
     (1 to iterations).foldLeft(x0) { (x, _) =>
       // the neighbor-sum relation feeds BOTH the normalizer scalar and

@@ -326,18 +326,34 @@ object Ivf {
   def ivfRecallCurve(s: SparkSession, dir: String): DataFrame = {
     val (assigned, centers) = assignments(s, dir)
     val ranked = rankedCells(s, dir)
-    val exact = ivfTopkProbing(s, dir, NLists, ranked).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
+    // nprobe = NLists IS the exhaustive endpoint — collect it once and
+    // serve both the recall reference and that sweep row (was two
+    // identical TakeOrdered jobs)
+    val exactIds = ivfTopkProbing(s, dir, NLists, ranked).collect()
+      .map(_.getAs[Long]("vec_id"))
+    val exact = exactIds.toSet
     val cellSizes = assigned.filter(col("vec_id") =!= 0)
       .groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val rows = RecallNprobes.map { np =>
-      val ids = ivfTopkProbing(s, dir, np, ranked).collect()
-        .map(_.getAs[Long]("vec_id"))
-      (np.toLong, ids.count(exact).toLong,
-        ranked.take(np).map(cellSizes.getOrElse(_, 0L)).sum,
-        TopK.toLong)
-    }
+    // the remaining sweep points are independent TakeOrdered reads of the
+    // same memoized assignment — overlap them (§2.6)
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(RecallNprobes.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rows = try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(RecallNprobes.map { np =>
+        scala.concurrent.Future {
+          val ids =
+            if (np == NLists) exactIds
+            else ivfTopkProbing(s, dir, np, ranked).collect()
+              .map(_.getAs[Long]("vec_id"))
+          (np.toLong, ids.count(exact).toLong,
+            ranked.take(np).map(cellSizes.getOrElse(_, 0L)).sum,
+            TopK.toLong)
+        }
+      }), scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
     synchronized {
       lastRecallOracle = Some(recallOracleSql(centers, ranked))
     }

@@ -47,14 +47,41 @@ object KCore {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  // One-slot memo for the peel labels: TWO gate queries (decomposition +
+  // tiers) consume the identical [[Rounds]]-round peel, and the loop is
+  // the expensive part (2 semi-joins + a degree count per round). Same
+  // policy as ConnectedComponents.dedupClusters: stamp-keyed, eviction
+  // drops the reference, released by the PlanLock fresh-state hook.
+  private var peelMemo: Option[((SparkSession, String, Long), DataFrame)] =
+    None
+
+  def release(): Unit = synchronized { peelMemo = None }
+
+  /** Bench-attribution warm for the shared peel memo. */
+  def warmPeel(s: SparkSession, dir: String): Unit = {
+    kcoreDecomposition(s, dir); ()
+  }
+
   /** (node, peel_round NULLABLE, in_core) after [[Rounds]] rounds. */
   def kcoreDecomposition(s: SparkSession, dir: String): DataFrame =
-    kcoreOver(s, dir, GraphStats.mutualEdges(s, dir))
+    synchronized {
+      val key = (s, dir, graft.Tables.sourceStamp(dir, "embeddings"))
+      peelMemo match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val v = kcoreOver(s, dir, GraphStats.mutualEdges(s, dir))
+            .localCheckpoint(true)
+          peelMemo = Some((key, v))
+          v
+      }
+    }
 
   /** Same peeling over an explicit (u, v) edge relation. */
   def kcoreOver(s: SparkSession, dir: String, e: DataFrame): DataFrame = {
     val d = e.select(col("u").as("a"), col("v").as("b"))
       .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("a")) // round joins start on a — partition once
+      .localCheckpoint(true) // reused every round (partitioning preserved)
     val all = graft.Tables(s, dir, "embeddings")
       .select(col("vec_id").as("node"))
     var active = materializeFresh(all)

@@ -59,7 +59,8 @@ object LabelProp {
     // undirected edges walked both ways
     val d = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint(true) // reused every round
+      .repartition(col("b")) // every round joins on b — partition once
+      .localCheckpoint(true) // reused every round (partitioning preserved)
     var labeled = all.filter(col("node") % SeedMod === 0)
       .select(col("node"), col("label_true").as("label"))
     for (_ <- 1 to Rounds) {

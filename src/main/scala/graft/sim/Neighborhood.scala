@@ -49,7 +49,8 @@ object Neighborhood {
     val e = GraphStats.mutualEdges(s, dir)
     e.select(col("u").as("a"), col("v").as("b"))
       .unionByName(e.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint(true)
+      .repartition(col("a")) // every expansion round joins on a
+      .localCheckpoint(true) // partitioning preserved across rounds
   }
 
   private def nodesOf(s: SparkSession, dir: String): DataFrame =
@@ -77,9 +78,42 @@ object Neighborhood {
         round(col("n_pairs") * lit(1.0) / lit(nNodes.toDouble), 4))
   }
 
+  // One-slot memo for the exact neighborhood function: BOTH gates
+  // (graph_neighborhood and graph_neighborhood_anf) consume the same
+  // MaxRadius-round exact expansion — the expensive half of the ANF
+  // gate. Bench attributes the build as its own memo line (`exact_nf`);
+  // released by the PlanLock fresh-state hook.
+  private var exactMemo: Option[((SparkSession, String, Long), DataFrame)] =
+    None
+
+  def release(): Unit = synchronized { exactMemo = None }
+
+  private def exactNf(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = (s, dir, graft.Tables.sourceStamp(dir, "embeddings"))
+      exactMemo match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val v = exactOver(nodesOf(s, dir), bidir(s, dir))
+            .localCheckpoint(true)
+          exactMemo = Some((key, v))
+          v
+      }
+    }
+
+  /** Bench-attribution warm for the shared exact-NF memo. */
+  def warmExact(s: SparkSession, dir: String): Unit = { exactNf(s, dir); () }
+
   /** ANF estimate of N(t) for t = 1..MaxRadius (micro-units), plus the
     * exact counts — returns (radius, n_pairs, est_micro). */
-  def anfOver(nodes: DataFrame, bid: DataFrame): DataFrame = {
+  def anfOver(nodes: DataFrame, bid: DataFrame): DataFrame =
+    anfWithExact(nodes, bid, exactOver(nodes, bid).select("radius", "n_pairs"))
+
+  /** ANF sketch loop against an EXPLICIT exact relation — the gate path
+    * passes the memoized exact NF so the expansion runs once per corpus,
+    * not once per gate. */
+  private def anfWithExact(nodes: DataFrame, bid: DataFrame,
+                           exact: DataFrame): DataFrame = {
     val s = nodes.sparkSession
     // init: k masks per node; mask i = 1 << min(tz(xxhash64(id, i)), cap)
     val init = nodes
@@ -110,18 +144,18 @@ object Neighborhood {
       perRound += ((t.toLong, estMicro))
     }
     import s.implicits._
-    val exact = exactOver(nodes, bid).select("radius", "n_pairs")
     exact.join(perRound.toSeq.toDF("radius", "est_micro"), "radius")
   }
 
   /** Gate: exact neighborhood function of the mutual-kNN graph. */
   def graphNeighborhood(s: SparkSession, dir: String): DataFrame =
-    exactOver(nodesOf(s, dir), bidir(s, dir))
+    exactNf(s, dir)
 
   /** Gate: exact N(t) + the ANF sketch estimate folded into a
     * within-bound flag (the scale path's certification). */
   def graphNeighborhoodAnf(s: SparkSession, dir: String): DataFrame =
-    anfOver(nodesOf(s, dir), bidir(s, dir))
+    anfWithExact(nodesOf(s, dir), bidir(s, dir),
+      exactNf(s, dir).select("radius", "n_pairs"))
       .select(col("radius"), col("n_pairs"),
         (abs(col("est_micro") / 1e6 - col("n_pairs")) / col("n_pairs")
           <= AnfBound).as("anf_within"))

@@ -45,7 +45,12 @@ object PageRank {
                  iterations: Int = Iterations): DataFrame = {
     require(n > 0, "empty node set")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val ed = edges.join(deg, "src")
+    // materialize the degree-weighted edge relation ONCE, keeping the
+    // join's src hash-partitioning (localCheckpoint preserves physical
+    // partitioning): the lazy fold otherwise re-runs the degree
+    // aggregation + join and re-exchanges the edge side in EVERY
+    // iteration (guide §2.4 — establish the partitioning once)
+    val ed = edges.join(deg, "src").localCheckpoint(true)
     val base = (15L * Scale) / (100L * n)
     val r0 = nodes.select(col("id"), lit(Scale / n).as("r"))
     (1 to iterations).foldLeft(r0) { (r, _) =>

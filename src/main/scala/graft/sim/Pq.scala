@@ -80,27 +80,41 @@ object Pq {
       .toDF("vec_id", "m", "features")
       .filter(pmod(col("vec_id"), lit(Ivf.SampleMod)) === 0)
       .cache()
-    val codebook = (0 until M).map { m =>
-      val train = subs.filter(col("m") === m)
-      val trainSet =
-        if (train.limit(Ks * 4).count() >= Ks * 4L) train
-        else {
-          // tiny-fixture fallback: widen to every vector's m-th slice
-          e.select(col("vec_id"), col("embedding"))
-            .as[(Long, Array[Float])]
-            .map { case (_, emb) =>
-              val d = emb.map(_.toDouble)
-              val n = math.sqrt(d.map(x => x * x).sum)
-              val nd = if (n == 0.0) d else d.map(_ / n)
-              Tuple1(Vectors.dense(nd.slice(m * Ds, (m + 1) * Ds)))
-            }.toDF("features")
-        }
-      new KMeans()
-        .setK(Ks).setSeed(1000L + m).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("code")
-        .fit(trainSet)
-        .clusterCenters.map(_.toArray)
-    }.toArray
+    subs.count() // force the shared sample cache once, before the fits race
+    // The M sub-quantizer fits are INDEPENDENT (disjoint `m` slices, per-m
+    // seeds) — overlap them on a small thread pool (optimization guide
+    // §2.6: concurrent driver actions back-fill executors idled by each
+    // fit's per-iteration job tail). Results are bit-identical to the
+    // sequential loop: each fit sees the same slice and the same seed.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(M)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val codebook = try {
+      val fits = (0 until M).map { m => scala.concurrent.Future {
+        val train = subs.filter(col("m") === m)
+        val trainSet =
+          if (train.limit(Ks * 4).count() >= Ks * 4L) train
+          else {
+            // tiny-fixture fallback: widen to every vector's m-th slice
+            e.select(col("vec_id"), col("embedding"))
+              .as[(Long, Array[Float])]
+              .map { case (_, emb) =>
+                val d = emb.map(_.toDouble)
+                val n = math.sqrt(d.map(x => x * x).sum)
+                val nd = if (n == 0.0) d else d.map(_ / n)
+                Tuple1(Vectors.dense(nd.slice(m * Ds, (m + 1) * Ds)))
+              }.toDF("features")
+          }
+        new KMeans()
+          .setK(Ks).setSeed(1000L + m).setMaxIter(10)
+          .setFeaturesCol("features").setPredictionCol("code")
+          .fit(trainSet)
+          .clusterCenters.map(_.toArray)
+      }}
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fits),
+        scala.concurrent.duration.Duration.Inf).toArray
+    } finally pool.shutdown()
     subs.unpersist()
     // encode through the portable literal argmin (not model.transform)
     val enc = e.select(col("vec_id"), col("label"), col("embedding"))

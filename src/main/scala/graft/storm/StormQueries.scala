@@ -295,8 +295,11 @@ object StormQueries {
     * zipWithIndex must assign exactly the ranks a global ORDER BY
     * event_id assigns, or the join keys (and the hash) diverge. */
   def stormRowParity(s: SparkSession, dir: String): DataFrame = {
+    // materialize the enriched projection once — side b derives from it,
+    // so the enrichment chain runs ONE time instead of once per side
     val a = stormEnrich(s, dir)
       .select(col("event_id"), col("id"), col("magnitude"))
+      .localCheckpoint(true)
     val b = a.withColumn("magnitude",
       when(col("event_id") % 97 === 0, col("magnitude") + 1)
         .otherwise(col("magnitude")))
@@ -325,6 +328,9 @@ object StormQueries {
         to_timestamp(lit("2024-04-26 00:00:00"))),
       processedAt = to_timestamp(lit("2024-04-27 06:00:00")),
       keep = Seq("event_id"))
+      // read by BOTH union branches of the planted-api construction —
+      // materialize once so the enrichment chain runs once, not twice
+      .localCheckpoint(true)
     val api = expected
       .filter(col("event_id") % 17 =!= 0)
       .withColumn("magnitude",

@@ -24,7 +24,12 @@ object StormValidate {
     require(orderCols.nonEmpty, "rowParity needs a total order")
     def indexed(df: DataFrame): DataFrame = {
       val spark = df.sparkSession
-      val sorted = df
+      // Materialize the input once: RangePartitioner's sampling pass and
+      // the range-shuffle map pass otherwise EACH re-run the upstream plan
+      // (an enrichment chain here — measured 2 evaluations per side, 4 per
+      // parity check). One checkpointed snapshot feeds both passes.
+      val snap = df.localCheckpoint(true)
+      val sorted = snap
         .repartitionByRange(orderCols.map(col): _*)
         .sortWithinPartitions(orderCols.map(col): _*)
       val schema = org.apache.spark.sql.types.StructType(
@@ -83,12 +88,17 @@ object StormValidate {
     * name and both values. */
   def apiTransformCheck(etlRaw: DataFrame, api: DataFrame,
                         orderCol: String = "_row"): DataFrame = {
+    // Both relations are read twice (field-compare join + missing-row
+    // anti-join); materialize each once so the enrichment chain and the
+    // dedup window don't re-run per consumer (house read-twice pattern).
     val expected = Enrich.enrich(
       etlRaw.withColumn("kafka_timestamp", to_timestamp(lit("2024-04-26 00:00:00"))),
       processedAt = to_timestamp(lit("2024-04-27 06:00:00")))
+      .localCheckpoint(true)
     val w = Window.partitionBy("id").orderBy(col(orderCol))
     val deduped = api.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint(true)
 
     def close(c: String): Column =
       abs(col(s"e.$c") - col(s"a.$c")) < 1e-9 ||

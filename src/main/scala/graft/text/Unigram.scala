@@ -147,11 +147,21 @@ object Unigram {
     * models. */
   def trainedCosts(s: SparkSession, dir: String): Seq[(String, Long)] = {
     val words = distinctWords(Tables.parallel(s, dir, "documents")).cache()
+    try trainedCostsOver(words)
+    finally words.unpersist()
+  }
+
+  /** Training over an explicit distinct-word relation — shared by
+    * [[trainedCosts]] and [[unigramEncode]], which materializes the
+    * words ONCE and reuses them for the apply-phase segmentation
+    * (previously the apply re-derived distinct words with a fresh
+    * corpus scan + shuffle after training unpersisted them). */
+  private def trainedCostsOver(words: DataFrame): Seq[(String, Long)] = {
     val seed = seedFreqs(words).cache()
     try
       emRound(words, seed, withCosts(seed)).orderBy("p").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
-    finally { seed.unpersist(); words.unpersist() }
+    finally seed.unpersist()
   }
 
   /** Gate query: per-source fertility of the trained unigram tokenizer —
@@ -166,11 +176,15 @@ object Unigram {
     * vocab-sized) onto the per-source word counts. */
   def unigramEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pieceLits = trainedCosts(s, dir)
+    val docs = Tables.parallel(s, dir, "documents")
+    // one materialized distinct-word relation feeds training (seed +
+    // EM edge lists) AND the apply-phase segmentation — one corpus
+    // word-count pass instead of two
+    val words = distinctWords(docs).localCheckpoint(true)
+    val pieceLits = trainedCostsOver(words)
     synchronized { lastOracle = Some(oracleSql(pieceLits)) }
     val litCosts = pieceLits.toDF("p", "c")
-    val docs = Tables.parallel(s, dir, "documents")
-    val segmented = edgeLists(distinctWords(docs), litCosts)
+    val segmented = edgeLists(words, litCosts)
       .withColumn("best", dpBest)
       .select(col("t"),
         expr("element_at(best, char_length(t) + 1).k").as("k"))

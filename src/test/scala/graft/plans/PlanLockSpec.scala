@@ -23,6 +23,8 @@ class PlanLockSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     graft.dedup.DedupQueries.releasePrunedShingles() // + LSH artifacts
     graft.dedup.ConnectedComponents.releaseClusters()
+    graft.sim.KCore.release()
+    graft.sim.Neighborhood.release()
     graft.dedup.PrefixJoin.release()
     graft.sim.Ivf.release()
     graft.sim.BitextMine.release()
