@@ -121,6 +121,8 @@ object Bench {
       ("simhash_pairs", () => {
         graft.dedup.DedupQueries.dedupSimhashHamming(spark, sfDir); () }),
       ("prefix_docsets", () => graft.dedup.PrefixJoin.warm(spark, sfDir)),
+      ("containment_pairs",
+        () => graft.dedup.PrefixJoin.warmContainment(spark, sfDir)),
       ("ivf_quantizer", () => { graft.sim.Ivf.assignments(spark, sfDir); () }),
       // The mining tier's four memo families, in dependency order (the
       // round-12 tier cost — brute + single-cell + interior depths +

@@ -395,6 +395,9 @@ object DedupQueries {
       .localCheckpoint(true) // read by rep filter + intra + both cross sides
     val repSh = prunedShingles(s, dir)
       .join(groups.select(col("rep").as("doc_id")), "doc_id")
+      // read 3× (signature build, pair verification, shingled-rep set) —
+      // materialize the rep-restricted shingle relation once
+      .localCheckpoint(true)
     val mh = minhashSignatures(repSh).localCheckpoint(true)
     val crossRep = verifiedLshPairs(repSh, mh)
     // intra-group: every pair of identical docs, provided the content

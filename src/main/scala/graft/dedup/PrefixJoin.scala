@@ -156,11 +156,42 @@ object PrefixJoin {
     }
   }
 
+  // One-slot memo for the VERIFIED containment pair relation: two gate
+  // consumers (dedup_containment_indexed itself and the ensemble
+  // clustering dedup_clusters_multi) read the identical candidate join +
+  // exact verification — previously re-run per consumer (~2 s each at
+  // sf0.1). Same stamp-keyed eviction as the prefix/doc-sets memo.
+  private var pairsMemo: Option[((SparkSession, String, Long), DataFrame)] =
+    None
+
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = (s, dir, graft.Tables.sourceStamp(dir, "documents"))
+      pairsMemo match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val sh = prunedShingles(s, dir)
+          val (prefix, ds) = sharedRelations(s, dir)
+          val full = sh.join(ds.select(col("doc_id"), col("n")), "doc_id")
+          val v = verifyContainmentWith(
+              containmentCandidates(prefix, full), ds)
+            .localCheckpoint(true)
+          pairsMemo = Some((key, v))
+          v
+      }
+    }
+
   /** Drop the memoized relations (tests; corpus switches evict). */
-  def release(): Unit = synchronized { memo = None }
+  def release(): Unit = synchronized { memo = None; pairsMemo = None }
 
   /** Force the memo build (bench memo-cost attribution). */
   def warm(s: SparkSession, dir: String): Unit = sharedRelations(s, dir)
+
+  /** Force the verified-containment memo (bench memo-cost attribution;
+    * assumes [[warm]]'s relations are paid). */
+  def warmContainment(s: SparkSession, dir: String): Unit = {
+    containmentPairs(s, dir); ()
+  }
 
   /** The gate query: prefix-filter candidates, verify exactly. Output
     * (and oracle) identical to the exhaustive join by the theorem. */
@@ -234,15 +265,12 @@ object PrefixJoin {
   /** The gate query: shorter-side prefix probe against the full index,
     * verified exactly. Output (and oracle) identical to the exhaustive
     * containment join. */
-  def dedupContainmentIndexed(s: SparkSession, dir: String): DataFrame = {
-    val sh = prunedShingles(s, dir)
+  def dedupContainmentIndexed(s: SparkSession, dir: String): DataFrame =
     // ContainmentThreshold == PrefixThreshold (both 0.8), so the memoized
     // prefix relation serves both gate queries; sizes come from the
-    // memoized doc-sets relation.
-    val (prefix, ds) = sharedRelations(s, dir)
-    val full = sh.join(ds.select(col("doc_id"), col("n")), "doc_id")
-    verifyContainmentWith(containmentCandidates(prefix, full), ds)
-  }
+    // memoized doc-sets relation; the verified pair relation is itself
+    // memoized (shared with dedup_clusters_multi's containment leg).
+    containmentPairs(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_prefix_jaccard" -> dedupPrefixJaccard,

@@ -128,7 +128,10 @@ object SubstringDedup {
     val eval = gp.filter(col("doc_id") < DedupQueries.DecontamEvalDocs)
       .select(col("doc_id").as("eval_id"), col("gh")).distinct()
     val corpus = gp.filter(col("doc_id") >= DedupQueries.DecontamEvalDocs)
-    val hits = corpus.join(broadcast(eval), "gh")
+    // read twice (shared-gram count + coverage) — materialize the
+    // contamination-sized hit relation once instead of re-running the
+    // corpus gram explode + probe per consumer
+    val hits = corpus.join(broadcast(eval), "gh").localCheckpoint(true)
     // Two single-distinct aggregations joined on the (tiny) matched-pair
     // keys, NOT one agg with two countDistincts: Spark's
     // RewriteDistinctAggregates assigns its Expand gids in an order that

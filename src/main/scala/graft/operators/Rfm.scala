@@ -53,6 +53,10 @@ object Rfm {
         col("frequency"),
         col("monetary_cents"),
         expr("monetary_cents div 100").cast("long").as("m_dollars"))
+      // read 5× (population count, three metric histograms, the final
+      // score join) — materialize the per-customer base once instead of
+      // re-running the orders aggregation per consumer
+      .localCheckpoint(true)
     val n1 = cust.agg(count(lit(1)).as("n"))
     val rq = quartileIdx(cust, "recency_days", n1)
     val fq = quartileIdx(cust, "frequency", n1)

@@ -27,6 +27,8 @@ object RobustStats {
       .agg(expr("percentile(value, 0.5)").as("med"))
     val dev = e.join(broadcast(med), "event_type")
       .withColumn("adev", abs(col("value") - col("med")))
+      // read twice (MAD percentile + the outlier rollup) — one events pass
+      .localCheckpoint(true)
     val mad = dev.groupBy("event_type")
       .agg(max("med").as("med"), // constant within the group
         expr("percentile(adev, 0.5)").as("mad"))

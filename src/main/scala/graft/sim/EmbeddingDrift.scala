@@ -66,7 +66,9 @@ object EmbeddingDrift {
     val stats = e.groupBy("label", "h")
       .agg(count(lit(1)).as("n"), sum("nq").as("snq"))
 
-    val side = cent.join(stats, Seq("label", "h"))
+    // label×2 rows, read by BOTH halves — materialize once so the
+    // centroid and stats aggregations run one corpus pass each, not two
+    val side = cent.join(stats, Seq("label", "h")).localCheckpoint(true)
     def half(i: Int) = side.filter(col("h") === i)
       .select(col("label"), col("c").as(s"c$i"), col("n").as(s"n$i"),
         col("snq").as(s"s$i"))
@@ -113,6 +115,8 @@ object EmbeddingDrift {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("sq")))),
         x => x.getField("sq").cast("double")).as("c"))
       .join(e.groupBy("label").agg(count(lit(1)).as("n")), "label")
+      // label-bounded, read by both matrix sides — one build
+      .localCheckpoint(true)
     def side(p: String) = cent.select(col("label").as(s"label_$p"),
       col("c").as(s"c_$p"), col("n").as(s"n_$p"))
     side("a").join(broadcast(side("b")),

@@ -93,9 +93,16 @@ object BigramLm {
     * spec shrinks `k` so the backoff path is provable on a hand corpus. */
   def scored(docs: DataFrame, k: Int): DataFrame = {
     val tr = transitions(docs)
-    val model = modelDf(tr, k)
-    val total = tr.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .agg(sum(col("c2")).as("t"))
+    // ONE materialized pair-count relation (transition-vocab-bounded)
+    // serves the model AND the total: the transition explode previously
+    // re-ran for each (3 corpus passes → 2)
+    val c2m = tr.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val c1 = c2m.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val model = c2m.join(c1, "w1")
+      .orderBy(desc("c2"), asc("w1"), asc("w2"))
+      .limit(k)
+    val total = c2m.agg(sum(col("c2")).as("t"))
     tr.join(broadcast(model), Seq("w1", "w2"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),

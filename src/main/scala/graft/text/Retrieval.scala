@@ -99,6 +99,9 @@ object Retrieval {
       .filter(col("t").isin(QueryTerms: _*))
       .groupBy("doc_id", "dl", "t")
       .agg(count(lit(1)).as("tf"))
+      // read twice (df model + score join) — materialize the term-bounded
+      // relation once instead of re-tokenizing the corpus per consumer
+      .localCheckpoint(true)
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val sc = tf
       .join(broadcast(df), "t")

@@ -44,6 +44,8 @@ object SourceKs {
       .join(broadcast(n), col("source") === col("ns"))
       .select(col("source"), col("score_e4"), col("n"),
         expr("(1000000 * c) div n").as("cdf_e6"))
+      // domain-bounded; read by BOTH sides of the pair self-join
+      .localCheckpoint(true)
     cum.as("a").join(cum.as("b"),
         col("a.score_e4") === col("b.score_e4") &&
           col("a.source") < col("b.source"))

@@ -168,6 +168,10 @@ object TextQueries {
     val scored = qualityLmScore(s, dir).select(col("doc_id"), col("lm_score"))
     val j = Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
       .join(scored, "doc_id")
+      // read 3× (score histogram, per-lang counts, the final rank join) —
+      // materialize the narrow doc-level relation once instead of
+      // re-running the LM-scoring pass per consumer
+      .localCheckpoint(true)
     val grp = j.groupBy("lang", "lm_score").agg(count(lit(1)).as("g"))
     val wCum = Window.partitionBy("lang").orderBy("lm_score")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -216,16 +220,23 @@ object TextQueries {
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("tok"))
       .withColumn("b", pmod(hex32(col("tok")), lit(DsirBuckets.toLong)))
-    val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
-    val nR = raw.agg(sum("cr").as("nr"))
-    val tgt = toks.filter(col("lang") === DsirTargetLang)
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val nT = tgt.agg(sum("ct").as("nt"))
-    val bw = raw.join(tgt, Seq("b"), "left")
+    // ONE bucket aggregation carries both models (raw count + conditional
+    // target count): the raw/target tables were two separate corpus
+    // tokenization passes before — 2 full passes → 1 (guide §2.3,
+    // aggregate before you shuffle / don't recompute what one pass gives).
+    // ct = 0 ⇔ the bucket was absent from the old target relation, so
+    // greatest(ct, 1) is exactly the old coalesce(ct, 1) OOV convention.
+    val both = toks.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint(true) // read by the weight table + both totals
+    val nR = both.agg(sum("cr").as("nr"))
+    val nT = both.agg(sum("ct").as("nt"))
+    val bw = both
       .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
       .select(col("b"),
         (length(bin(expr("nr div cr"))) -
-          length(bin(expr("nt div coalesce(ct, CAST(1 AS BIGINT))"))))
+          length(bin(expr("nt div greatest(ct, CAST(1 AS BIGINT))"))))
           .as("d"))
     val perDoc = toks.join(broadcast(bw), "b")
       .groupBy("doc_id")
