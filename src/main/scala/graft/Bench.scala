@@ -137,6 +137,8 @@ object Bench {
       ("knn_edges", () => { graft.sim.GraphStats.mutualEdges(spark, sfDir); () }),
       ("exact_nf", () => graft.sim.Neighborhood.warmExact(spark, sfDir)),
       ("kcore_peel", () => graft.sim.KCore.warmPeel(spark, sfDir)),
+      ("recrawl_delta",
+        () => graft.text.CrawlDedup.warmRecrawlDelta(spark, sfDir)),
       ("pca_model", () => { graft.sim.EmbedPca.model(spark, sfDir); () }),
       ("quality_weights", () => {
         graft.text.QualityClassifier.weights(spark, sfDir); () }),

@@ -38,17 +38,25 @@ object SessionTypePairs {
       .withColumn("session_id", sum("new_session").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("user_id"), col("session_id"), col("event_type"))
-      .distinct()
-      .localCheckpoint(true) // read 3×: totals, singles, both join sides
-    val nSessions = st.select("user_id", "session_id").distinct().count()
-    val singles = st.groupBy(col("event_type").as("t"))
-      .agg(count(lit(1)).as("n"))
-    st.as("a").join(st.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("a.session_id") === col("b.session_id") &&
-          col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"),
-        col("b.event_type").as("type_b"))
+      // Basket shape (the market_basket pattern, guide §2.3/§2.4):
+      // collect_set both DEDUPS (replacing the former distinct shuffle)
+      // and groups per session in one aggregation that reuses the session
+      // window's user_id partitioning — zero extra exchange; the pair
+      // stage explodes C(types,2) in-task from the sorted set instead of
+      // a corpus self-join (sorted + later-elements-only ≡ the former
+      // type_a < type_b join condition).
+      .groupBy("user_id", "session_id")
+      .agg(array_sort(collect_set(col("event_type"))).as("ts"))
+      .localCheckpoint(true) // read 3×: totals, singles, pair explode
+    val nSessions = st.count()
+    val singles = st.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    st.select(explode(expr(
+        "flatten(transform(ts, (x, i) -> " +
+          "transform(slice(ts, i + 2, size(ts)), " +
+          "y -> struct(x AS type_a, y AS type_b))))")).as("p"))
+      .groupBy(col("p.type_a").as("type_a"),
+        col("p.type_b").as("type_b"))
       .agg(count(lit(1)).as("n_both"))
       .join(broadcast(singles.withColumnRenamed("t", "type_a")
         .withColumnRenamed("n", "n_a")), Seq("type_a"))

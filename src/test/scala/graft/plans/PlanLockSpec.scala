@@ -25,6 +25,7 @@ class PlanLockSpec extends AnyFunSuite {
     graft.dedup.ConnectedComponents.releaseClusters()
     graft.sim.KCore.release()
     graft.sim.Neighborhood.release()
+    graft.text.CrawlDedup.release()
     graft.dedup.PrefixJoin.release()
     graft.sim.Ivf.release()
     graft.sim.BitextMine.release()
