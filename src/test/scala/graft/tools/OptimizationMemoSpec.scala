@@ -1,0 +1,67 @@
+package graft.tools
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 optimization guards: the new one-slot memos added this
+  * round (k-core peel, exact neighborhood function, verified
+  * containment pairs, recrawl delta) must (a) hand back the SAME
+  * materialized relation on a repeat call — the whole point is that the
+  * second gate pays nothing — and (b) rebuild after release, with
+  * values identical across the rebuild (no state leaks through the
+  * memo). Values themselves stay covered by the DuckDB hash gates; this
+  * spec pins the sharing behavior those gates cannot see. */
+class OptimizationMemoSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("kcore peel memo: shared relation, stable across release") {
+    graft.sim.KCore.release()
+    val a = graft.sim.KCore.kcoreDecomposition(spark, dir)
+    val b = graft.sim.KCore.kcoreDecomposition(spark, dir)
+    assert(a eq b, "second gate call must ride the memo")
+    val rows = sortedRows(a)
+    graft.sim.KCore.release()
+    val c = graft.sim.KCore.kcoreDecomposition(spark, dir)
+    assert(!(a eq c), "release must force a rebuild")
+    assert(sortedRows(c) == rows, "rebuild must reproduce the peel")
+  }
+
+  test("exact-NF memo: graph_neighborhood and the ANF gate share it") {
+    graft.sim.Neighborhood.release()
+    val a = graft.SparkEntry.queries("graph_neighborhood")(spark, dir)
+    val b = graft.SparkEntry.queries("graph_neighborhood")(spark, dir)
+    assert(a eq b)
+    // the ANF gate's exact columns equal the standalone gate's
+    val anf = graft.SparkEntry.queries("graph_neighborhood_anf")(spark, dir)
+      .select("radius", "n_pairs")
+    assert(sortedRows(anf) == sortedRows(a.select("radius", "n_pairs")))
+  }
+
+  test("containment pairs memo: gate and ensemble clustering share it") {
+    graft.dedup.PrefixJoin.release()
+    val a = graft.SparkEntry.queries("dedup_containment_indexed")(spark, dir)
+    val b = graft.SparkEntry.queries("dedup_containment_indexed")(spark, dir)
+    assert(a eq b, "second consumer must ride the memo")
+    val rows = sortedRows(a)
+    graft.dedup.PrefixJoin.release()
+    val c = graft.SparkEntry.queries("dedup_containment_indexed")(spark, dir)
+    assert(!(a eq c))
+    assert(sortedRows(c) == rows)
+  }
+
+  test("recrawl delta memo: crawl_schedule rides url_recrawl_delta") {
+    graft.text.CrawlDedup.release()
+    val a = graft.text.CrawlDedup.urlRecrawlDelta(spark, dir)
+    val b = graft.text.CrawlDedup.urlRecrawlDelta(spark, dir)
+    assert(a eq b)
+    val rows = sortedRows(a)
+    graft.text.CrawlDedup.release()
+    val c = graft.text.CrawlDedup.urlRecrawlDelta(spark, dir)
+    assert(!(a eq c))
+    assert(sortedRows(c) == rows)
+  }
+}
