@@ -448,10 +448,27 @@ object BitextMine {
         // the same depth resolves to one canonical relation
         val v = forwardBestMultiprobe(s, dir, np).localCheckpoint(true)
         synchronized {
-          probeMemos = probeMemos.filter(_._1._1 == key._1)
           probeMemos.get(key) match {
-            case Some(w) => w
-            case None => probeMemos += key -> v; v
+            case Some(w) =>
+              // lost the first-write race: the losing build's eagerly
+              // checkpointed blocks were already paid for — free them
+              // instead of waiting for driver GC (round-13 advisor)
+              v.unpersist()
+              w
+            case None =>
+              // corpus-switch eviction, guarded: only evict other-corpus
+              // entries when THIS build's corpus is still the current one
+              // — a slow stale-corpus build publishing after a newer
+              // corpus's build must not evict the fresh memos (round-13
+              // advisor). Evicted relations are unpersisted; a stale
+              // build is handed back unpublished (lookups are
+              // stamp-keyed, so the caller's result stays correct).
+              if (memoKey(s, dir) == key._1) {
+                val (keep, stale) = probeMemos.partition(_._1._1 == key._1)
+                stale.valuesIterator.foreach(_.unpersist())
+                probeMemos = keep + (key -> v)
+              }
+              v
           }
         }
     }
@@ -501,16 +518,12 @@ object BitextMine {
     if (depths.isEmpty) return
     Ivf.assignments(s, dir) // quantizer memo warm before the depths overlap
     // the interior-depth waves are independent reads of the same warm
-    // memos — overlap them (§2.6); each wave's jobs back-fill the
-    // executor slots the others' stage tails leave idle
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(depths.size)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(
-        depths.map(np => scala.concurrent.Future { probeFwd(s, dir, np) })),
-      scala.concurrent.duration.Duration.Inf)
-    finally pool.shutdown()
+    // memos — overlap them (§2.6; graft.Pools bounds the wait and cancels
+    // siblings on failure, the round-13 advisor item); each wave's jobs
+    // back-fill the executor slots the others' stage tails leave idle
+    graft.Pools.runAll(s, "bitext-probes")(
+      depths.map(np => () => probeFwd(s, dir, np)))
+    ()
   }
   def warmTuned(s: SparkSession, dir: String): Unit = { tunedFwd(s, dir); () }
 

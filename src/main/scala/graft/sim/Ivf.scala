@@ -336,24 +336,17 @@ object Ivf {
       .groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     // the remaining sweep points are independent TakeOrdered reads of the
-    // same memoized assignment — overlap them (§2.6)
-    val pool = java.util.concurrent.Executors
-      .newFixedThreadPool(RecallNprobes.size)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val rows = try scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(RecallNprobes.map { np =>
-        scala.concurrent.Future {
-          val ids =
-            if (np == NLists) exactIds
-            else ivfTopkProbing(s, dir, np, ranked).collect()
-              .map(_.getAs[Long]("vec_id"))
-          (np.toLong, ids.count(exact).toLong,
-            ranked.take(np).map(cellSizes.getOrElse(_, 0L)).sum,
-            TopK.toLong)
-        }
-      }), scala.concurrent.duration.Duration.Inf)
-    finally pool.shutdown()
+    // same memoized assignment — overlap them (§2.6; graft.Pools bounds
+    // the wait and cancels siblings on failure, the round-13 advisor item)
+    val rows = graft.Pools.runAll(s, "ivf-recall")(RecallNprobes.map { np => () =>
+      val ids =
+        if (np == NLists) exactIds
+        else ivfTopkProbing(s, dir, np, ranked).collect()
+          .map(_.getAs[Long]("vec_id"))
+      (np.toLong, ids.count(exact).toLong,
+        ranked.take(np).map(cellSizes.getOrElse(_, 0L)).sum,
+        TopK.toLong)
+    })
     synchronized {
       lastRecallOracle = Some(recallOracleSql(centers, ranked))
     }

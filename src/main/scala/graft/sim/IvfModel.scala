@@ -49,10 +49,16 @@ object IvfModel {
     * version keeps serving (rollback proven in ModelStoreSpec). */
   def readLatestValid(s: SparkSession, base: String):
       (Int, Array[Array[Double]], Boolean, Int, Int) = {
-    val (v, path) = graft.sources.ModelStore.latestValid(base,
-      p => readModel(s, p)._2)
-      .getOrElse(sys.error(s"no valid committed model under $base"))
-    val (c, ok, n, d) = readModel(s, path)
+    // the walk's predicate CAPTURES its read (the ChoiceModel pattern):
+    // the walk stops at the first valid version, so the last capture IS
+    // the winner — no second parquet parse of centroids + manifest
+    var hit: Option[(Array[Array[Double]], Boolean, Int, Int)] = None
+    val (v, _) = graft.sources.ModelStore.latestValid(base, { p =>
+      val r = readModel(s, p)
+      if (r._2) hit = Some(r)
+      r._2
+    }).getOrElse(sys.error(s"no valid committed model under $base"))
+    val (c, ok, n, d) = hit.get
     (v, c, ok, n, d)
   }
 

@@ -80,10 +80,16 @@ object PcaModel {
     * discipline). */
   def readLatestValid(s: SparkSession, base: String):
       (Int, EmbedPca.Model, Boolean) = {
-    val (v, path) = graft.sources.ModelStore.latestValid(base,
-      p => readModel(s, p)._2)
-      .getOrElse(sys.error(s"no valid committed model under $base"))
-    val (m, ok) = readModel(s, path)
+    // the walk's predicate CAPTURES its read (the ChoiceModel pattern):
+    // the walk stops at the first valid version, so the last capture IS
+    // the winner — no second parquet parse of the model + manifest
+    var hit: Option[(EmbedPca.Model, Boolean)] = None
+    val (v, _) = graft.sources.ModelStore.latestValid(base, { p =>
+      val r = readModel(s, p)
+      if (r._2) hit = Some(r)
+      r._2
+    }).getOrElse(sys.error(s"no valid committed model under $base"))
+    val (m, ok) = hit.get
     (v, m, ok)
   }
 

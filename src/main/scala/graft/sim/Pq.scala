@@ -81,40 +81,38 @@ object Pq {
       .filter(pmod(col("vec_id"), lit(Ivf.SampleMod)) === 0)
       .cache()
     subs.count() // force the shared sample cache once, before the fits race
+    // One aggregation decides the tiny-fixture fallback for ALL M
+    // subspaces (was a per-m limit().count() — 8 driver-bound jobs on
+    // the warm path that always answered "big enough" at bench SFs).
+    // The sample is 1-in-SampleMod of vectors × one row per subspace,
+    // so every m has the same sample count: one count() suffices.
+    val samplePerM = subs.filter(col("m") === 0).count()
     // The M sub-quantizer fits are INDEPENDENT (disjoint `m` slices, per-m
-    // seeds) — overlap them on a small thread pool (optimization guide
+    // seeds) — overlap them via the shared pool helper (optimization guide
     // §2.6: concurrent driver actions back-fill executors idled by each
-    // fit's per-iteration job tail). Results are bit-identical to the
-    // sequential loop: each fit sees the same slice and the same seed.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(M)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val codebook = try {
-      val fits = (0 until M).map { m => scala.concurrent.Future {
-        val train = subs.filter(col("m") === m)
-        val trainSet =
-          if (train.limit(Ks * 4).count() >= Ks * 4L) train
-          else {
-            // tiny-fixture fallback: widen to every vector's m-th slice
-            e.select(col("vec_id"), col("embedding"))
-              .as[(Long, Array[Float])]
-              .map { case (_, emb) =>
-                val d = emb.map(_.toDouble)
-                val n = math.sqrt(d.map(x => x * x).sum)
-                val nd = if (n == 0.0) d else d.map(_ / n)
-                Tuple1(Vectors.dense(nd.slice(m * Ds, (m + 1) * Ds)))
-              }.toDF("features")
-          }
-        new KMeans()
-          .setK(Ks).setSeed(1000L + m).setMaxIter(10)
-          .setFeaturesCol("features").setPredictionCol("code")
-          .fit(trainSet)
-          .clusterCenters.map(_.toArray)
-      }}
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(fits),
-        scala.concurrent.duration.Duration.Inf).toArray
-    } finally pool.shutdown()
+    // fit's per-iteration job tail; graft.Pools adds the bounded wait +
+    // job-group cancellation the round-13 advisor asked for). Results are
+    // bit-identical to the sequential loop: same slice, same seed per m.
+    val codebook = graft.Pools.runAll(s, "pq-fits")((0 until M).map { m => () =>
+      val trainSet =
+        if (samplePerM >= Ks * 4L) subs.filter(col("m") === m)
+        else {
+          // tiny-fixture fallback: widen to every vector's m-th slice
+          e.select(col("vec_id"), col("embedding"))
+            .as[(Long, Array[Float])]
+            .map { case (_, emb) =>
+              val d = emb.map(_.toDouble)
+              val n = math.sqrt(d.map(x => x * x).sum)
+              val nd = if (n == 0.0) d else d.map(_ / n)
+              Tuple1(Vectors.dense(nd.slice(m * Ds, (m + 1) * Ds)))
+            }.toDF("features")
+        }
+      new KMeans()
+        .setK(Ks).setSeed(1000L + m).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("code")
+        .fit(trainSet)
+        .clusterCenters.map(_.toArray)
+    }).toArray
     subs.unpersist()
     // encode through the portable literal argmin (not model.transform)
     val enc = e.select(col("vec_id"), col("label"), col("embedding"))

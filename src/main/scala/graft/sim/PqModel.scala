@@ -26,10 +26,16 @@ object PqModel {
     * rollback discipline). */
   def readLatestValid(s: SparkSession, base: String):
       (Int, Array[Array[Array[Double]]], Boolean) = {
-    val (v, path) = graft.sources.ModelStore.latestValid(base,
-      p => readModel(s, p)._2)
-      .getOrElse(sys.error(s"no valid committed model under $base"))
-    val (cb, ok) = readModel(s, path)
+    // the walk's predicate CAPTURES its read (the ChoiceModel pattern):
+    // the walk stops at the first valid version, so the last capture IS
+    // the winner — no second parquet parse of codebook + manifest
+    var hit: Option[(Array[Array[Array[Double]]], Boolean)] = None
+    val (v, _) = graft.sources.ModelStore.latestValid(base, { p =>
+      val r = readModel(s, p)
+      if (r._2) hit = Some(r)
+      r._2
+    }).getOrElse(sys.error(s"no valid committed model under $base"))
+    val (cb, ok) = hit.get
     (v, cb, ok)
   }
 

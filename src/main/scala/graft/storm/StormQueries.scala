@@ -344,7 +344,11 @@ object StormQueries {
         .withColumn("state", lit("XX"))
         .withColumn("_row", col("event_id") * 2 + 1))
       .drop("event_id")
-    StormValidate.apiTransformCheck(raw, api)
+    // the checker would re-derive `expected` from raw via the identical
+    // chain+constants — hand it the one we already materialized instead
+    // (minus the construction-only event_id), so the enrichment chain
+    // runs ONCE per gate call, not twice (guide §5: don't compute twice)
+    StormValidate.apiTransformCheckOver(expected.drop("event_id"), api)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -87,14 +87,26 @@ object StormValidate {
     * equality (`cmd/validate/main.go:352-462`). Violations carry the field
     * name and both values. */
   def apiTransformCheck(etlRaw: DataFrame, api: DataFrame,
-                        orderCol: String = "_row"): DataFrame = {
+                        orderCol: String = "_row"): DataFrame =
+    apiTransformCheckOver(
+      Enrich.enrich(
+        etlRaw.withColumn("kafka_timestamp",
+          to_timestamp(lit("2024-04-26 00:00:00"))),
+        processedAt = to_timestamp(lit("2024-04-27 06:00:00")))
+        .localCheckpoint(true),
+      api, orderCol)
+
+  /** [[apiTransformCheck]] over an ALREADY-ENRICHED (and materialized)
+    * expected relation — for callers that hold the identical enrichment
+    * output anyway (the `storm_api_check` gate builds its planted api
+    * set from it), so the chain runs once per check instead of once in
+    * the caller and again in here. The (raw in, derive-expected-myself)
+    * entry above stays the J3 validator contract. */
+  def apiTransformCheckOver(expected: DataFrame, api: DataFrame,
+                            orderCol: String = "_row"): DataFrame = {
     // Both relations are read twice (field-compare join + missing-row
-    // anti-join); materialize each once so the enrichment chain and the
-    // dedup window don't re-run per consumer (house read-twice pattern).
-    val expected = Enrich.enrich(
-      etlRaw.withColumn("kafka_timestamp", to_timestamp(lit("2024-04-26 00:00:00"))),
-      processedAt = to_timestamp(lit("2024-04-27 06:00:00")))
-      .localCheckpoint(true)
+    // anti-join); `expected` arrives materialized, the dedup window is
+    // materialized here (house read-twice pattern).
     val w = Window.partitionBy("id").orderBy(col(orderCol))
     val deduped = api.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")

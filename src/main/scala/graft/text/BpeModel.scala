@@ -30,10 +30,16 @@ object BpeModel {
     * [[graft.sim.IvfModel]] rollback discipline). */
   def readLatestValid(s: SparkSession, base: String):
       (Int, Seq[(String, String)], Boolean) = {
-    val (v, path) = graft.sources.ModelStore.latestValid(base,
-      p => readModel(s, p)._2)
-      .getOrElse(sys.error(s"no valid committed model under $base"))
-    val (merges, ok) = readModel(s, path)
+    // the walk's predicate CAPTURES its read (the ChoiceModel pattern):
+    // the walk stops at the first valid version, so the last capture IS
+    // the winner — no second parquet parse of merges + manifest
+    var hit: Option[(Seq[(String, String)], Boolean)] = None
+    val (v, _) = graft.sources.ModelStore.latestValid(base, { p =>
+      val r = readModel(s, p)
+      if (r._2) hit = Some(r)
+      r._2
+    }).getOrElse(sys.error(s"no valid committed model under $base"))
+    val (merges, ok) = hit.get
     (v, merges, ok)
   }
 

@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * spec pins the sharing behavior those gates cannot see. */
 class OptimizationMemoSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = SparkTestSession.fixture("sf0.001")
 
   private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
