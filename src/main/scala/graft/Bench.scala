@@ -118,6 +118,13 @@ object Bench {
         graft.dedup.DedupQueries.lshArtifacts(spark, sfDir); () }),
       ("dedup_clusters", () => {
         graft.dedup.ConnectedComponents.dedupClusters(spark, sfDir); () }),
+      // the removal tiers ride the cluster labels; the survivor funnel
+      // rides the tiers — warmed in dependency order so each line times
+      // exactly the increment it adds (round-14 memos)
+      ("removal_tiers", () => {
+        graft.dedup.ConnectedComponents.removalTiers(spark, sfDir); () }),
+      ("survivors", () => {
+        graft.sources.CorpusManifest.survivors(spark, sfDir); () }),
       ("simhash_pairs", () => {
         graft.dedup.DedupQueries.dedupSimhashHamming(spark, sfDir); () }),
       ("prefix_docsets", () => graft.dedup.PrefixJoin.warm(spark, sfDir)),

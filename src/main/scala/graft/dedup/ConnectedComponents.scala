@@ -265,7 +265,10 @@ object ConnectedComponents {
 
   /** Drop the memoized cluster labels (tests; corpus switches evict via
     * the one-slot policy). */
-  def releaseClusters(): Unit = synchronized { clusterMemo = None }
+  def releaseClusters(): Unit = synchronized {
+    clusterMemo = None
+    tiersMemo = None // derived from the cluster labels — released together
+  }
 
   /** ENSEMBLE near-dup clusters — connected components over the UNION
     * of three verified pair relations, each catching duplication the
@@ -338,7 +341,28 @@ object ConnectedComponents {
     * (duplicate doc_ids only) but every consumer reads them 2+ times
     * (a count plus an anti-join membership), so each is materialized
     * once. */
-  def removalTiers(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  // One-slot memo: SEVEN gate consumers re-derived the tiers per call
+  // (dedup_apply, dedup_by_source, pipeline_funnel, filter_overlap, and
+  // the three survivor-relation consumers) — each rebuild is a full
+  // corpus sha256 window pass plus a checkpoint (guide §5: don't compute
+  // twice). Same policy as clusterMemo: stamp-keyed, released together.
+  private var tiersMemo:
+    Option[((SparkSession, String, Long), (DataFrame, DataFrame))] = None
+
+  def removalTiers(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      val key = (s, dir, graft.Tables.sourceStamp(dir, "documents"))
+      tiersMemo match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val v = buildRemovalTiers(s, dir)
+          tiersMemo = Some((key, v))
+          v
+      }
+    }
+
+  private def buildRemovalTiers(s: SparkSession,
+                                dir: String): (DataFrame, DataFrame) = {
     import graft.Tables
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), sha2(col("text"), 256).as("ch"))

@@ -96,7 +96,11 @@ object PlanDigest {
     * main lock and only trip PlanAuditSpec's runtime assertions. These
     * entries pin the UN-materialized end-to-end pipeline shapes. */
   def auxPlans(spark: SparkSession, sfDir: String): Seq[(String, DataFrame)] =
-    graft.sim.BitextMine.pipelinePlans(spark, sfDir)
+    graft.sim.BitextMine.pipelinePlans(spark, sfDir) :+
+      // the survivor funnel (memoized checkpoint since round 14 — its
+      // four gate plans are leaves, so the funnel shape is pinned here)
+      ("corpus_survivors_pipeline" ->
+        graft.sources.CorpusManifest.survivorsPlan(spark, sfDir))
 
   def writeAuxLock(spark: SparkSession, sfDir: String, path: String): Unit = {
     val body = withFullPlanStrings(spark) {

@@ -126,25 +126,29 @@ object Neighborhood {
         .otherwise(least(log2(col("lsb")), lit(MaxBit))))
       .select(col("id"), col("i"), expr("shiftleft(1L, p)").as("mask"))
     var cur = init.localCheckpoint(true)
-    val perRound = scala.collection.mutable.Buffer[(Long, Long)]()
+    val perRound = scala.collection.mutable.Buffer[DataFrame]()
     for (t <- 1 to MaxRadius) {
       val flowed = bid.join(cur, bid("a") === cur("id"))
         .select(col("b").as("id"), col("i"), col("mask"))
       cur = cur.unionByName(flowed)
         .groupBy("id", "i").agg(expr("bit_or(mask)").as("mask"))
         .localCheckpoint(true)
-      // estimate: per (id, i) R = lowest ZERO bit; per id 2^avg(R)/φ
-      val estMicro = cur
+      // estimate: per (id, i) R = lowest ZERO bit; per id 2^avg(R)/φ.
+      // Built LAZILY over this round's checkpointed sketches — the
+      // former per-round `.head` blocked the driver once per radius;
+      // one final action now computes every round's estimate in one
+      // job tree over the already-materialized blocks (§2.6 — the
+      // estimates are independent reads, so their stages overlap).
+      perRound += cur
         .withColumn("lzb", expr("~mask & (mask + 1)"))
         .withColumn("r", log2(col("lzb")))
         .groupBy("id").agg((sum(col("r")) * lit(1.0) / NumSketches).as("b"))
         .select(floor(pow(lit(2.0), col("b")) * 1e6 / 0.77351 + 0.5)
           .cast("long").as("em"))
-        .agg(sum("em")).head.getLong(0)
-      perRound += ((t.toLong, estMicro))
+        .agg(sum("em").as("est_micro"))
+        .select(lit(t.toLong).as("radius"), col("est_micro"))
     }
-    import s.implicits._
-    exact.join(perRound.toSeq.toDF("radius", "est_micro"), "radius")
+    exact.join(perRound.reduceLeft(_ unionByName _), "radius")
   }
 
   /** Gate: exact neighborhood function of the mutual-kNN graph. */

@@ -52,9 +52,12 @@ object CorpusManifest {
     s"target/corpus_out/${name}_${Integer.toHexString(dir.hashCode)}"
   }
 
-  /** The survivor relation: docs that keep their exact-content group,
-    * keep their near-dup cluster, and pass the Gopher rules. */
-  def survivors(s: SparkSession, dir: String): DataFrame = {
+  /** The survivor funnel UN-materialized (one lazy plan) — the shape
+    * `plans_aux.lock` digest-pins now that [[survivors]] serves a
+    * memoized checkpoint (the BitextMine pipelinePlans discipline: the
+    * gate plans collapse to a leaf, so the funnel's own planner shape
+    * needs its own lock entry). */
+  private[graft] def survivorsPlan(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val (exactRemoved, nearRemoved) = ConnectedComponents.removalTiers(s, dir)
     val pass = TextQueries.gopherFlags(Tables.parallel(s, dir, "documents"))
@@ -64,6 +67,31 @@ object CorpusManifest {
       .join(nearRemoved, Seq("doc_id"), "left_anti")
       .join(pass, Seq("doc_id"), "left_semi")
   }
+
+  // One-slot memo: FOUR gates consume the survivor relation
+  // (corpus_manifest, manifest_delta, shard_plan, train_order) and each
+  // re-assembled the funnel — a gopher corpus pass + three joins per
+  // call on top of the (now-memoized) removal tiers. Stamp-keyed,
+  // materialized once, released via [[release]] (guide §5).
+  private var survMemo: Option[((SparkSession, String, Long), DataFrame)] =
+    None
+
+  /** The survivor relation: docs that keep their exact-content group,
+    * keep their near-dup cluster, and pass the Gopher rules —
+    * memoized and materialized (every consumer reads it ≥ 2 times). */
+  def survivors(s: SparkSession, dir: String): DataFrame = synchronized {
+    val key = (s, dir, Tables.sourceStamp(dir, "documents"))
+    survMemo match {
+      case Some((k, v)) if k == key => v
+      case _ =>
+        val v = survivorsPlan(s, dir).localCheckpoint(true)
+        survMemo = Some((key, v))
+        v
+    }
+  }
+
+  /** Drop the memoized survivor relation (PlanLock fresh-state hook). */
+  def release(): Unit = synchronized { survMemo = None }
 
   /** Per-source manifest of an already-written corpus directory — the
     * read-back half, shared by the batch gate and the streaming-sink
@@ -127,7 +155,7 @@ object CorpusManifest {
     * cost is ∝ batch, like [[graft.dedup.IncrementalClusters]] for
     * labels and `SnapshotDedup` for pairs. */
   def manifestDelta(s: SparkSession, dir: String): DataFrame = {
-    val surv = survivors(s, dir).localCheckpoint(true) // one funnel pass
+    val surv = survivors(s, dir) // memoized checkpoint — one funnel pass
     val batchMod = graft.dedup.SnapshotDedup.BatchMod
     val mOld = contentManifest(surv.filter(col("doc_id") % batchMod =!= 0))
     val mNew = contentManifest(surv.filter(col("doc_id") % batchMod === 0))

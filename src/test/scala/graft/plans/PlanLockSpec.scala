@@ -23,6 +23,7 @@ class PlanLockSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     graft.dedup.DedupQueries.releasePrunedShingles() // + LSH artifacts
     graft.dedup.ConnectedComponents.releaseClusters()
+    graft.sources.CorpusManifest.release()
     graft.sim.KCore.release()
     graft.sim.Neighborhood.release()
     graft.text.CrawlDedup.release()

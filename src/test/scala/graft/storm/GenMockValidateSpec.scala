@@ -107,6 +107,24 @@ class GenMockValidateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v.count(_.getString(1) == "magnitude") >= 1)
   }
 
+  test("phase 3 over a pre-enriched expected ≡ the raw-in contract") {
+    // the round-14 gate path hands the checker its already-materialized
+    // enrichment output; the two entries must agree row-for-row
+    val (raw, enriched) = built
+    val bad = enriched.withColumn("magnitude",
+      when(col("_row") === 10, col("magnitude") + 0.5)
+        .otherwise(col("magnitude")))
+    val expected = Enrich.enrich(
+      raw.withColumn("kafka_timestamp",
+        to_timestamp(lit("2024-04-26 00:00:00"))),
+      processedAt = to_timestamp(lit("2024-04-27 06:00:00")))
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(StormValidate.apiTransformCheckOver(expected, bad)) ==
+      rows(StormValidate.apiTransformCheck(raw, bad)))
+  }
+
   test("validate phase 4: schema alignment clean on enriched, catches breaks") {
     val (_, enriched) = built
     assert(StormValidate.schemaAlignment(enriched).count() == 0)

@@ -53,6 +53,37 @@ class OptimizationMemoSpec extends AnyFunSuite {
     assert(sortedRows(c) == rows)
   }
 
+  test("removal tiers memo: apply/by_source/funnel consumers share it") {
+    graft.dedup.ConnectedComponents.releaseClusters()
+    val (ex1, nr1) = graft.dedup.ConnectedComponents.removalTiers(spark, dir)
+    val (ex2, nr2) = graft.dedup.ConnectedComponents.removalTiers(spark, dir)
+    assert((ex1 eq ex2) && (nr1 eq nr2),
+      "second consumer must ride the memo")
+    val rows = (sortedRows(ex1), sortedRows(nr1))
+    graft.dedup.ConnectedComponents.releaseClusters()
+    val (ex3, nr3) = graft.dedup.ConnectedComponents.removalTiers(spark, dir)
+    assert(!(ex1 eq ex3), "release must force a rebuild")
+    assert((sortedRows(ex3), sortedRows(nr3)) == rows,
+      "rebuild must reproduce both tiers")
+  }
+
+  test("survivors memo: manifest/shard/order consumers share it") {
+    graft.sources.CorpusManifest.release()
+    val a = graft.sources.CorpusManifest.survivors(spark, dir)
+    val b = graft.sources.CorpusManifest.survivors(spark, dir)
+    assert(a eq b, "second consumer must ride the memo")
+    val rows = sortedRows(a.select("doc_id"))
+    graft.sources.CorpusManifest.release()
+    val c = graft.sources.CorpusManifest.survivors(spark, dir)
+    assert(!(a eq c), "release must force a rebuild")
+    assert(sortedRows(c.select("doc_id")) == rows,
+      "rebuild must reproduce the survivor set")
+    // the memoized relation equals the un-materialized funnel plan
+    assert(sortedRows(graft.sources.CorpusManifest.survivorsPlan(spark, dir)
+      .select("doc_id")) == rows,
+      "memoized checkpoint must equal the aux-locked pipeline")
+  }
+
   test("recrawl delta memo: crawl_schedule rides url_recrawl_delta") {
     graft.text.CrawlDedup.release()
     val a = graft.text.CrawlDedup.urlRecrawlDelta(spark, dir)
