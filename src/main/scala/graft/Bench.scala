@@ -125,6 +125,10 @@ object Bench {
         graft.dedup.ConnectedComponents.removalTiers(spark, sfDir); () }),
       ("survivors", () => {
         graft.sources.CorpusManifest.survivors(spark, sfDir); () }),
+      ("audit_verdicts", () => {
+        graft.sources.DropAudit.dropAudit(spark, sfDir); () }),
+      ("contam_pairs", () => {
+        graft.dedup.DedupQueries.decontaminate(spark, sfDir); () }),
       ("simhash_pairs", () => {
         graft.dedup.DedupQueries.dedupSimhashHamming(spark, sfDir); () }),
       ("prefix_docsets", () => graft.dedup.PrefixJoin.warm(spark, sfDir)),

@@ -140,6 +140,7 @@ object DedupQueries {
     prunedMemo = None
     lshMemo = None // derived artifacts go with their source relation
     shamMemo = None
+    contamMemo = None // shingle-derived too
   }
 
   /** SQL twin of [[prunedShingles]] (CTE `shp(doc_id, s)`; requires `sh`). */
@@ -500,9 +501,30 @@ object DedupQueries {
   private def contamPairs(matched: DataFrame): DataFrame =
     contamPairsBy(matched, Seq("doc_id", "eval_id"))
 
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  /** The drop-list pipeline UN-materialized (aux-lock pinned — see
+    * [[decontaminate]]'s memo). */
+  private[graft] def decontaminatePlan(s: SparkSession,
+                                       dir: String): DataFrame = {
     val (eval, corpus) = evalCorpusSplit(shingles(s, dir))
     contamPairs(corpus.join(broadcast(eval), "s"))
+  }
+
+  // One-slot memo: THREE gates consume the contamination pair relation
+  // (decontaminate, filter_overlap, release_report) and each re-ran the
+  // corpus shingle explode + eval join per call (guide §5). Pair-sized
+  // output, stamp-keyed, released with the shingle family.
+  private var contamMemo: Option[((SparkSession, String, Long), DataFrame)] =
+    None
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = synchronized {
+    val key = (s, dir, graft.Tables.sourceStamp(dir, "documents"))
+    contamMemo match {
+      case Some((k, v)) if k == key => v
+      case _ =>
+        val v = decontaminatePlan(s, dir).localCheckpoint(true)
+        contamMemo = Some((key, v))
+        v
+    }
   }
 
   /** The frozen eval-side shingle table `(eval_id, s)` — the broadcast

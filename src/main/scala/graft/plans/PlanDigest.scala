@@ -100,7 +100,11 @@ object PlanDigest {
       // the survivor funnel (memoized checkpoint since round 14 — its
       // four gate plans are leaves, so the funnel shape is pinned here)
       ("corpus_survivors_pipeline" ->
-        graft.sources.CorpusManifest.survivorsPlan(spark, sfDir))
+        graft.sources.CorpusManifest.survivorsPlan(spark, sfDir)) :+
+      ("drop_audit_pipeline" ->
+        graft.sources.DropAudit.dropAuditPlan(spark, sfDir)) :+
+      ("decontaminate_pipeline" ->
+        graft.dedup.DedupQueries.decontaminatePlan(spark, sfDir))
 
   def writeAuxLock(spark: SparkSession, sfDir: String, path: String): Unit = {
     val body = withFullPlanStrings(spark) {

@@ -24,6 +24,7 @@ class PlanLockSpec extends AnyFunSuite {
     graft.dedup.DedupQueries.releasePrunedShingles() // + LSH artifacts
     graft.dedup.ConnectedComponents.releaseClusters()
     graft.sources.CorpusManifest.release()
+    graft.sources.DropAudit.release()
     graft.sim.KCore.release()
     graft.sim.Neighborhood.release()
     graft.text.CrawlDedup.release()

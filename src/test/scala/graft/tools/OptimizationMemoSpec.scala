@@ -84,6 +84,34 @@ class OptimizationMemoSpec extends AnyFunSuite {
       "memoized checkpoint must equal the aux-locked pipeline")
   }
 
+  test("drop-audit memo: gate and release_report share the verdicts") {
+    graft.sources.DropAudit.release()
+    val a = graft.sources.DropAudit.dropAudit(spark, dir)
+    val b = graft.sources.DropAudit.dropAudit(spark, dir)
+    assert(a eq b, "second consumer must ride the memo")
+    val rows = sortedRows(a)
+    graft.sources.DropAudit.release()
+    val c = graft.sources.DropAudit.dropAudit(spark, dir)
+    assert(!(a eq c), "release must force a rebuild")
+    assert(sortedRows(c) == rows, "rebuild must reproduce the audit")
+    assert(sortedRows(graft.sources.DropAudit.dropAuditPlan(spark, dir))
+      == rows, "memoized checkpoint must equal the aux-locked pipeline")
+  }
+
+  test("contam-pairs memo: decontaminate/filter_overlap/report share it") {
+    graft.dedup.DedupQueries.releasePrunedShingles()
+    val a = graft.dedup.DedupQueries.decontaminate(spark, dir)
+    val b = graft.dedup.DedupQueries.decontaminate(spark, dir)
+    assert(a eq b, "second consumer must ride the memo")
+    val rows = sortedRows(a)
+    graft.dedup.DedupQueries.releasePrunedShingles()
+    val c = graft.dedup.DedupQueries.decontaminate(spark, dir)
+    assert(!(a eq c), "release must force a rebuild")
+    assert(sortedRows(c) == rows, "rebuild must reproduce the pairs")
+    assert(sortedRows(graft.dedup.DedupQueries.decontaminatePlan(spark, dir))
+      == rows, "memoized checkpoint must equal the aux-locked pipeline")
+  }
+
   test("recrawl delta memo: crawl_schedule rides url_recrawl_delta") {
     graft.text.CrawlDedup.release()
     val a = graft.text.CrawlDedup.urlRecrawlDelta(spark, dir)
