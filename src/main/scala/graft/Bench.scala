@@ -129,6 +129,8 @@ object Bench {
         graft.sources.DropAudit.dropAudit(spark, sfDir); () }),
       ("contam_pairs", () => {
         graft.dedup.DedupQueries.decontaminate(spark, sfDir); () }),
+      ("substring_grams",
+        () => graft.dedup.SubstringDedup.warmGrams(spark, sfDir)),
       ("simhash_pairs", () => {
         graft.dedup.DedupQueries.dedupSimhashHamming(spark, sfDir); () }),
       ("prefix_docsets", () => graft.dedup.PrefixJoin.warm(spark, sfDir)),

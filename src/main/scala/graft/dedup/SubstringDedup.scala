@@ -44,15 +44,50 @@ object SubstringDedup {
     * least one other document (`n_dup_grams`), and the total number of
     * (gram, other-doc) co-occurrences (`n_partner_grams` = Σ df−1, the
     * duplication mass an excision pass would remove). */
-  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.parallel(s, dir, "documents")
+  /** The positional k-gram relation (doc_id, n_tokens, i, gh) — ONE
+    * corpus explode + sha256 pass shared by all three substring-family
+    * gates (dedup_substring, dedup_substring_excise, decontam_substring
+    * each re-ran it per call; guide §5). Rows ∝ token positions, the
+    * bound the excise gate already pays. Un-materialized (aux-lock
+    * pinned as substring_grams_pipeline). */
+  private[graft] def gramPosPlan(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(s, dir, "documents")
       .select(col("doc_id"), TextQueries.words(col("text")).as("w"))
       .filter(size(col("w")) >= SubstrK)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(w) - ${SubstrK - 1}),
-           |  i -> array_join(slice(w, i, $SubstrK), ' '))""".stripMargin))
-        .as("g"))
-      .select(col("doc_id"), hex60(col("g")).as("gh"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        explode(expr(
+          s"""transform(sequence(1, size(w) - ${SubstrK - 1}),
+             |  i -> struct(i AS i,
+             |              array_join(slice(w, i, $SubstrK), ' ') AS g))"""
+            .stripMargin)).as("p"))
+      .select(col("doc_id"), col("n_tokens"), col("p.i").as("i"),
+        hex60(col("p.g")).as("gh"))
+
+  // one-slot memo, stamp-keyed, house pattern
+  private var gramMemo: Option[((SparkSession, String, Long), DataFrame)] =
+    None
+
+  private def gramPos(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val key = (s, dir, graft.Tables.sourceStamp(dir, "documents"))
+      gramMemo match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val v = gramPosPlan(s, dir).localCheckpoint(true)
+          gramMemo = Some((key, v))
+          v
+      }
+    }
+
+  /** Drop the memoized gram relation (PlanLock fresh-state hook). */
+  def release(): Unit = synchronized { gramMemo = None }
+
+  /** Bench-attribution warm for the shared gram memo. */
+  def warmGrams(s: SparkSession, dir: String): Unit = { gramPos(s, dir); () }
+
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramPos(s, dir)
+      .select(col("doc_id"), col("gh"))
       .distinct() // one vote per (doc, gram)
       // read twice (df aggregation + join back) — materialize once,
       // nothing pinned after the action completes (house pattern)
@@ -75,23 +110,14 @@ object SubstringDedup {
     * most k rows per flagged gram, and flagged grams are the near-dup
     * tail, not the corpus). */
   def dedupSubstringExcise(s: SparkSession, dir: String): DataFrame = {
-    val gramPos = Tables.parallel(s, dir, "documents")
-      .select(col("doc_id"), TextQueries.words(col("text")).as("w"))
-      .filter(size(col("w")) >= SubstrK)
-      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-        explode(expr(
-          s"""transform(sequence(1, size(w) - ${SubstrK - 1}),
-             |  i -> struct(i AS i,
-             |              array_join(slice(w, i, $SubstrK), ' ') AS g))"""
-            .stripMargin)).as("p"))
-      .select(col("doc_id"), col("n_tokens"), col("p.i").as("i"),
-        hex60(col("p.g")).as("gh"))
-      .localCheckpoint(true) // read twice: df aggregation + coverage join
-    val dupGrams = gramPos.select(col("doc_id"), col("gh")).distinct()
+    // the shared memoized gram relation serves both reads (df
+    // aggregation + coverage join)
+    val gp = gramPos(s, dir)
+    val dupGrams = gp.select(col("doc_id"), col("gh")).distinct()
       .groupBy("gh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= DedupQueries.MaxShingleDf)
       .select(col("gh"))
-    gramPos.join(dupGrams, "gh")
+    gp.join(dupGrams, "gh")
       .select(col("doc_id"), col("n_tokens"),
         explode(sequence(col("i"), col("i") + (SubstrK - 1))).as("pos"))
       .groupBy("doc_id", "n_tokens")
@@ -116,15 +142,8 @@ object SubstringDedup {
     * keyed by (doc, eval) pairs that actually matched — the same
     * broadcast-side-fixed family as `decontaminate`/`decontam_bloom`. */
   def decontamSubstring(s: SparkSession, dir: String): DataFrame = {
-    val gp = Tables.parallel(s, dir, "documents")
-      .select(col("doc_id"), TextQueries.words(col("text")).as("w"))
-      .filter(size(col("w")) >= SubstrK)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(w) - ${SubstrK - 1}),
-           |  i -> struct(i AS i,
-           |              array_join(slice(w, i, $SubstrK), ' ') AS g))"""
-          .stripMargin)).as("p"))
-      .select(col("doc_id"), col("p.i").as("i"), hex60(col("p.g")).as("gh"))
+    val gp = gramPos(s, dir)
+      .select(col("doc_id"), col("i"), col("gh"))
     val eval = gp.filter(col("doc_id") < DedupQueries.DecontamEvalDocs)
       .select(col("doc_id").as("eval_id"), col("gh")).distinct()
     val corpus = gp.filter(col("doc_id") >= DedupQueries.DecontamEvalDocs)

@@ -104,7 +104,9 @@ object PlanDigest {
       ("drop_audit_pipeline" ->
         graft.sources.DropAudit.dropAuditPlan(spark, sfDir)) :+
       ("decontaminate_pipeline" ->
-        graft.dedup.DedupQueries.decontaminatePlan(spark, sfDir))
+        graft.dedup.DedupQueries.decontaminatePlan(spark, sfDir)) :+
+      ("substring_grams_pipeline" ->
+        graft.dedup.SubstringDedup.gramPosPlan(spark, sfDir))
 
   def writeAuxLock(spark: SparkSession, sfDir: String, path: String): Unit = {
     val body = withFullPlanStrings(spark) {

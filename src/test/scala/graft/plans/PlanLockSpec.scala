@@ -25,6 +25,7 @@ class PlanLockSpec extends AnyFunSuite {
     graft.dedup.ConnectedComponents.releaseClusters()
     graft.sources.CorpusManifest.release()
     graft.sources.DropAudit.release()
+    graft.dedup.SubstringDedup.release()
     graft.sim.KCore.release()
     graft.sim.Neighborhood.release()
     graft.text.CrawlDedup.release()

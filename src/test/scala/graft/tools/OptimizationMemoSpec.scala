@@ -112,6 +112,17 @@ class OptimizationMemoSpec extends AnyFunSuite {
       == rows, "memoized checkpoint must equal the aux-locked pipeline")
   }
 
+  test("substring-grams memo: the three substring gates share it") {
+    graft.dedup.SubstringDedup.release()
+    val a = graft.SparkEntry.queries("dedup_substring")(spark, dir)
+    val rows = sortedRows(a)
+    // the excise gate rides the same memoized gram relation
+    graft.SparkEntry.queries("dedup_substring_excise")(spark, dir).collect()
+    graft.dedup.SubstringDedup.release()
+    val c = graft.SparkEntry.queries("dedup_substring")(spark, dir)
+    assert(sortedRows(c) == rows, "rebuild must reproduce the flags")
+  }
+
   test("recrawl delta memo: crawl_schedule rides url_recrawl_delta") {
     graft.text.CrawlDedup.release()
     val a = graft.text.CrawlDedup.urlRecrawlDelta(spark, dir)
