@@ -87,7 +87,10 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("decontaminate broadcasts the eval side, never shuffles the corpus for it") {
-    val plan = graft.dedup.DedupQueries.decontaminate(spark, sf)
+    // the gate serves a memoized checkpoint (round 14) — audit the
+    // UN-materialized pipeline, the plan that actually runs (and the
+    // one plans_aux.lock pins as decontaminate_pipeline)
+    val plan = graft.dedup.DedupQueries.decontaminatePlan(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
